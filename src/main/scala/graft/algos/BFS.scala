@@ -1,0 +1,61 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Level-synchronous BFS with the reference's semantics
+  * (GraphBLAS/@GrB/bfs.m): per level, v<q> = level (subassign under the
+  * frontier's structural mask, bfs.m:136), then
+  * q<~v,replace> = q * A with the any.pair semiring and COMPLEMENTED mask
+  * (bfs.m:139-140) — i.e. expand the frontier and drop already-visited
+  * vertices. Parent variant uses any.first with q(i)=i ids (bfs.m:149-167);
+  * ANY made deterministic as MIN parent.
+  *
+  * Spark shape: frontier is a (usually small) Dataset — Catalyst/AQE
+  * broadcasts it against the partitioned adjacency (the reference's "push"
+  * direction); the complemented mask is a left-anti join against the visited
+  * set.
+  */
+object BFS {
+
+  /** Returns (id, level, parent) for reachable vertices; source has level 0,
+    * parent = itself.
+    */
+  def run(spark: SparkSession, edges: DataFrame, source: Long, maxIter: Int = 10000,
+          numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var visited = spark.range(1).select(lit(source).as("id"), lit(0).as("level"),
+      lit(source).as("parent")).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited.select(col("id"))
+    var level = 0
+    var frontierSize = 1L
+
+    while (frontierSize > 0 && level < maxIter) {
+      level += 1
+      // q<~v,replace> = q * A  (any.first for parents, min-deterministic)
+      val next = adj.join(frontier.select(col("id").as("src")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(level).as("level"), col("parent"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        val newVisited = visited.unionByName(next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        newVisited.count()
+        visited.unpersist(false)
+        visited = if (level % 10 == 0) newVisited.localCheckpoint(true) else newVisited
+        frontier = next.select("id")
+      }
+    }
+    adj.unpersist(false)
+    visited
+  }
+}

@@ -1,0 +1,67 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components by min-label propagation to fixpoint (north rule:
+  * "min-plus label propagation, exact assignments"; semiring view: iterate
+  * w = min.second(A, w) ⊕ w until unchanged — SURVEY.md §2.10).
+  *
+  * Deterministic and exact: labels are vertex ids, min is order-insensitive,
+  * so the fixpoint is unique. Works on the symmetrized structure (components
+  * are an undirected notion, matching the reference's 2blocks fixture usage).
+  *
+  * Scale notes: plain min-propagation needs O(diameter) rounds. Each round is
+  * one shuffle join + one hash-agg, both on the same `id` partitioning; the
+  * label vector shrinks nothing but converges fast on social-like graphs
+  * (small diameter). Lineage cut every 10 rounds.
+  */
+object ConnectedComponents {
+
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 200,
+          numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // symmetrize; structure only
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val vertices = und.select(col("src").as("id")).distinct()
+    var labels = vertices.select(col("id"), col("id").as("comp"))
+      .repartition(parts, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      // neighbor-min gather: min.second semiring vxm over the adjacency
+      val neighborMin = und
+        .join(labels.select(col("id").as("src"), col("comp").as("c")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
+
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (col("nmin") < col("comp")).as("chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      changed = next.filter(col("chg")).count()
+      val newLabels = next.select(col("id"), col("comp"))
+        .repartition(parts, col("id"))
+      labels.unpersist(false)
+      labels = (if ((iter + 1) % 10 == 0) newLabels.localCheckpoint(true) else newLabels)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      next.unpersist(false)
+      iter += 1
+    }
+    und.unpersist(false)
+    labels
+  }
+}

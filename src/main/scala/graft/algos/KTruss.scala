@@ -1,0 +1,49 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** k-truss (GraphBLAS/@GrB/ktruss.m): iterate C<C> = C*C (plus-and semiring —
+  * per surviving edge, count common neighbors = triangle support), keep edges
+  * with support >= k-2 (select '>=', ktruss.m:83-88), fixpoint when the edge
+  * count stops changing (ktruss.m:79-90).
+  *
+  * Spark shape: support = the masked wedge-join of TriangleCount.edgeSupport
+  * (the <C> mask = left-semi against the surviving edges); each round
+  * filters, then recomputes on the shrunken graph. Returns the canonical
+  * (lo,hi) edges of the k-truss.
+  */
+object KTruss {
+
+  def run(spark: SparkSession, edges: DataFrame, k: Int, maxIter: Int = 100,
+          numPartitions: Int = 0): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    var canon = edges.select(
+        least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .repartition(parts, col("lo"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nvals = canon.count()
+    var iter = 0
+    var stable = false
+
+    while (!stable && iter < maxIter && nvals > 0) {
+      val support = TriangleCount.edgeSupport(canon)
+      val kept = canon.join(
+          support.filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi")
+        .repartition(parts, col("lo"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newN = kept.count()
+      stable = newN == nvals
+      canon.unpersist(false)
+      canon = if ((iter + 1) % 5 == 0) kept.localCheckpoint(true).persist(StorageLevel.MEMORY_AND_DISK) else kept
+      nvals = newN
+      iter += 1
+    }
+    canon
+  }
+}

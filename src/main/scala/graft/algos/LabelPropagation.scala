@@ -1,0 +1,70 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Label-propagation community detection (north rule): synchronous rounds;
+  * each vertex adopts the most frequent label among its neighbors, ties
+  * broken by the SMALLEST label so the whole run is deterministic and exactly
+  * reproducible (SURVEY.md §2.10 "deterministic min tie-break").
+  *
+  * Each round = one join (gather neighbor labels) + one two-level hash-agg
+  * (count per (vertex,label), then max_by with min-label tie-break). The
+  * count-then-argmax is the semiring view: plus.pair to count, max.second
+  * with tie-break to pick — all shuffle-partial-aggregated by Spark.
+  * Synchronous LPA can 2-cycle on bipartite-ish structures, so the loop also
+  * stops after `maxIter` (reported fixpoint-or-maxit, like pagerank.m's
+  * convergence warning).
+  */
+object LabelPropagation {
+
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 20,
+          numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(parts, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val vertices = und.select(col("src").as("id")).distinct()
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .repartition(parts, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      // histogram of neighbor labels per vertex...
+      val hist = und
+        .join(labels.select(col("id").as("src"), col("label").as("l")), Seq("src"))
+        .groupBy(col("dst"), col("l")).agg(count(lit(1)).as("cnt"))
+      // ...then deterministic argmax: max count, then min label. max_by with a
+      // composite orderable key: struct(cnt, -l) compares lexicographically.
+      val best = hist.groupBy(col("dst").as("id"))
+        .agg(max(struct(col("cnt"), negate(col("l")).as("nl"))).as("m"))
+        .select(col("id"), negate(col("m.nl")).as("nlabel"))
+
+      val next = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nlabel"), col("label")).as("label"),
+          (coalesce(col("nlabel"), col("label")) =!= col("label")).as("chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      changed = next.filter(col("chg")).count()
+      val newLabels = next.select(col("id"), col("label"))
+        .repartition(parts, col("id"))
+      labels.unpersist(false)
+      labels = (if ((iter + 1) % 10 == 0) newLabels.localCheckpoint(true) else newLabels)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      next.unpersist(false)
+      iter += 1
+    }
+    und.unpersist(false)
+    labels
+  }
+}

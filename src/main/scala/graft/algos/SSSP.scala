@@ -1,0 +1,58 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Single-source shortest paths via the min-plus semiring — the classic
+  * GraphBLAS Bellman-Ford iteration d = min(d, min.+(d, A)) to fixpoint
+  * (SURVEY.md §2.9 MinPlus). Only vertices whose distance changed propagate
+  * next round (delta frontier), so late rounds touch a shrinking edge subset.
+  */
+object SSSP {
+
+  /** Returns (id, dist) for reachable vertices. Edge weights must be >= 0 for
+    * termination within |V| rounds (Bellman-Ford bound enforced by maxIter).
+    */
+  def run(spark: SparkSession, edges: DataFrame, source: Long, maxIter: Int = 10000,
+          numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val adj = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var dist = spark.range(1).select(lit(source).as("id"), lit(0.0).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist
+    var active = 1L
+    var iter = 0
+
+    while (active > 0 && iter < maxIter) {
+      iter += 1
+      // relax: candidate dist via frontier (min-plus vxm)
+      val cand = adj.join(frontier.select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
+        .groupBy("id").agg(min(col("nd")).as("nd"))
+      // improved = strictly better than current (or newly reached)
+      val improved = cand.join(dist, Seq("id"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("id"), col("nd").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      active = improved.count()
+      if (active > 0) {
+        val newDist = dist.join(improved.select("id"), Seq("id"), "left_anti")
+          .unionByName(improved)
+          .repartition(parts, col("id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        newDist.count()
+        dist.unpersist(false)
+        dist = if (iter % 10 == 0) newDist.localCheckpoint(true) else newDist
+        frontier = improved
+      }
+    }
+    adj.unpersist(false)
+    dist
+  }
+}

@@ -1,0 +1,83 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Triangle counting with the reference's SandiaDot2 semantics
+  * (GraphBLAS/@GrB/tricount.m:80-102): on the symmetric, zero-diagonal
+  * pattern, count nnz-weighted C<U> = L'*U with the +.oneb (pair) semiring,
+  * where L = tril(A,-1), U = triu(A,1); total triangles = reduce(+, C).
+  *
+  * Spark shape: canonicalize each undirected edge to (lo,hi); wedges are the
+  * self-join of the canonical edge list; the structural MASK (the <U> of
+  * SandiaDot2 — GB_AxB_dot3.c computes only where the mask has entries) is the
+  * final left-semi join of wedges against edges, pushed BEFORE any counting so
+  * the plan never materializes non-closing wedges past the join.
+  *
+  * Degree ordering (tricount.m:57-78 does a full degree sort): we orient each
+  * wedge at its lowest-id vertex after canonicalization; for skewed graphs the
+  * optional `degreeOrder` relabels vertices by ascending degree first, which
+  * bounds wedge counts by arboricity-style arguments — the same effect as the
+  * reference's sort-by-degree permutation.
+  */
+object TriangleCount {
+
+  /** Total triangle count. */
+  def run(spark: SparkSession, edges: DataFrame, degreeOrder: Boolean = false,
+          numPartitions: Int = 0): Long = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // simple undirected graph: canonical (lo,hi), no self-loops, distinct
+    val base = edges.select(
+        least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+
+    val canon = (if (degreeOrder) relabelByDegree(base) else base)
+      .repartition(parts, col("lo"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // wedges a<b<c from edges (a,b),(b,c); close with (a,c)
+    val e1 = canon.select(col("lo").as("a"), col("hi").as("b"))
+    val e2 = canon.select(col("lo").as("b"), col("hi").as("c"))
+    val wedges = e1.join(e2, Seq("b")).select(col("a"), col("c"))
+    val closed = wedges.join(
+      canon.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"), "left_semi")
+    val n = closed.count()
+    canon.unpersist(false)
+    n
+  }
+
+  /** Per-edge triangle support (used by k-truss): for each canonical edge,
+    * the number of triangles through it.
+    */
+  def edgeSupport(canon: DataFrame): DataFrame = {
+    val e1 = canon.select(col("lo").as("a"), col("hi").as("b"))
+    val e2 = canon.select(col("lo").as("b"), col("hi").as("c"))
+    val tri = e1.join(e2, Seq("b"))
+      .join(canon.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"), "left_semi")
+    // each triangle (a<b<c) contributes support to edges (a,b),(b,c),(a,c)
+    tri.select(col("a").as("lo"), col("b").as("hi"))
+      .union(tri.select(col("b").as("lo"), col("c").as("hi")))
+      .union(tri.select(col("a").as("lo"), col("c").as("hi")))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("support"))
+  }
+
+  /** Relabel vertices by ascending degree (dense ranks), then re-canonicalize —
+    * the Spark analogue of tricount.m:57-78's descending-degree permutation
+    * (ascending here because our wedge pivot is the LOW endpoint).
+    */
+  def relabelByDegree(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("lo").as("id")).union(canon.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // deterministic total order: (deg, id) — zipWithIndex-free ranking via
+    // window is fine at relabel time (one shuffle, done once)
+    val win = org.apache.spark.sql.expressions.Window.orderBy(col("deg"), col("id"))
+    val ranks = deg.select(col("id"), row_number().over(win).cast("long").as("rank"))
+    canon
+      .join(ranks.select(col("id").as("lo"), col("rank").as("rlo")), Seq("lo"))
+      .join(ranks.select(col("id").as("hi"), col("rank").as("rhi")), Seq("hi"))
+      .select(least(col("rlo"), col("rhi")).as("lo"), greatest(col("rlo"), col("rhi")).as("hi"))
+  }
+}

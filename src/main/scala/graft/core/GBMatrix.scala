@@ -1,0 +1,303 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A sparse matrix as a Spark-native edge table: columns `src: long,
+  * dst: long, w: double`. Entry (src,dst,w) = A(src,dst)=w; absent entries are
+  * the semiring-add identity (the reference's implicit zero,
+  * /root/reference/Test/GB_spec_mxm.m:34-39).
+  *
+  * This is the COO "tuples" view (GrB_Matrix_extractTuples,
+  * GraphBLAS.h:3432); Spark Datasets are naturally hypersparse — only present
+  * rows exist. CSR-vs-CSC orientation (GB_matrix.h:430-432) dissolves into
+  * *which key the next shuffle hashes on*; a hash partitioning by `src` IS the
+  * CSR index (SURVEY.md §1.4).
+  *
+  * All operations are declarative DataFrame plans — Catalyst prunes columns
+  * (= the reference's pattern-only operand elision, GB_AxB_meta.c:536-556) and
+  * pushes filters; AQE picks broadcast vs shuffle joins (= the dot/saxpy
+  * method auto-select, GB_AxB_meta.c:558-649).
+  */
+final case class GBMatrix(df: DataFrame) {
+  import GBMatrix._
+
+  def spark: SparkSession = df.sparkSession
+
+  // --- construction-adjacent -------------------------------------------------
+
+  /** nvals: number of stored entries. */
+  def nvals: Long = df.count()
+
+  /** GrB_transpose (GraphBLAS.h:7991): free column swap; the real cost is the
+    * regrouping shuffle of whatever consumes the result — exactly the
+    * reference's "transpose elision" insight (GB_AxB_meta.c:266-447).
+    */
+  def transpose: GBMatrix =
+    GBMatrix(df.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+
+  /** Deduplicate structurally-duplicate entries with the dup monoid
+    * (GrB_Matrix_build_*, GraphBLAS.h:2923; 5-step GB_builder.c pipeline
+    * collapses to a single shuffle+agg).
+    */
+  def build(dup: Monoid = Monoid.Plus): GBMatrix =
+    GBMatrix(df.groupBy("src", "dst").agg(dup.agg(col("w")).as("w")))
+
+  // --- select / apply family (§2.4) -----------------------------------------
+
+  /** GrB_select TRIL (GraphBLAS.h:1515): keep entries on/below diagonal k. */
+  def tril(k: Long = 0): GBMatrix = GBMatrix(df.filter(col("dst") <= col("src") + lit(k)))
+
+  /** GrB_select TRIU (GraphBLAS.h:1516). */
+  def triu(k: Long = 0): GBMatrix = GBMatrix(df.filter(col("dst") >= col("src") + lit(k)))
+
+  /** GrB_select OFFDIAG (GraphBLAS.h:1518). */
+  def offdiag: GBMatrix = GBMatrix(df.filter(col("src") =!= col("dst")))
+
+  /** Diagonal as a vector: w = diag(A) (GxB_Vector_diag). */
+  def diag: DataFrame =
+    df.filter(col("src") === col("dst")).select(col("src").as("id"), col("w").as("v"))
+
+  /** GrB_select with an arbitrary predicate over (i, j, a_ij) — the
+    * IndexUnaryOp family (GraphBLAS.h:7390-7544) as one Catalyst filter.
+    */
+  def select(pred: (Column, Column, Column) => Column): GBMatrix =
+    GBMatrix(df.filter(pred(col("src"), col("dst"), col("w"))))
+
+  /** GrB_Matrix_apply (GraphBLAS.h:6056): C = f(A) elementwise; f may use the
+    * positional columns (apply_IndexOp, GraphBLAS.h:6979).
+    */
+  def apply(f: (Column, Column, Column) => Column): GBMatrix =
+    GBMatrix(df.select(col("src"), col("dst"), f(col("src"), col("dst"), col("w")).as("w")))
+
+  /** GrB.prune: drop explicit zeros. */
+  def prune: GBMatrix = GBMatrix(df.filter(col("w") =!= 0.0))
+
+  /** Structure only: all weights become 1.0 (spones / iso pattern). */
+  def pattern: GBMatrix = GBMatrix(df.select(col("src"), col("dst"), lit(1.0).as("w")))
+
+  /** GrB_Matrix_extract C = A(I,J) for contiguous ranges (GxB_RANGE,
+    * GraphBLAS.h:4991) — a pure pushed-down filter; general index lists are a
+    * semi-join against the index set.
+    */
+  def extractRange(i0: Long, i1: Long, j0: Long, j1: Long): GBMatrix =
+    GBMatrix(df.filter(col("src").between(i0, i1) && col("dst").between(j0, j1)))
+
+  /** resize keeping entries inside the new bounds (GraphBLAS.h:9010). */
+  def resize(m: Long, n: Long): GBMatrix =
+    GBMatrix(df.filter(col("src") < m && col("dst") < n))
+
+  // --- element-wise set ops (§2.3): joins on the index key -------------------
+
+  /** GrB_eWiseMult (GraphBLAS.h:4736): op on the pattern INTERSECTION = inner
+    * join on (src,dst).
+    */
+  def eWiseMult(other: GBMatrix, op: BinOp): GBMatrix = {
+    val b = other.df.withColumnRenamed("w", "wb")
+    GBMatrix(df.join(b, Seq("src", "dst"), "inner")
+      .select(col("src"), col("dst"), op(col("w"), col("wb")).as("w")))
+  }
+
+  /** GrB_eWiseAdd (GraphBLAS.h:4837): op on the UNION; a side absent passes
+    * the other through = full-outer join + coalesce.
+    */
+  def eWiseAdd(other: GBMatrix, op: BinOp): GBMatrix = {
+    val b = other.df.withColumnRenamed("w", "wb")
+    GBMatrix(df.join(b, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        coalesce(op(col("w"), col("wb")), col("w"), col("wb")).as("w")))
+  }
+
+  /** GxB_eWiseUnion (GraphBLAS.h:4912): like eWiseAdd but a missing side is
+    * replaced by the given scalar before op.
+    */
+  def eWiseUnion(other: GBMatrix, op: BinOp, alpha: Double, beta: Double): GBMatrix = {
+    val b = other.df.withColumnRenamed("w", "wb")
+    GBMatrix(df.join(b, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        op(coalesce(col("w"), lit(alpha)), coalesce(col("wb"), lit(beta))).as("w")))
+  }
+
+  // --- masks (§2.8) ----------------------------------------------------------
+
+  /** C<M> restriction: keep only entries where the mask has an entry
+    * (structural) or a nonzero value. Complement = anti join. The semi/anti
+    * join IS the reference's dot3 mask pushdown (GB_AxB_dot3.c): Omega(nnz(M))
+    * work, not O(m*n).
+    */
+  def maskBy(m: GBMatrix, complement: Boolean = false, structural: Boolean = true): GBMatrix = {
+    val mk = if (structural) m.df else m.df.filter(col("w") =!= 0.0)
+    val how = if (complement) "left_anti" else "left_semi"
+    GBMatrix(df.join(mk.select("src", "dst"), Seq("src", "dst"), how))
+  }
+
+  // --- reductions (§2.6) ------------------------------------------------------
+
+  /** GrB_Matrix_reduce to vector over rows: w(i) = ⊕_j A(i,j)
+    * (GraphBLAS.h:7620) = one partial+final hash agg.
+    */
+  def reduceRows(m: Monoid = Monoid.Plus): DataFrame =
+    df.groupBy(col("src").as("id")).agg(m.agg(col("w")).as("v"))
+
+  /** Reduce over columns: w(j) = ⊕_i A(i,j). */
+  def reduceCols(m: Monoid = Monoid.Plus): DataFrame =
+    df.groupBy(col("dst").as("id")).agg(m.agg(col("w")).as("v"))
+
+  /** GrB_Matrix_reduce to scalar (GraphBLAS.h:7796). */
+  def reduceScalar(m: Monoid = Monoid.Plus): Double = {
+    val r = df.agg(m.agg(col("w"))).collect()(0)
+    if (r.isNullAt(0)) m.identity else r.getDouble(0)
+  }
+
+  /** Per-row entry count (GrB.entries 'degree', @GrB/entries.m:16-34). */
+  def rowDegrees: DataFrame = df.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("v"))
+
+  /** argmax per row (interface @GrB/argmax.m): deterministic tie-break on
+    * smallest column index. Window + row_number = the reference's sort+pick.
+    */
+  def argmaxRows: DataFrame = {
+    val win = Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)
+    df.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .select(col("src").as("id"), col("dst").as("arg"), col("w").as("v"))
+  }
+
+  /** GxB_Matrix_sort within rows (GraphBLAS.h:10932): rank of each entry in
+    * its row by value (permutation matrix P analogue).
+    */
+  def sortRows(ascending: Boolean = true): DataFrame = {
+    val ord = if (ascending) Seq(col("w").asc, col("dst").asc) else Seq(col("w").desc, col("dst").asc)
+    val win = Window.partitionBy("src").orderBy(ord: _*)
+    df.withColumn("k", row_number().over(win))
+  }
+
+  // --- multiply family (§2.2): THE kernel ------------------------------------
+
+  /** GrB_mxm C<M> = A ⊕.⊗ B (GraphBLAS.h:4640) as join→multiply→agg.
+    * The mask is pushed below the aggregation (dot3 semantics,
+    * GB_AxB_dot3.c): candidate products are semi-joined against M *before*
+    * the shuffle-agg so masked-out groups never aggregate.
+    */
+  def mxm(other: GBMatrix, sr: Semiring, mask: Option[GBMatrix] = None,
+          desc: Desc = Desc.default): GBMatrix = {
+    val a = (if (desc.transposeA) transpose else this).df.select(
+      col("src"), col("dst").as("k"), col("w").as("wa"))
+    val b = (if (desc.transposeB) other.transpose else other).df.select(
+      col("src").as("k"), col("dst"), col("w").as("wb"))
+    val prod = a.join(b, Seq("k"))
+      .select(col("src"), col("dst"), sr.mult(col("wa"), col("wb")).as("t"))
+    val masked = mask match {
+      case Some(m) if !desc.maskComplement =>
+        prod.join(m.df.select("src", "dst"), Seq("src", "dst"), "left_semi")
+      case Some(m) =>
+        prod.join(m.df.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      case None => prod
+    }
+    GBMatrix(masked.groupBy("src", "dst").agg(sr.add.agg(col("t")).as("w")))
+  }
+
+  /** GrB_mxv w = A·u (GraphBLAS.h:4662): gather on dst, scatter-agg on src.
+    * The vector side is broadcast when small (reference dot methods), else a
+    * shuffle-hash join (saxpy) — left to AQE + autoBroadcastJoinThreshold.
+    */
+  def mxv(u: DataFrame, sr: Semiring): DataFrame =
+    df.join(u.select(col("id").as("dst"), col("v")), Seq("dst"))
+      .select(col("src"), sr.mult(col("w"), col("v")).as("t"))
+      .groupBy(col("src").as("id")).agg(sr.add.agg(col("t")).as("v"))
+
+  /** GrB_vxm w' = u'·A (GraphBLAS.h:4651): the frontier-push direction. */
+  def vxm(u: DataFrame, sr: Semiring): DataFrame =
+    df.join(u.select(col("id").as("src"), col("v")), Seq("src"))
+      .select(col("dst"), sr.mult(col("v"), col("w")).as("t"))
+      .groupBy(col("dst").as("id")).agg(sr.add.agg(col("t")).as("v"))
+
+  /** vxm with hub-vertex salting: two-phase aggregation for power-law skew
+    * (north rule; analogue of the reference's coarse/fine task slicing with
+    * atomics, GB_AxB_saxpy3.c:24-51). Phase 1 aggregates on (dst, salt) —
+    * salt derived from src so a hot dst key spreads over `salts` reducers —
+    * phase 2 combines the partials.
+    *
+    * Note Spark's hash agg already does map-side partial aggregation, which
+    * handles *input*-side skew; salting additionally protects the reduce side
+    * when a single dst key's partials overwhelm one reducer.
+    */
+  def vxmSalted(u: DataFrame, sr: Semiring, salts: Int = 16): DataFrame =
+    df.join(u.select(col("id").as("src"), col("v")), Seq("src"))
+      .select(col("dst"), pmod(col("src"), lit(salts)).as("salt"),
+        sr.mult(col("v"), col("w")).as("t"))
+      .groupBy("dst", "salt").agg(sr.add.agg(col("t")).as("p"))
+      .groupBy(col("dst").as("id")).agg(sr.add.agg(col("p")).as("v"))
+
+  /** GrB_kronecker (GraphBLAS.h:8016). Dimensions of other = (bm, bn). */
+  def kron(other: GBMatrix, bm: Long, bn: Long, op: BinOp = BinOp.TimesOp): GBMatrix = {
+    val b = other.df.select(col("src").as("bi"), col("dst").as("bj"), col("w").as("wb"))
+    GBMatrix(df.crossJoin(b).select(
+      (col("src") * bm + col("bi")).as("src"),
+      (col("dst") * bn + col("bj")).as("dst"),
+      op(col("w"), col("wb")).as("w")))
+  }
+
+  // --- accumulate / mask epilogue (§2.8) --------------------------------------
+
+  /** The reusable C<M> = accum(C, T) epilogue (GB_accum_mask.c semantics,
+    * mimicked by Test/GB_spec_accum.m + GB_spec_mask.m):
+    *  Z = accum(C,T): both present → accum; one present → that value
+    *  C<M> = Z:  where M present → Z, elsewhere keep old C (or drop if replace)
+    */
+  def accumMask(t: GBMatrix, accum: Option[BinOp], mask: Option[GBMatrix] = None,
+                desc: Desc = Desc.default): GBMatrix = {
+    val z = accum match {
+      case Some(op) => eWiseAdd(t, op)
+      case None     => t // no accum: Z = T on T's pattern... but outside T, C survives unless replaced
+    }
+    mask match {
+      case None => z // implicit all-true mask: C = Z everywhere
+      case Some(m) =>
+        val zMasked = z.maskBy(m, desc.maskComplement, desc.maskStructural)
+        val keepOld =
+          if (desc.replace) spark.emptyDataFrame.select(lit(0L).as("src"), lit(0L).as("dst"), lit(0.0).as("w")).limit(0)
+          else maskBy(m, !desc.maskComplement, desc.maskStructural).df
+        GBMatrix(zMasked.df.unionByName(
+          keepOld.join(zMasked.df.select("src", "dst"), Seq("src", "dst"), "left_anti")))
+    }
+  }
+
+  // --- physical layout knobs ---------------------------------------------------
+
+  /** Hash-partition by src: the CSR-like layout (and the analogue of the
+    * reference's hyper_hash O(1) row lookup, GB_matrix.h:240-309) — reusing
+    * this partitioning across iterations avoids re-shuffling the big side.
+    */
+  def repartitionBySrc(n: Int): GBMatrix = GBMatrix(df.repartition(n, col("src")))
+
+  def cache(): GBMatrix = { df.cache(); this }
+  def unpersist(): GBMatrix = { df.unpersist(); this }
+
+  /** Grouped-adjacency (CSR rows) materialization:
+    * (src, dsts array, ws array) — used when an algorithm re-reads the same
+    * orientation many times.
+    */
+  def groupedAdjacency: DataFrame =
+    df.groupBy("src").agg(collect_list(col("dst")).as("dsts"), collect_list(col("w")).as("ws"))
+}
+
+object GBMatrix {
+  /** Build from raw (src,dst,w) tuples, combining duplicates with `dup`
+    * (GrB_Matrix_build semantics).
+    */
+  def fromTuples(df: DataFrame, dup: Monoid = Monoid.Plus): GBMatrix =
+    GBMatrix(df.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("double"))).build(dup)
+
+  /** Diagonal matrix from a vector on diagonal k (GrB_Matrix_diag,
+    * GraphBLAS.h:3656).
+    */
+  def diagOf(v: DataFrame, k: Long = 0): GBMatrix =
+    GBMatrix(v.select(col("id").as("src"), (col("id") + k).as("dst"), col("v").as("w")))
+
+  /** In-memory matrix for tests/fixtures. */
+  def of(spark: SparkSession, entries: Seq[(Long, Long, Double)]): GBMatrix = {
+    import spark.implicits._
+    GBMatrix(entries.toDF("src", "dst", "w"))
+  }
+}

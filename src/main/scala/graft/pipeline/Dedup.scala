@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over a `documents` table
+  * (doc_id: long, text: string, ...). All hash-based stages use Spark's
+  * codegen'd xxhash64 — no UDFs anywhere, every stage is a declarative plan
+  * whose heavy steps are shuffle-parallel group-bys/joins.
+  *
+  * Scale design: every method emits CANDIDATE pairs from bounded-size buckets
+  * (bands/buckets), never an all-pairs product; verification joins run only on
+  * candidates. At 100 TB the bucket-join is the only shuffle that grows with
+  * corpus size and it is keyed on (band, bucket-hash) — uniformly distributed
+  * by construction.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized text; keep the smallest doc_id.
+    * The groupBy key is a 256-bit content hash so the shuffle carries hashes,
+    * not full documents (column-pruned scan reads only (doc_id, text)).
+    */
+  def exact(docs: DataFrame, normalize: Boolean = false): DataFrame = {
+    val t = if (normalize) lower(regexp_replace(col("text"), "\\s+", " ")) else col("text")
+    docs.select(col("doc_id"), sha2(t.cast("binary"), 256).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Word w-shingles of the text, distinct per doc: (doc_id, shingle_hash). */
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
+    val tokens = split(lower(col("text")), "\\s+")
+    docs.select(col("doc_id"), posexplode(tokens).as(Seq("p", "tok")))
+      .withColumn("sh", concat_ws(" ",
+        col("tok"),
+        lead(col("tok"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("p")),
+        lead(col("tok"), 2).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("p"))))
+      .filter(size(split(col("sh"), " ")) === w)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signatures: numPerm universal-hash permutations
+    * h_i(x) = (a_i * x + b_i) mod p over the shingle hashes, min per doc.
+    * Plan: explode (doc, perm) only at the aggregation input; one shuffle on
+    * (doc_id, perm) with map-side partial min, then one reshape to the
+    * signature array.
+    */
+  def minhashSignatures(sh: DataFrame, numPerm: Int = 32, seed: Long = 7L): DataFrame = {
+    val p = lit(2147483647L) // 2^31 - 1: keeps a*x+b < 2^62, no long overflow
+    // per shingle row, compute all perm values as an array, then posexplode
+    val perms = transform(sequence(lit(0), lit(numPerm - 1)), i => {
+      val a = abs(xxhash64(lit("a"), i, lit(seed))) % (p - 1) + 1
+      val b = abs(xxhash64(lit("b"), i, lit(seed))) % p
+      pmod(a * pmod(col("sh"), p) + b, p)
+    })
+    sh.select(col("doc_id"), posexplode(perms).as(Seq("perm", "hv")))
+      .groupBy("doc_id", "perm").agg(min("hv").as("mh"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
+  }
+
+  /** LSH banding: signature split into `bands` bands of rows = numPerm/bands;
+    * docs sharing a band-bucket hash are near-dup candidates. Emits candidate
+    * pairs (a < b) with the number of colliding bands.
+    */
+  def minhashCandidates(sigs: DataFrame, bands: Int = 8): DataFrame = {
+    val buckets = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b => {
+          val rows = size(col("sig")) / bands
+          xxhash64(to_json(struct(slice(col("sig"), b * rows + 1, rows))), b)
+        })).as(Seq("band", "bkt")))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("bands_hit"))
+  }
+
+  /** Exact Jaccard similarity for given candidate pairs (verification step):
+    * |A∩B| via a join of the shingle sets restricted to candidates,
+    * |A∪B| = |A|+|B|-|A∩B|.
+    */
+  def jaccardVerify(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(cands.select("a", "b"), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sa") + col("sb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate →
+    * exact-Jaccard verify. Returns (a, b, jaccard) pairs above threshold.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.7, numPerm: Int = 32,
+                      bands: Int = 8, w: Int = 3): DataFrame = {
+    val sh = shingles(docs, w).cache()
+    val cands = minhashCandidates(minhashSignatures(sh, numPerm), bands)
+    jaccardVerify(sh, cands, threshold)
+  }
+
+  /** SimHash: 64-bit fingerprint; per bit, sign of the weighted sum of token
+    * hash bits. Hamming-close fingerprints = near-dups. Pure column algebra:
+    * token → hash → per-bit ±1 vote → per-doc sum → sign bits → packed long.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // votes: array of 64 ±1 per token (bit positions are Scala constants so
+    // the shifts stay static, codegen-friendly expressions)
+    val bitCols = array((0 until 64).map(b =>
+      when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
+    val powers = typedLit((0 until 64).map(b => 1L << b))
+    val votes = tok.select(col("doc_id"), posexplode(bitCols).as(Seq("bit", "v")))
+    votes.groupBy("doc_id", "bit").agg(sum("v").as("s"))
+      .select(col("doc_id"),
+        when(col("s") > 0, element_at(powers, col("bit").cast("int") + 1)).otherwise(0L).as("bv"))
+      .groupBy("doc_id").agg(sum("bv").as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on 4 x 16-bit sub-fingerprints (any
+    * pair within Hamming distance 3 shares at least one block — pigeonhole),
+    * then verify exact Hamming distance <= maxHamming.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs).cache()
+    val blockCols = array((0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(blockCols).as(Seq("blk", "bv")))
+    val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
+    * feasible because the shingle-join is inverted-index-shaped (shuffle on
+    * shingle hash); for web scale restrict via minhashCandidates first.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
+    val sh = shingles(docs, w).cache()
+    val cands = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    jaccardVerify(sh, cands, threshold)
+  }
+}

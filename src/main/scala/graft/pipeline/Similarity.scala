@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>). Dot products
+  * are `zip_with` + `aggregate` higher-order functions — codegen'd column
+  * algebra, no UDFs.
+  *
+  * Scale path: brute-force top-k is the exact baseline (a crossJoin that is
+  * only viable when one side is small and broadcast); the random-hyperplane
+  * LSH variant buckets both sides so the join is equi-key and shuffle-
+  * parallel, touching only same-bucket pairs — the 100 TB shape.
+  */
+object Similarity {
+
+  /** Sum of elementwise products as a Column (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v.cast("double"))
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + (v * v).cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. Queries are broadcast (small side); ranking is a window
+    * per query with deterministic (score desc, id asc) tie-break.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("id"), col("embedding").as("e"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), cosine(col("qe"), col("e")).as("score"))
+      .filter(col("qid") =!= col("id"))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane (SRP) LSH bucket id: `bits` sign bits of dot products
+    * with deterministic pseudo-random hyperplanes (hyperplane component
+    * h[b][i] = ±1 from xxhash64(b,i) — a valid SRP family, cheap to build as
+    * column algebra).
+    */
+  def srpBucket(e: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val bitVals = (0 until bits).map { b =>
+      val signs = typedLit((0 until dim).map(i =>
+        if (((scala.util.hashing.MurmurHash3.productHash((b, i, seed)) >> 1) & 1) == 0) 1.0f
+        else -1.0f))
+      when(dot(e, signs) > 0, 1L << b).otherwise(0L)
+    }
+    bitVals.reduce(_ + _)
+  }
+
+  /** ANN via SRP-LSH with multiple hash tables: same-bucket candidates in any
+    * table, exact cosine on candidates, top-k per query. Recall grows with
+    * `tables`; each table contributes one equi-join keyed on (table, bucket).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              bits: Int = 12, tables: Int = 4, seed: Long = 99L): DataFrame = {
+    def withBuckets(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), col("embedding").as("e"),
+          posexplode(array((0 until tables).map(t =>
+            srpBucket(col("embedding"), dim, bits, seed + t)): _*)).as(Seq("tbl", "bkt")))
+
+    val c = withBuckets(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id").as("id"), col("e"), col("tbl"), col("bkt"))
+    val q = withBuckets(queries.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("tbl"), col("bkt"))
+
+    val cands = c.join(q, Seq("tbl", "bkt"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), col("qe"), col("e"))
+      .distinct()
+    val scored = cands.select(col("qid"), col("id"), cosine(col("qe"), col("e")).as("score"))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
+    * (the near-dup flavor of similarity search for dedup pipelines).
+    */
+  def cosineNearDups(corpus: DataFrame, threshold: Double, dim: Int,
+                     bits: Int = 10, tables: Int = 4, seed: Long = 99L): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding").as("e"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(col("embedding"), dim, bits, seed + t)): _*)).as(Seq("tbl", "bkt")))
+    b.as("x").join(b.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.e"), col("y.e")).as("score"))
+      .distinct()
+      .filter(col("score") >= threshold)
+  }
+}
