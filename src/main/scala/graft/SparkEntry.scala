@@ -259,8 +259,11 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 10)
       Similarity.lshTopK(e, q, k = 5, dim = 64).select(col("qid"), col("id"), col("rank"))
     }),
+    // driver embeddings are uniform-random (max pairwise cosine ~0.5), so the
+    // near-dup threshold is 0.35 with wide LSH (6-bit buckets × 8 tables)
     "ann_cosine_neardup" -> ((s, d) =>
-      Similarity.cosineNearDups(embs(s, d), threshold = 0.95, dim = 64)
+      Similarity.cosineNearDups(embs(s, d), threshold = 0.35, dim = 64,
+          bits = 6, tables = 8)
         .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
 
     // pipeline: text analysis

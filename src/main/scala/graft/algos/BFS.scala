@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.core.Iterate
 
 /** Level-synchronous BFS with the reference's semantics
   * (GraphBLAS/@GrB/bfs.m): per level, v<q> = level (subassign under the
@@ -31,8 +32,10 @@ object BFS {
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var visited = spark.range(1).select(lit(source).as("id"), lit(0).as("level"),
-      lit(source).as("parent")).persist(StorageLevel.MEMORY_AND_DISK)
+    // visited is referenced twice per level (anti-join + union): cut() per
+    // level keeps plans leaf-sized (graft.core.Iterate)
+    var visited = Iterate.cut(spark.range(1).select(lit(source).as("id"),
+      lit(0).as("level"), lit(source).as("parent")))
     var frontier = visited.select(col("id"))
     var level = 0
     var frontierSize = 1L
@@ -40,20 +43,19 @@ object BFS {
     while (frontierSize > 0 && level < maxIter) {
       level += 1
       // q<~v,replace> = q * A  (any.first for parents, min-deterministic)
-      val next = adj.join(frontier.select(col("id").as("src")), Seq("src"))
+      val next = Iterate.cut(adj.join(frontier.select(col("id").as("src")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .select(col("id"), lit(level).as("level"), col("parent"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("id"), lit(level).as("level"), col("parent")))
       frontierSize = next.count()
       if (frontierSize > 0) {
-        val newVisited = visited.unionByName(next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        newVisited.count()
-        visited.unpersist(false)
-        visited = if (level % 10 == 0) newVisited.localCheckpoint(true) else newVisited
+        val newVisited = Iterate.cut(visited.unionByName(next))
+        Iterate.free(visited)
+        visited = newVisited
         frontier = next.select("id")
       }
+      // next stays cached as the frontier for one more level; the superseded
+      // frontier blocks are freed by the ContextCleaner (tiny)
     }
     adj.unpersist(false)
     visited

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.core.Iterate
 
 /** Connected components by min-label propagation to fixpoint (north rule:
   * "min-plus label propagation, exact assignments"; semiring view: iterate
@@ -32,10 +33,10 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val vertices = und.select(col("src").as("id")).distinct()
-    var labels = vertices.select(col("id"), col("id").as("comp"))
-      .repartition(parts, col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    // labels is referenced twice per iteration (gather + merge): cut() keeps
+    // the plan leaf-sized across the fixpoint loop (graft.core.Iterate)
+    var labels = Iterate.cut(vertices.select(col("id"), col("id").as("comp"))
+      .repartition(parts, col("id")))
 
     var iter = 0
     var changed = 1L
@@ -45,23 +46,17 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("src"), col("comp").as("c")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
 
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = Iterate.cut(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (col("nmin") < col("comp")).as("chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          (col("nmin") < col("comp")).as("chg")))
 
       changed = next.filter(col("chg")).count()
-      val newLabels = next.select(col("id"), col("comp"))
-        .repartition(parts, col("id"))
-      labels.unpersist(false)
-      labels = (if ((iter + 1) % 10 == 0) newLabels.localCheckpoint(true) else newLabels)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      labels.count()
-      next.unpersist(false)
+      Iterate.free(labels)
+      labels = next
       iter += 1
     }
     und.unpersist(false)
-    labels
+    labels.select(col("id"), col("comp"))
   }
 }

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.core.Iterate
 
 /** k-truss (GraphBLAS/@GrB/ktruss.m): iterate C<C> = C*C (plus-and semiring —
   * per surviving edge, count common neighbors = triangle support), keep edges
@@ -22,25 +23,24 @@ object KTruss {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    var canon = edges.select(
+    // canon is referenced 4x per round (3x in edgeSupport + the semi-join):
+    // cut() per round keeps plans leaf-sized (graft.core.Iterate)
+    var canon = Iterate.cut(edges.select(
         least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-      .repartition(parts, col("lo"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(parts, col("lo")))
     var nvals = canon.count()
     var iter = 0
     var stable = false
 
     while (!stable && iter < maxIter && nvals > 0) {
       val support = TriangleCount.edgeSupport(canon)
-      val kept = canon.join(
-          support.filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi")
-        .repartition(parts, col("lo"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val kept = Iterate.cut(canon.join(
+          support.filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi"))
       val newN = kept.count()
       stable = newN == nvals
-      canon.unpersist(false)
-      canon = if ((iter + 1) % 5 == 0) kept.localCheckpoint(true).persist(StorageLevel.MEMORY_AND_DISK) else kept
+      Iterate.free(canon)
+      canon = kept
       nvals = newN
       iter += 1
     }

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.core.Iterate
 
 /** Label-propagation community detection (north rule): synchronous rounds;
   * each vertex adopts the most frequent label among its neighbors, ties
@@ -31,10 +32,9 @@ object LabelPropagation {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val vertices = und.select(col("src").as("id")).distinct()
-    var labels = vertices.select(col("id"), col("id").as("label"))
-      .repartition(parts, col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    // labels is referenced twice per iteration: cut() keeps plans leaf-sized
+    var labels = Iterate.cut(vertices.select(col("id"), col("id").as("label"))
+      .repartition(parts, col("id")))
 
     var iter = 0
     var changed = 1L
@@ -49,22 +49,16 @@ object LabelPropagation {
         .agg(max(struct(col("cnt"), negate(col("l")).as("nl"))).as("m"))
         .select(col("id"), negate(col("m.nl")).as("nlabel"))
 
-      val next = labels.join(best, Seq("id"), "left")
+      val next = Iterate.cut(labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("nlabel"), col("label")).as("label"),
-          (coalesce(col("nlabel"), col("label")) =!= col("label")).as("chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          (coalesce(col("nlabel"), col("label")) =!= col("label")).as("chg")))
 
       changed = next.filter(col("chg")).count()
-      val newLabels = next.select(col("id"), col("label"))
-        .repartition(parts, col("id"))
-      labels.unpersist(false)
-      labels = (if ((iter + 1) % 10 == 0) newLabels.localCheckpoint(true) else newLabels)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      labels.count()
-      next.unpersist(false)
+      Iterate.free(labels)
+      labels = next
       iter += 1
     }
     und.unpersist(false)
-    labels
+    labels.select(col("id"), col("label"))
   }
 }

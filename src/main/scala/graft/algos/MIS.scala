@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.core.Iterate
 
 /** Maximal independent set — Luby's algorithm per GraphBLAS/@GrB/mis.m:
   * candidates start as all vertices; per round each candidate draws a score
@@ -34,46 +35,41 @@ object MIS {
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var candidates = vertices.persist(StorageLevel.MEMORY_AND_DISK)
-    var inSet = spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var candidates = Iterate.cut(vertices)
+    var inSet = Iterate.cut(spark.emptyDataFrame.select(lit(0L).as("id")).limit(0))
     var iter = 0
     var nCand = candidates.count()
 
     while (nCand > 0 && iter < maxIter) {
       iter += 1
       // deterministic "random" score; strictly positive, distinct w.h.p.
-      val scored = candidates.select(col("id"),
+      val scored = Iterate.cut(candidates.select(col("id"),
         ((abs(xxhash64(col("id"), lit(iter), lit(seed))) % 1000000007L).cast("double") + lit(1.0))
-          / (col("deg").cast("double") + lit(1.0))).toDF("id", "score")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          / (col("deg").cast("double") + lit(1.0))).toDF("id", "score"))
 
       // neighbor max over candidate neighbors only (max.second masked to candidates)
       val nbrMax = und
         .join(scored.select(col("id").as("src"), col("score").as("s")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(max(col("s")).as("nmax"))
 
-      val winners = scored.join(nbrMax, Seq("id"), "left")
+      val winners = Iterate.cut(scored.join(nbrMax, Seq("id"), "left")
         .filter(col("nmax").isNull || col("score") > col("nmax"))
-        .select("id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      winners.count()
+        .select("id"))
 
-      // removed = winners ∪ neighbors(winners)
+      // removed = winners + neighbors(winners)
       val removed = winners.unionByName(
         und.join(winners.select(col("id").as("src")), Seq("src"))
           .select(col("dst").as("id"))).distinct()
 
-      val newInSet = inSet.unionByName(winners).persist(StorageLevel.MEMORY_AND_DISK)
-      newInSet.count()
-      val newCand = candidates.join(removed, Seq("id"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newInSet = Iterate.cut(inSet.unionByName(winners))
+      val newCand = Iterate.cut(candidates.join(removed, Seq("id"), "left_anti")
+        .select(col("id"), col("deg")))
       nCand = newCand.count()
 
-      inSet.unpersist(false); candidates.unpersist(false); scored.unpersist(false)
+      Iterate.free(inSet); Iterate.free(candidates)
+      Iterate.free(scored); Iterate.free(winners)
       inSet = newInSet
       candidates = newCand
-      winners.unpersist(false)
     }
     und.unpersist(false)
     vertices.join(inSet.select(col("id"), lit(true).as("inSet")), Seq("id"), "left")

@@ -1,9 +1,9 @@
 package graft.algos
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.core.GBMatrix
+import graft.core.Iterate
 
 /** PageRank with the exact semantics of the reference's
   * GraphBLAS/@GrB/pagerank.m:
@@ -15,13 +15,18 @@ import graft.core.GBMatrix
   *    (pagerank.m:113-142); sinkMass = Σ r(sinks) of the prior iteration
   *  - convergence via normdiff inf-norm (pagerank.m:143-150, normdiff.m:12-16)
   *
-  * Spark shape (SURVEY.md §2.10): adjacency cached + hash-partitioned once;
-  * each iteration is one join (gather r(src)/d(src)) + one hash-agg scatter on
-  * dst, with the dense teleport/sink terms folded in as column arithmetic on
-  * the full vertex set — the analogue of the reference's in-place dense
-  * accumulation (GB_AxB_dot4.c). Lineage is cut every `checkpointEvery`
-  * iterations by persisting the vertex-state vector to parquet (the
-  * resumable-checkpoint path mandated by the north rule).
+  * Spark shape (SURVEY.md §2.10): the adjacency is hash-partitioned by src
+  * once and cached; the vertex STATE carries (id, r, d, isSink) so each
+  * iteration is exactly one gather join (adj ⋈ state on src — both sides
+  * already hash-partitioned on the key, no re-shuffle of the big side), one
+  * scatter hash-agg on dst, one co-partitioned state join, and ONE driver
+  * action: a fused aggregate computing the inf-norm delta AND the next
+  * iteration's sink mass in the same pass (the analogue of the reference's
+  * in-place dense accumulation, GB_AxB_dot4.c — no extra sweep over the
+  * dense vector). Lineage is cut every `checkpointEvery` iterations via an
+  * eager localCheckpoint; when `checkpointDir` is set the vertex state is
+  * also written to parquet with per-partition lineage and `run` resumes from
+  * the newest complete checkpoint (the north rule's resumable checkpoints).
   */
 object PageRank {
 
@@ -44,84 +49,77 @@ object PageRank {
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // distinct structural edges, partitioned by src and cached: the loop's
-    // reusable CSR-side (reference keeps A by-row; we keep the partitioning)
+    // reusable CSR side (reference keeps A by-row; we keep the partitioning)
     val adj = edges.select(col("src"), col("dst")).distinct()
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // vertex universe = all ids appearing on either side
-    val vertices = adj.select(col("src").as("id"))
+    // vertex universe with out-degree; sinks get d=1 (pagerank.m:97-104)
+    val degrees = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct()
       .repartition(parts, col("id"))
+      .join(adj.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).cast("double").as("od")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("od"), lit(1.0)).as("d"),
+        col("od").isNull.as("isSink"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vertices.count()
-
-    // out-degree; sinks (no out-edges) get d=1 (pagerank.m:97-104)
-    val outDeg = adj.groupBy("src").agg(count(lit(1)).cast("double").as("d"))
-    val degrees = vertices.join(outDeg, vertices("id") === outDeg("src"), "left")
-      .select(col("id"), coalesce(col("d"), lit(1.0)).as("d"),
-        col("src").isNull.as("isSink"))
-      .repartition(parts, col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    degrees.count() // materialize once
-
+    val n = degrees.count()
     val teleport = (1.0 - damp) / n
 
     // resume from newest complete checkpoint if present
     val (startIter, r0) = checkpointDir.flatMap(newestCheckpoint(spark, _))
-      .getOrElse((0, vertices.select(col("id"), lit(1.0 / n).as("r"))))
+      .getOrElse((0, degrees.select(col("id"), lit(1.0 / n).as("r"))))
 
-    var r = r0.repartition(parts, col("id")).persist(StorageLevel.MEMORY_AND_DISK)
-    r.count()
+    // state = (id, r, d, isSink), dense over the vertex universe; cut() so
+    // each iteration's plan is leaf-sized (state is referenced twice per
+    // iteration — see graft.core.Iterate)
+    var state = Iterate.cut(degrees.join(r0, Seq("id"))
+      .select(col("id"), col("r"), col("d"), col("isSink")))
+    var sinkMass = getD(state.agg(sum(when(col("isSink"), col("r")))).collect()(0), 0)
+
     var iter = startIter
     var delta = Double.PositiveInfinity
     val metrics = scala.collection.mutable.ArrayBuffer[IterMetric]()
 
     while (iter < maxIter && delta >= tol) {
       val t0 = System.nanoTime()
-      // sink mass of the prior vector (pagerank.m:130-136)
-      val sinkMass = degrees.filter(col("isSink"))
-        .join(r, Seq("id")).agg(sum(col("r"))).collect()(0) match {
-          case row if row.isNullAt(0) => 0.0
-          case row => row.getDouble(0)
-        }
       val base = teleport + damp * sinkMass / n
 
-      // t = r ./ d on sources; scatter-add into dst (semiring +.2nd over the
-      // structural adjacency: contribution is r(src)/d(src), "second" ignores
-      // the edge weight)
+      // gather r(src)/d(src) along edges, scatter-add into dst
+      // (semiring +.2nd over the structural adjacency)
       val contrib = adj
-        .join(degrees.select(col("id").as("src"), col("d")), Seq("src"))
-        .join(r.select(col("id").as("src"), col("r")), Seq("src"))
-        .select(col("dst"), (col("r") / col("d")).as("t"))
+        .join(state.select(col("id").as("src"), (col("r") / col("d")).as("t")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("t")).as("s"))
 
-      val rNext = vertices.join(contrib, Seq("id"), "left")
-        .select(col("id"), (lit(base) + lit(damp) * coalesce(col("s"), lit(0.0))).as("r"))
-        .repartition(parts, col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = Iterate.cut(state.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damp) * coalesce(col("s"), lit(0.0))).as("r"),
+          col("r").as("rp"), col("d"), col("isSink")))
 
-      // inf-norm convergence (normdiff.m:12-16)
-      delta = rNext.join(r.select(col("id"), col("r").as("rp")), Seq("id"))
-        .agg(max(abs(col("r") - col("rp")))).collect()(0).getDouble(0)
+      // fused pass over the cut state: inf-norm convergence
+      // (normdiff.m:12-16) + the NEXT iteration's sink mass
+      val row = next.agg(max(abs(col("r") - col("rp"))),
+        sum(when(col("isSink"), col("r")))).collect()(0)
+      delta = getD(row, 0)
+      sinkMass = getD(row, 1)
 
-      r.unpersist(false)
-      r = rNext
+      Iterate.free(state)
+      state = next
       iter += 1
       metrics += IterMetric(iter, delta, sinkMass, (System.nanoTime() - t0) / 1000000)
 
       checkpointDir.foreach { dir =>
-        if (iter % checkpointEvery == 0 || delta < tol) writeCheckpoint(r, dir, iter)
-      }
-      // cut lineage even without an external checkpoint dir
-      if (checkpointDir.isEmpty && iter % checkpointEvery == 0) {
-        r = r.localCheckpoint(true)
+        if (iter % checkpointEvery == 0 || delta < tol || iter == maxIter)
+          writeCheckpoint(state.select(col("id"), col("r")), dir, iter)
       }
     }
 
-    adj.unpersist(false); vertices.unpersist(false); degrees.unpersist(false)
-    Result(r, iter, delta, metrics.toSeq)
+    adj.unpersist(false); degrees.unpersist(false)
+    Result(state.select(col("id"), col("r")), iter, delta, metrics.toSeq)
   }
+
+  private def getD(row: Row, i: Int): Double =
+    if (row.isNullAt(i)) 0.0 else row.getDouble(i)
 
   /** Vertex-state checkpoint with per-partition lineage (north rule): columns
     * (id, r, iter, part) + a _SUCCESS marker from the parquet commit protocol.

@@ -3,6 +3,7 @@ package graft.algos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.core.Iterate
 
 /** Single-source shortest paths via the min-plus semiring — the classic
   * GraphBLAS Bellman-Ford iteration d = min(d, min.+(d, A)) to fixpoint
@@ -23,8 +24,8 @@ object SSSP {
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var dist = spark.range(1).select(lit(source).as("id"), lit(0.0).as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = Iterate.cut(spark.range(1)
+      .select(lit(source).as("id"), lit(0.0).as("dist")))
     var frontier = dist
     var active = 1L
     var iter = 0
@@ -36,21 +37,18 @@ object SSSP {
         .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
         .groupBy("id").agg(min(col("nd")).as("nd"))
       // improved = strictly better than current (or newly reached)
-      val improved = cand.join(dist, Seq("id"), "left")
+      val improved = Iterate.cut(cand.join(dist, Seq("id"), "left")
         .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("id"), col("nd").as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("id"), col("nd").as("dist")))
       active = improved.count()
       if (active > 0) {
-        val newDist = dist.join(improved.select("id"), Seq("id"), "left_anti")
-          .unionByName(improved)
-          .repartition(parts, col("id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        newDist.count()
-        dist.unpersist(false)
-        dist = if (iter % 10 == 0) newDist.localCheckpoint(true) else newDist
+        val newDist = Iterate.cut(dist.join(improved.select("id"), Seq("id"), "left_anti")
+          .unionByName(improved))
+        Iterate.free(dist)
+        if (frontier ne dist) Iterate.free(frontier)
+        dist = newDist
         frontier = improved
-      }
+      } else Iterate.free(improved)
     }
     adj.unpersist(false)
     dist

@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** State-transition helpers for iterative (fixpoint) algorithms.
+  *
+  * Every iteration of the graph algorithms references the previous vertex
+  * state MORE THAN ONCE (gather join + merge join), so carrying the raw
+  * logical plan across iterations grows it EXPONENTIALLY — Catalyst
+  * re-analysis, not execution, becomes the bottleneck after ~15 iterations.
+  * The reference has no analogue (its C loops mutate in place); the
+  * Spark-native equivalent of that in-place update is an eager local
+  * checkpoint per iteration: materialize the state into cached partitions and
+  * replace the plan with a constant-size leaf (`LogicalRDD`), preserving the
+  * partitioning so co-partitioned joins stay shuffle-free (SURVEY.md §7.4
+  * "iterative lineage blowup").
+  */
+object Iterate {
+
+  /** Eagerly materialize `df` (one job over its — usually co-partitioned —
+    * inputs) and return a frame whose plan is a leaf over the cached blocks.
+    */
+  def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Best-effort release of the cached blocks behind a cut() frame; safe to
+    * call only once the successor state has been cut (the truncated lineage
+    * cannot recompute). Non-cut frames are left to the ContextCleaner.
+    */
+  def free(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: LogicalRDD => lr.rdd.unpersist(false)
+    case _ => ()
+  }
+}

@@ -83,14 +83,16 @@ object TextStats {
       maxHits.as("marker_hits"))
   }
 
-  /** Document fingerprint: 64-bit polynomial rolling hash of the normalized
-    * token stream (winnowing-style content fingerprint; order-sensitive,
-    * whitespace-insensitive). aggregate() keeps it one pass, no UDF.
+  /** Document fingerprint: 64-bit rolling hash of the normalized token
+    * stream — xxhash64-chained (hash of (acc, token) per step) so it is
+    * order-sensitive and whitespace-insensitive without the long-overflow a
+    * polynomial hash hits under ANSI arithmetic. aggregate() keeps it one
+    * pass, no UDF.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
     val fp = aggregate(toks, lit(1469598103934665603L),
-      (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+      (acc, t) => xxhash64(acc, t))
     docs.select(col("doc_id"), fp.as("fingerprint"),
       size(toks).cast("long").as("n_tokens"))
   }

@@ -1,0 +1,81 @@
+package graft.corpus
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.algos.PageRank
+
+/** North-rule input contract: deterministic corpus synthesis over
+  * (repo, path, commit, lang, content), honest parse+join edge derivation,
+  * sha256 row provenance, collision-free (repo,path) vertex ids.
+  */
+class CorpusSpec extends SparkTestBase {
+
+  test("synthesis is deterministic: same seed → identical sha256 multiset") {
+    val a = Corpus.synthesize(spark, 500).select(sha2(col("content"), 256))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val b = Corpus.synthesize(spark, 500).select(sha2(col("content"), 256))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b)
+    assert(a.distinct.size == a.size, "contents must be pairwise distinct")
+  }
+
+  test("vertex ids are collision-free at test scale") {
+    val c = Corpus.synthesize(spark, 5000)
+    val n = c.count()
+    val ids = c.select(Corpus.vertexId(col("repo"), col("path"))).distinct().count()
+    assert(ids == n, s"xxhash64 collisions: $ids distinct ids for $n files")
+  }
+
+  test("derived edges resolve only real files, no self-loops, dup imports weighted") {
+    val c = Corpus.synthesize(spark, 1000).cache()
+    val vids = c.select(Corpus.vertexId(col("repo"), col("path")).as("vid"))
+    val edges = Corpus.deriveEdges(c).cache()
+    assert(edges.count() > 0)
+    assert(edges.filter(col("src") === col("dst")).count() == 0)
+    assert(edges.join(vids.withColumnRenamed("vid", "src"), Seq("src"), "left_anti").count() == 0)
+    assert(edges.join(vids.withColumnRenamed("vid", "dst"), Seq("dst"), "left_anti").count() == 0)
+    assert(edges.agg(min("w")).collect()(0).getDouble(0) >= 1.0)
+    // weights count duplicate import lines: total weight == resolved import lines
+    val importLines = c.select(explode(split(col("content"), "\n")).as("l"))
+      .filter(col("l").startsWith("import ")).count()
+    val totalW = edges.agg(sum("w")).collect()(0).getDouble(0)
+    assert(totalW <= importLines, "edge weight cannot exceed emitted import lines")
+    assert(totalW > importLines * 0.5, "most imports should resolve (self-loops drop a few)")
+    c.unpersist(); edges.unpersist()
+  }
+
+  test("edge distribution is hub-skewed (the salting-relevant shape)") {
+    val edges = Corpus.deriveEdges(Corpus.synthesize(spark, 2000))
+    val indeg = edges.groupBy("dst").agg(sum("w").as("d"))
+    val stats = indeg.agg(max("d").as("mx"), avg("d").as("av")).collect()(0)
+    assert(stats.getDouble(0) > 10 * stats.getDouble(1),
+      s"expected hub skew: max=${stats.getDouble(0)} avg=${stats.getDouble(1)}")
+  }
+
+  test("sha256 provenance: identity passes, tampering is caught") {
+    val c = Corpus.synthesize(spark, 300).cache()
+    assert(Corpus.provenanceViolations(c, c).count() == 0)
+    val tampered = c.withColumn("content",
+      when(col("path").endsWith("f0.scala"), concat(col("content"), lit("x")))
+        .otherwise(col("content")))
+    val bad = Corpus.provenanceViolations(tampered, c).count()
+    assert(bad > 0, "tampered rows must be flagged")
+    c.unpersist()
+  }
+
+  test("provenance survives a parquet round-trip (checkpoint-sink invariant)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val c = Corpus.synthesize(spark, 300)
+    c.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(Corpus.provenanceViolations(back, c).count() == 0)
+  }
+
+  test("PageRank over the derived corpus graph: mass conserved, converges") {
+    val edges = Corpus.deriveEdges(Corpus.synthesize(spark, 1000))
+    val res = PageRank.run(spark, edges, tol = 1e-6, maxIter = 100)
+    assert(res.finalDelta < 1e-6, s"no convergence in ${res.iterations} iters")
+    val mass = res.ranks.agg(sum("r")).collect()(0).getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9)
+  }
+}

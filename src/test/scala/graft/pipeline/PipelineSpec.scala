@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Training-data pipeline operators: dedup family, similarity search, text
+  * analysis, multimodal plumbing — correctness on planted fixtures.
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Docs with planted structure: 0/1 identical, 2 near-dup of 0 (one word
+    * changed), 3/4 unrelated, 5 empty-ish.
+    */
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about distributed sparse matrix engines"),
+    (4L, "unrelated words regarding graph analytics benchmarks and scaling laws"),
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical docs, keeps min id") {
+    val r = Dedup.exact(docs).collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap // keep_id -> n_copies
+    assert(r(0L) == 2L) // docs 0 and 1
+    assert(r.values.sum == 6L)
+    // normalized variant also collapses whitespace-differing copies
+    val extra = docs.union(Seq((6L, "THE  quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text"))
+    val rn = Dedup.exact(extra, normalize = true).collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(rn(0L) == 3L)
+  }
+
+  test("shingles: distinct w-grams per doc") {
+    val sh = Dedup.shingles(Seq((0L, "a b c d")).toDF("doc_id", "text"), w = 3)
+    assert(sh.count() == 2) // "a b c", "b c d"
+  }
+
+  test("minhash near-dups find planted pair, skip unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, numPerm = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0, s"identical pair missing: $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      s"near-dup 2 not found: $pairs") // 1 word of 13 changed
+    // no pair may straddle the dup cluster {0,1,2} and the unrelated docs {3,4}
+    assert(!pairs.keySet.exists { case (a, b) =>
+      (a <= 2 && b >= 3) || (a >= 3 && b <= 2) }, s"unrelated docs paired: $pairs")
+  }
+
+  test("ngram jaccard agrees with hand-computed overlap") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.1, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    // doc0 vs doc2: 13 tokens → 11 shingles each; one word differs at token 8
+    // → 3 shingles differ per side: inter = 8, union = 14, J = 4/7
+    assert(math.abs(pairs((0L, 2L)) - 8.0 / 14.0) < 1e-9, s"${pairs((0L, 2L))}")
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups within hamming budget") {
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(2L)) <= 16, s"near-dup hamming ${ham(sig(0L), sig(2L))}")
+    assert(ham(sig(0L), sig(3L)) > 16, s"unrelated hamming ${ham(sig(0L), sig(3L))}")
+    val nd = Dedup.simhashNearDups(docs, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 1L)))
+  }
+
+  // --- similarity ------------------------------------------------------------
+
+  /** Deterministic embeddings in 3 tight clusters around orthogonal axes. */
+  private lazy val embs = {
+    val rnd = new scala.util.Random(3L)
+    (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.fill(16)(0.0f)
+      base(c * 5) = 1.0f
+      val v = base.map(x => x + (rnd.nextDouble() * 0.05).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k returns same-cluster neighbors") {
+    val q = embs.filter(col("vec_id") < 3) // one query per cluster
+    val top = Similarity.bruteForceTopK(embs, q, k = 5).collect()
+    assert(top.length == 15)
+    for (r <- top) {
+      val (qid, id) = (r.getLong(0), r.getLong(1))
+      assert(qid % 3 == id % 3, s"query $qid matched cross-cluster $id")
+    }
+  }
+
+  test("LSH top-k recall >= 0.8 vs brute force on clustered data") {
+    val q = embs.filter(col("vec_id") < 6)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.bruteForceTopK(embs, q, k = 5).select("qid", "id"))
+    val approx = keyset(Similarity.lshTopK(embs, q, k = 5, dim = 16).select("qid", "id"))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall")
+  }
+
+  test("cosine near-dups: same-cluster pairs above threshold, none across clusters") {
+    val nd = Similarity.cosineNearDups(embs, threshold = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.nonEmpty)
+    for ((a, b) <- nd) assert(a % 3 == b % 3, s"cross-cluster near-dup $a,$b")
+  }
+
+  // --- text analysis ---------------------------------------------------------
+
+  test("token counts on a known string") {
+    val r = TextStats.tokenCounts(Seq((1L, "Hello, world!  foo_bar baz"))
+      .toDF("doc_id", "text")).collect()(0)
+    assert(r.getLong(1) == 4L) // ws tokens
+    assert(r.getLong(2) == 5L) // alnum runs: Hello world foo bar baz
+    assert(r.getLong(3) == ceilDiv("Hello,world!foo_barbaz".length, 4)) // bpe est
+  }
+
+  private def ceilDiv(a: Int, b: Int): Long = ((a + b - 1) / b).toLong
+
+  test("quality scores: english prose scores higher than junk") {
+    val r = TextStats.qualityScores(Seq(
+      (1L, "The quick brown fox is a classic example of a sentence that covers the alphabet."),
+      (2L, "XXXX YYYY !!!! @@@@ ZZZZ !!!! XXXX")).toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(6)).toMap
+    assert(r(1L) > r(2L), s"quality ordering: $r")
+  }
+
+  test("langId picks the obvious language, und for nonsense") {
+    val r = TextStats.langId(Seq(
+      (1L, "the cat and the dog went to the park with a ball"),
+      (2L, "der Hund und die Katze sind nicht mit dem Ball"),
+      (3L, "el perro y la gata que es en la casa por un rato"),
+      (4L, "zzz qqq xxx www")).toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("fingerprints: whitespace-insensitive, order-sensitive, deterministic") {
+    val fp = TextStats.fingerprints(Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha   beta\tgamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  // --- multimodal plumbing ---------------------------------------------------
+
+  test("multimodal synthesize/decode: schema, determinism, batch shape") {
+    val media = Multimodal.synthesize(spark, 100)
+    assert(media.count() == 100)
+    val f1 = Multimodal.decodeAndFeaturize(spark, media)
+    assert(f1.columns.toSeq == Seq("media_id", "kind", "n_bytes", "payload_hash", "feature"))
+    val a = f1.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val b = Multimodal.decodeAndFeaturize(spark, Multimodal.synthesize(spark, 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a == b, "decode must be deterministic")
+    val dim = f1.select(size(col("feature"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(dim == Seq(8))
+  }
+
+  test("frame sampling: only video rows, fixed frame size, stride respected") {
+    val frames = Multimodal.sampleFrames(Multimodal.synthesize(spark, 99),
+      frameBytes = 8, everyNth = 2)
+    val kinds = Multimodal.synthesize(spark, 99).filter(col("kind") === "video").count()
+    assert(frames.select("media_id").distinct().count() == kinds)
+    assert(frames.select("frame_bytes").distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
+  }
+}
