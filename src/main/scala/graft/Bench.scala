@@ -20,6 +20,10 @@ object Bench {
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -35,16 +39,19 @@ object Bench {
     "corpus_edges", "dedup_exact", "dedup_minhash", "dedup_simhash",
     "ann_lsh_topk", "text_quality", "text_tokens", "media_features")
 
-  /** PageRank throughput on a pre-materialized edge table: mean sec/iter from
-    * the engine's per-iteration metrics over `iters` fixed iterations.
+  /** PageRank throughput on a pre-materialized edge table: MEDIAN sec/iter
+    * from the engine's per-iteration metrics, skipping the first two
+    * iterations (codegen/JIT warm-up) — medians are robust to GC spikes.
     */
   private def pagerankThroughput(spark: SparkSession, edgesPath: String,
                                  iters: Int): (Long, Double) = {
     val edges = spark.read.parquet(edgesPath)
     val nnz = edges.count()
     val res = PageRank.run(spark, edges, tol = 0.0, maxIter = iters)
-    val secPerIter = res.metrics.map(_.millis).sum / 1000.0 / res.metrics.size
-    (nnz, nnz / secPerIter)
+    val steady = res.metrics.drop(2).map(_.millis).sorted
+    val medianMs = if (steady.isEmpty) res.metrics.map(_.millis).max
+                   else steady(steady.size / 2)
+    (nnz, nnz / (medianMs / 1000.0))
   }
 
   def main(args: Array[String]): Unit = {
@@ -52,8 +59,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString).toInt
     val lowCpus = math.max(1, cpus / 4)
-    val corpusFiles = sys.env.getOrElse("SPARK_GRAFT_CORPUS_FILES", "300000").toLong
-    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "5").toInt
+    val corpusFiles = sys.env.getOrElse("SPARK_GRAFT_CORPUS_FILES", "2000000").toLong
+    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "10").toInt
     val edgesPath = s"/tmp/graft_bench_edges_$corpusFiles"
 
     // --- phase 1 (full parallelism): headline queries + convergence ---------

@@ -53,6 +53,18 @@ object SparkEntry {
       |FROM lineitem a JOIN lineitem b
       |ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey""".stripMargin
 
+  /** 32×32-bounded nation adjacency (nationkey → regionkey), the small
+    * fixture matrix for structural ops.
+    */
+  def nationAdj(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("src"),
+        col("n_regionkey").cast("long").as("dst"), lit(1.0).as("w"))
+
+  private val nationAdjSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS src,
+      |CAST(n_regionkey AS BIGINT) AS dst, 1.0 AS w FROM nation""".stripMargin
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def embs(spark: SparkSession, dir: String): DataFrame =
@@ -163,6 +175,67 @@ object SparkEntry {
 
     // §2.6 argmax per row (deterministic tie-break)
     "gb_argmax" -> ((s, d) => GBMatrix(edgesBi(s, d)).argmaxRows),
+
+    // §2.1 concat: 2×2 tile grid of the nation adjacency (offset unions)
+    "gb_concat" -> ((s, d) => {
+      val n = GBMatrix(nationAdj(s, d))
+      GBMatrix.concat(Seq(Seq(n, n.transpose), Seq(n.apply((_, _, w) => w * 2.0), n)),
+        rowHeights = Seq(32L, 32L), colWidths = Seq(32L, 32L)).df
+    }),
+
+    // §2.1 split: one tile back out of the bipartite matrix (re-based ranges)
+    "gb_split" -> ((s, d) =>
+      GBMatrix(edgesBi(s, d)).splitTile(1, 50, PartOffset + 1, PartOffset + 1000).df),
+
+    // §2.1 reshape: nation adjacency 32×32 → 64×16 by-row relinearization
+    "gb_reshape" -> ((s, d) => GBMatrix(nationAdj(s, d)).reshape(32, 16).df),
+
+    // §2.2 rowscale/colscale: D*A and A*D diagonal scaling (no agg, no
+    // shuffle beyond the key join)
+    "gb_rowscale" -> ((s, d) => {
+      val m = GBMatrix(edgesBi(s, d))
+      m.rowScale(m.rowDegrees, BinOp.TimesOp).df
+    }),
+    "gb_colscale" -> ((s, d) => {
+      val m = GBMatrix(edgesBi(s, d))
+      m.colScale(m.reduceCols(Monoid.Max), BinOp.TimesOp).df
+    }),
+
+    // §2.5 assign: place the nation adjacency into a far-away submatrix of
+    // the bipartite graph (outside region survives, inside replaced)
+    "gb_assign_range" -> ((s, d) =>
+      GBMatrix(edgesBi(s, d)).assignRange(GBMatrix(nationAdj(s, d)),
+        100000L, 200000L).df),
+
+    // §2.5 scalar subassign under a value mask: clamp heavy edges
+    "gb_assign_scalar" -> ((s, d) =>
+      GBMatrix(edgesBi(s, d)).assignScalar((_, _, w) => w > 3.0, 3.0).df),
+
+    // §2.10 interface conveniences: expand / compact / laplacian / incidence
+    "gb_expand" -> ((s, d) => GBMatrix(edgesBi(s, d)).expand(3.5).df),
+    "gb_compact" -> ((s, d) => GBMatrix(edgesBi(s, d)).compact.df),
+    "gb_laplacian" -> ((s, d) => GBMatrix(nationAdj(s, d)).laplacian.df),
+    "gb_incidence" -> ((s, d) => GBMatrix(nationAdj(s, d)).incidence),
+
+    // §2.1 triplet text roundtrip (Demo/Matrix format, read_matrix.c:58)
+    "gb_triplet_io" -> ((s, d) => {
+      val m = GBMatrix(nationAdj(s, d))
+      val path = s"/tmp/graft_triplet_${d.replace('/', '_')}"
+      graft.sources.TripletReader.write(m, path, oneBased = true)
+      graft.sources.TripletReader.read(s, path, oneBased = true).df
+    }),
+
+    // §2.10 sparse DNN inference (dnn.m): 2 deterministic layers over the
+    // bipartite features; differential-tested vs the mimic in ScalaTest
+    "algo_dnn" -> ((s, d) => {
+      val y0 = GBMatrix(edgesBi(s, d))
+      val w1 = GBMatrix(nationAdj(s, d)).offsetBy(PartOffset, 0)
+        .apply((_, _, w) => w * 0.5)
+      val bias1 = s.range(0, 32).select(col("id"), lit(-0.2).as("v"))
+      val w2 = GBMatrix(nationAdj(s, d)).transpose.apply((_, _, w) => w * 0.25)
+      val bias2 = s.range(0, 32).select(col("id"), lit(0.1).as("v"))
+      DNN.run(s, y0, Seq((w1, bias1), (w2, bias2))).df
+    }),
 
     // §2.7 sort within rows: top-3 heaviest entries per supplier
     "gb_sort_topk" -> ((s, d) =>
@@ -355,6 +428,72 @@ object SparkEntry {
       """WITH n AS (SELECT n_nationkey AS src, n_regionkey AS dst, 1.0 AS w FROM nation)
         |SELECT a.src * 32 + b.src AS src, a.dst * 32 + b.dst AS dst, a.w * b.w AS w
         |FROM n a CROSS JOIN n b""".stripMargin,
+
+    "gb_concat" ->
+      s"""WITH n AS ($nationAdjSql), t AS (SELECT dst AS src, src AS dst, w FROM n)
+         |SELECT src, dst, w FROM n
+         |UNION ALL SELECT src, dst + 32, w FROM t
+         |UNION ALL SELECT src + 32, dst, w * 2.0 AS w FROM n
+         |UNION ALL SELECT src + 32, dst + 32, w FROM n""".stripMargin,
+
+    "gb_split" ->
+      s"""SELECT src - 1 AS src, dst - ${PartOffset + 1} AS dst, w FROM ($edgesBiSql)
+         |WHERE src BETWEEN 1 AND 50
+         |AND dst BETWEEN ${PartOffset + 1} AND ${PartOffset + 1000}""".stripMargin,
+
+    "gb_reshape" ->
+      s"""SELECT (src * 32 + dst) // 16 AS src, (src * 32 + dst) % 16 AS dst, w
+         |FROM ($nationAdjSql)""".stripMargin,
+
+    "gb_rowscale" ->
+      s"""WITH a AS ($edgesBiSql),
+         |dg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS v FROM a GROUP BY src)
+         |SELECT a.src, a.dst, dg.v * a.w AS w FROM a JOIN dg ON a.src = dg.id""".stripMargin,
+
+    "gb_colscale" ->
+      s"""WITH a AS ($edgesBiSql),
+         |u AS (SELECT dst AS id, max(w) AS v FROM a GROUP BY dst)
+         |SELECT a.src, a.dst, a.w * u.v AS w FROM a JOIN u ON a.dst = u.id""".stripMargin,
+
+    "gb_assign_range" ->
+      s"""WITH c AS ($edgesBiSql), a AS ($nationAdjSql),
+         |ext AS (SELECT max(src) + 1 AS mi, max(dst) + 1 AS mj FROM a)
+         |SELECT c.src, c.dst, c.w FROM c, ext
+         |WHERE NOT (c.src >= 100000 AND c.src < 100000 + ext.mi
+         |       AND c.dst >= 200000 AND c.dst < 200000 + ext.mj)
+         |UNION ALL SELECT src + 100000 AS src, dst + 200000 AS dst, w FROM a""".stripMargin,
+
+    "gb_assign_scalar" ->
+      s"""SELECT src, dst, CASE WHEN w > 3.0 THEN 3.0 ELSE w END AS w
+         |FROM ($edgesBiSql)""".stripMargin,
+
+    "gb_expand" ->
+      s"""SELECT src, dst, 3.5 AS w FROM ($edgesBiSql)""",
+
+    "gb_compact" ->
+      s"""WITH a AS ($edgesBiSql),
+         |ids AS (SELECT DISTINCT id FROM (SELECT src AS id FROM a UNION SELECT dst FROM a)),
+         |rk AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS k FROM ids)
+         |SELECT rs.k AS src, rd.k AS dst, a.w
+         |FROM a JOIN rk rs ON a.src = rs.id JOIN rk rd ON a.dst = rd.id""".stripMargin,
+
+    "gb_laplacian" ->
+      s"""WITH n AS ($nationAdjSql),
+         |und AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM n UNION SELECT dst, src FROM n) WHERE src <> dst),
+         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS w FROM und GROUP BY src)
+         |SELECT src, dst, -1.0 AS w FROM und
+         |UNION ALL SELECT src, src AS dst, w FROM deg""".stripMargin,
+
+    "gb_incidence" ->
+      s"""WITH n AS ($nationAdjSql),
+         |canon AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+         |          FROM n WHERE src <> dst),
+         |e AS (SELECT row_number() OVER (ORDER BY lo, hi) - 1 AS edge, lo, hi FROM canon)
+         |SELECT edge, lo AS vertex, -1.0 AS w FROM e
+         |UNION ALL SELECT edge, hi AS vertex, 1.0 AS w FROM e""".stripMargin,
+
+    "gb_triplet_io" -> nationAdjSql,
 
     "gb_argmax" ->
       s"""SELECT src AS id, dst AS arg, w AS v FROM (

@@ -35,8 +35,8 @@ object ConnectedComponents {
     val vertices = und.select(col("src").as("id")).distinct()
     // labels is referenced twice per iteration (gather + merge): cut() keeps
     // the plan leaf-sized across the fixpoint loop (graft.core.Iterate)
-    var labels = Iterate.cut(vertices.select(col("id"), col("id").as("comp"))
-      .repartition(parts, col("id")))
+    var labels = Iterate.cutKeyed(
+      vertices.select(col("id"), col("id").as("comp")), parts, "id")
 
     var iter = 0
     var changed = 1L
@@ -46,10 +46,10 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("src"), col("comp").as("c")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
 
-      val next = Iterate.cut(labels.join(neighborMin, Seq("id"), "left")
+      val next = Iterate.cutKeyed(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (col("nmin") < col("comp")).as("chg")))
+          (col("nmin") < col("comp")).as("chg")), parts, "id")
 
       changed = next.filter(col("chg")).count()
       Iterate.free(labels)

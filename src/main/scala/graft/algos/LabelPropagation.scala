@@ -33,8 +33,8 @@ object LabelPropagation {
 
     val vertices = und.select(col("src").as("id")).distinct()
     // labels is referenced twice per iteration: cut() keeps plans leaf-sized
-    var labels = Iterate.cut(vertices.select(col("id"), col("id").as("label"))
-      .repartition(parts, col("id")))
+    var labels = Iterate.cutKeyed(
+      vertices.select(col("id"), col("id").as("label")), parts, "id")
 
     var iter = 0
     var changed = 1L
@@ -49,9 +49,9 @@ object LabelPropagation {
         .agg(max(struct(col("cnt"), negate(col("l")).as("nl"))).as("m"))
         .select(col("id"), negate(col("m.nl")).as("nlabel"))
 
-      val next = Iterate.cut(labels.join(best, Seq("id"), "left")
+      val next = Iterate.cutKeyed(labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("nlabel"), col("label")).as("label"),
-          (coalesce(col("nlabel"), col("label")) =!= col("label")).as("chg")))
+          (coalesce(col("nlabel"), col("label")) =!= col("label")).as("chg")), parts, "id")
 
       changed = next.filter(col("chg")).count()
       Iterate.free(labels)

@@ -73,14 +73,15 @@ object PageRank {
     // state = (id, r, d, isSink), dense over the vertex universe; cut() so
     // each iteration's plan is leaf-sized (state is referenced twice per
     // iteration — see graft.core.Iterate)
-    var state = Iterate.cut(degrees.join(r0, Seq("id"))
-      .select(col("id"), col("r"), col("d"), col("isSink")))
+    var state = Iterate.cutKeyed(degrees.join(r0, Seq("id"))
+      .select(col("id"), col("r"), col("d"), col("isSink")), parts, "id")
     var sinkMass = getD(state.agg(sum(when(col("isSink"), col("r")))).collect()(0), 0)
 
     var iter = startIter
     var delta = Double.PositiveInfinity
     val metrics = scala.collection.mutable.ArrayBuffer[IterMetric]()
 
+    import spark.implicits._
     while (iter < maxIter && delta >= tol) {
       val t0 = System.nanoTime()
       val base = teleport + damp * sinkMass / n
@@ -91,10 +92,10 @@ object PageRank {
         .join(state.select(col("id").as("src"), (col("r") / col("d")).as("t")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("t")).as("s"))
 
-      val next = Iterate.cut(state.join(contrib, Seq("id"), "left")
+      val next = Iterate.cutKeyed(state.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damp) * coalesce(col("s"), lit(0.0))).as("r"),
-          col("r").as("rp"), col("d"), col("isSink")))
+          col("r").as("rp"), col("d"), col("isSink")), parts, "id")
 
       // fused pass over the cut state: inf-norm convergence
       // (normdiff.m:12-16) + the NEXT iteration's sink mass

@@ -262,6 +262,124 @@ final case class GBMatrix(df: DataFrame) {
     }
   }
 
+  // --- structural rearrangement (§2.1, §2.7) ----------------------------------
+
+  /** Shift all indices by (di, dj) — the building block of GxB_Matrix_concat
+    * (GraphBLAS.h:3613): tiles are offset-unions.
+    */
+  def offsetBy(di: Long, dj: Long): GBMatrix =
+    GBMatrix(df.select((col("src") + di).as("src"), (col("dst") + dj).as("dst"), col("w")))
+
+  /** GxB_Matrix_split (GraphBLAS.h:3632): one tile of the partition — the
+    * inverse of concat; a pure pushed-down range filter plus re-basing.
+    */
+  def splitTile(i0: Long, i1: Long, j0: Long, j1: Long): GBMatrix =
+    extractRange(i0, i1, j0, j1).offsetBy(-i0, -j0)
+
+  /** GxB_Matrix_reshape (GraphBLAS.h:10979): by-row relinearization of an
+    * m×n matrix into m2×n2 (m*n == m2*n2); pure index arithmetic.
+    */
+  def reshape(n: Long, n2: Long): GBMatrix = {
+    val linear = col("src") * n + col("dst")
+    // integral DIV, not fp division: exact for indices beyond 2^53
+    GBMatrix(df.select(expr(s"(src * ${n}L + dst) DIV ${n2}L").as("src"),
+      pmod(linear, lit(n2)).as("dst"), col("w")))
+  }
+
+  /** GB_rowscale: C = D*A, D diagonal given as a vector (id,v) — scales row i
+    * by v(i) (Source/GB_rowscale.c). A co-partitioned join, no agg needed.
+    */
+  def rowScale(d: DataFrame, op: BinOp = BinOp.TimesOp): GBMatrix =
+    GBMatrix(df.join(d.select(col("id").as("src"), col("v")), Seq("src"))
+      .select(col("src"), col("dst"), op(col("v"), col("w")).as("w")))
+
+  /** GB_colscale: C = A*D (Source/GB_colscale.c). */
+  def colScale(d: DataFrame, op: BinOp = BinOp.TimesOp): GBMatrix =
+    GBMatrix(df.join(d.select(col("id").as("dst"), col("v")), Seq("dst"))
+      .select(col("src"), col("dst"), op(col("w"), col("v")).as("w")))
+
+  // --- assign family (§2.5) ----------------------------------------------------
+
+  /** GrB_Matrix_assign with contiguous ranges (GraphBLAS.h:5579):
+    * C(i0:?, j0:?) = A (A's indices re-based into the submatrix); entries of
+    * C inside the target region not covered by A are DELETED (no accum), C
+    * outside the region survives — the reference's assign-with-GrB_ALL-mask
+    * semantics restricted to ranges.
+    */
+  def assignRange(a: GBMatrix, i0: Long, j0: Long): GBMatrix = {
+    val placed = a.offsetBy(i0, j0)
+    val (iMax, jMax) = (i0 + a.nrowsUpper, j0 + a.ncolsUpper)
+    val outside = df.filter(!(col("src") >= i0 && col("src") < iMax &&
+      col("dst") >= j0 && col("dst") < jMax))
+    GBMatrix(outside.unionByName(placed.df))
+  }
+
+  /** Scalar subassign under a predicate mask: C(i,j) = x where pred
+    * (GxB_subassign scalar expansion, GraphBLAS.h:5101).
+    */
+  def assignScalar(pred: (Column, Column, Column) => Column, x: Double): GBMatrix =
+    GBMatrix(df.select(col("src"), col("dst"),
+      when(pred(col("src"), col("dst"), col("w")), lit(x)).otherwise(col("w")).as("w")))
+
+  /** Upper bounds (max index + 1) used by assignRange to define the target
+    * region extent; computed lazily from the data (the engine is dimensionless
+    * like a Dataset; the reference tracks vlen/vdim explicitly).
+    */
+  private def nrowsUpper: Long = df.agg(max(col("src"))).collect()(0) match {
+    case r if r.isNullAt(0) => 0L; case r => r.getLong(0) + 1
+  }
+  private def ncolsUpper: Long = df.agg(max(col("dst"))).collect()(0) match {
+    case r if r.isNullAt(0) => 0L; case r => r.getLong(0) + 1
+  }
+
+  // --- graph-matrix conveniences (§2.10 interface layer) -----------------------
+
+  /** GrB.expand (@GrB/expand.m): scalar × pattern. */
+  def expand(x: Double): GBMatrix = GBMatrix(df.select(col("src"), col("dst"),
+    lit(x).as("w")))
+
+  /** GrB.compact (@GrB/compact.m): drop empty rows/cols by densely re-ranking
+    * the ids that actually occur (deterministic ascending order).
+    */
+  def compact: GBMatrix = {
+    val ids = df.select(col("src").as("id")).union(df.select(col("dst").as("id")))
+      .distinct()
+    val win = Window.orderBy(col("id"))
+    val rank = ids.select(col("id"), (row_number().over(win) - 1).cast("long").as("k"))
+    GBMatrix(df
+      .join(rank.select(col("id").as("src"), col("k").as("si")), Seq("src"))
+      .join(rank.select(col("id").as("dst"), col("k").as("di")), Seq("dst"))
+      .select(col("si").as("src"), col("di").as("dst"), col("w")))
+  }
+
+  /** GrB.laplacian (@GrB/laplacian.m): L = D - A over the symmetrized,
+    * self-loop-free pattern; D = degree diagonal.
+    */
+  def laplacian: GBMatrix = {
+    val und = df.select(col("src"), col("dst"))
+      .union(df.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).cast("double").as("w"))
+      .select(col("src"), col("src").as("dst"), col("w"))
+    GBMatrix(und.select(col("src"), col("dst"), lit(-1.0).as("w"))
+      .unionByName(deg))
+  }
+
+  /** GrB.incidence (@GrB/incidence.m): E(edge, src) = -1, E(edge, dst) = +1
+    * per undirected-canonical edge; the edge id is a deterministic dense rank
+    * of the canonical (lo,hi) pair.
+    */
+  def incidence: DataFrame = {
+    val canon = df.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val win = Window.orderBy(col("lo"), col("hi"))
+    val withId = canon.select((row_number().over(win) - 1).cast("long").as("edge"),
+      col("lo"), col("hi"))
+    withId.select(col("edge"), col("lo").as("vertex"), lit(-1.0).as("w"))
+      .unionByName(withId.select(col("edge"), col("hi").as("vertex"), lit(1.0).as("w")))
+  }
+
   // --- physical layout knobs ---------------------------------------------------
 
   /** Hash-partition by src: the CSR-like layout (and the analogue of the
@@ -299,5 +417,19 @@ object GBMatrix {
   def of(spark: SparkSession, entries: Seq[(Long, Long, Double)]): GBMatrix = {
     import spark.implicits._
     GBMatrix(entries.toDF("src", "dst", "w"))
+  }
+
+  /** GxB_Matrix_concat (GraphBLAS.h:3613): assemble a 2-D grid of tiles.
+    * `tiles(i)(j)` is placed at row offset Σ rowHeights(<i), col offset
+    * Σ colWidths(<j).
+    */
+  def concat(tiles: Seq[Seq[GBMatrix]], rowHeights: Seq[Long], colWidths: Seq[Long]): GBMatrix = {
+    val rowOff = rowHeights.scanLeft(0L)(_ + _)
+    val colOff = colWidths.scanLeft(0L)(_ + _)
+    val placed = for {
+      (row, i) <- tiles.zipWithIndex
+      (t, j) <- row.zipWithIndex
+    } yield t.offsetBy(rowOff(i), colOff(j)).df
+    GBMatrix(placed.reduce(_ unionByName _))
   }
 }

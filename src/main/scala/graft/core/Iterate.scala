@@ -23,6 +23,14 @@ object Iterate {
     */
   def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** cut() that also lays the rows out hash-partitioned by `keys` into
+    * `parts` partitions and DECLARES that partitioning on the leaf, so the
+    * next iteration's joins/aggs on the keys skip their exchanges. Use for
+    * loop states consumed through key joins (PageRank r, CC/LPA labels).
+    */
+  def cutKeyed(df: DataFrame, parts: Int, keys: String*): DataFrame =
+    org.apache.spark.sql.graft.GraftSqlInternals.cutHashPartitioned(df, parts, keys)
+
   /** Best-effort release of the cached blocks behind a cut() frame; safe to
     * call only once the successor state has been cut (the truncated lineage
     * cannot recompute). Non-cut frames are left to the ContextCleaner.

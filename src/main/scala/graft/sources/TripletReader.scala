@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GBMatrix, Monoid}
+
+/** Reader/writer for the reference's demo matrix format: whitespace-separated
+  * `i j x` triplets, one entry per line, 0- or 1-based indices
+  * (/root/reference/Demo/Include/read_matrix.c:58 `one_based` flag; the
+  * bundled Demo/Matrix files). The scan is a plain distributed text read
+  * with column pruning, splittable at scale.
+  */
+object TripletReader {
+
+  def read(spark: SparkSession, path: String, oneBased: Boolean = false,
+           dup: Monoid = Monoid.Plus): GBMatrix = {
+    val off = if (oneBased) 1L else 0L
+    val raw = spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .filter(size(col("f")) >= 2)
+    GBMatrix.fromTuples(raw.select(
+      (element_at(col("f"), 1).cast("long") - off).as("src"),
+      (element_at(col("f"), 2).cast("long") - off).as("dst"),
+      // get() is 0-based and yields null (not an ANSI error) when the
+      // weight column is absent — pattern-only triplet lines get w=1
+      coalesce(get(col("f"), lit(2)).cast("double"), lit(1.0)).as("w")), dup)
+  }
+
+  def write(m: GBMatrix, path: String, oneBased: Boolean = false): Unit = {
+    val off = if (oneBased) 1L else 0L
+    m.df.select(concat_ws(" ", col("src") + off, col("dst") + off, col("w")).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+}
