@@ -69,6 +69,7 @@ object Bench {
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        spark.catalog.clearCache() // queries may leave persisted frames
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
@@ -85,14 +86,17 @@ object Bench {
     val conv = PageRank.run(spark, edges, tol = 1e-6, maxIter = 100)
     val convSec = (System.nanoTime() - tConv0) / 1e9
     val itersTo1e6 = conv.iterations
-    val (nnz, tputHi) = pagerankThroughput(spark, edgesPath, scaleIters)
     spark.stop()
 
-    // --- phase 2 (quarter parallelism): same job, same input ----------------
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    spark = session(lowCpus)
-    val (_, tputLo) = pagerankThroughput(spark, edgesPath, scaleIters)
-    spark.stop()
+    // --- throughput at both parallelism levels, each in a FRESH session so
+    // neither inherits the other's (or the query phase's) heap/cache state
+    def freshThroughput(cores: Int): (Long, Double) = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s = session(cores)
+      try pagerankThroughput(s, edgesPath, scaleIters) finally s.stop()
+    }
+    val (nnz, tputHi) = freshThroughput(cpus)
+    val (_, tputLo) = freshThroughput(lowCpus)
 
     // strong-scaling efficiency lowCpus -> cpus (ideal speedup = cpus/lowCpus)
     val idealSpeedup = cpus.toDouble / lowCpus
