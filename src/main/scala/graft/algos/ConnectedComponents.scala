@@ -21,16 +21,29 @@ import graft.core.Iterate
 object ConnectedComponents {
 
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 200,
-          numPartitions: Int = 0): DataFrame = {
+          numPartitions: Int = 0, skewSalts: Int = 8): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // symmetrize; structure only
-    val und = edges.select(col("src"), col("dst"))
+    val undPlain = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // hub skew in the gather join: salt hot srcs (graft.core.Skew); min is
+    // order-insensitive so the salted two-phase result is identical
+    val hot = if (skewSalts > 0) graft.core.Skew.hotKeys(undPlain, "src", parts)
+              else Seq.empty[Long]
+    val und = if (hot.isEmpty) undPlain else {
+      val s = graft.core.Skew.saltEdges(undPlain, hot, skewSalts)
+        .repartition(parts, col("src"), col("salt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      s.count()
+      undPlain.unpersist(false)
+      s
+    }
 
     val vertices = und.select(col("src").as("id")).distinct()
     // labels is referenced twice per iteration (gather + merge): cut() keeps
@@ -42,8 +55,12 @@ object ConnectedComponents {
     var changed = 1L
     while (iter < maxIter && changed > 0) {
       // neighbor-min gather: min.second semiring vxm over the adjacency
-      val neighborMin = und
-        .join(labels.select(col("id").as("src"), col("comp").as("c")), Seq("src"))
+      val labT = labels.select(col("id").as("src"), col("comp").as("c"))
+      val gathered =
+        if (hot.isEmpty) und.join(labT, Seq("src"))
+        else und.join(graft.core.Skew.saltState(labT, "src", hot, skewSalts),
+          Seq("src", "salt"))
+      val neighborMin = gathered
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
 
       val next = Iterate.cutKeyed(labels.join(neighborMin, Seq("id"), "left")

@@ -39,32 +39,48 @@ object PageRank {
     *                      `$dir/iter=%05d` every `checkpointEvery` iterations
     *                      with per-partition lineage, and `run` resumes from
     *                      the newest complete checkpoint found there.
+    * @param skewSalts     salt-bucket count for hub-src skew in the gather
+    *                      join (graft.core.Skew); applied only when a hot key
+    *                      is actually detected. <= 0 disables detection.
     */
   def run(spark: SparkSession, edges: DataFrame, damp: Double = 0.85,
           tol: Double = 1e-6, maxIter: Int = 100,
           checkpointDir: Option[String] = None, checkpointEvery: Int = 10,
-          numPartitions: Int = 0): Result = {
+          numPartitions: Int = 0, skewSalts: Int = 8): Result = {
 
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // distinct structural edges, partitioned by src and cached: the loop's
     // reusable CSR side (reference keeps A by-row; we keep the partitioning)
-    val adj = edges.select(col("src"), col("dst")).distinct()
+    val adjPlain = edges.select(col("src"), col("dst")).distinct()
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // vertex universe with out-degree; sinks get d=1 (pagerank.m:97-104)
-    val degrees = adj.select(col("src").as("id"))
-      .union(adj.select(col("dst").as("id"))).distinct()
+    val degrees = adjPlain.select(col("src").as("id"))
+      .union(adjPlain.select(col("dst").as("id"))).distinct()
       .repartition(parts, col("id"))
-      .join(adj.groupBy(col("src").as("id"))
+      .join(adjPlain.groupBy(col("src").as("id"))
         .agg(count(lit(1)).cast("double").as("od")), Seq("id"), "left")
       .select(col("id"), coalesce(col("od"), lit(1.0)).as("d"),
         col("od").isNull.as("isSink"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = degrees.count()
     val teleport = (1.0 - damp) / n
+
+    // hub-src skew: if any src owns an outsized share of edges, salt the
+    // gather join (graft.core.Skew) — identical results, no straggler task
+    val hot = if (skewSalts > 0) graft.core.Skew.hotKeys(adjPlain, "src", parts)
+              else Seq.empty[Long]
+    val adj = if (hot.isEmpty) adjPlain else {
+      val s = graft.core.Skew.saltEdges(adjPlain, hot, skewSalts)
+        .repartition(parts, col("src"), col("salt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      s.count() // materialize before dropping the unsalted copy
+      adjPlain.unpersist(false)
+      s
+    }
 
     // resume from newest complete checkpoint if present
     val (startIter, r0) = checkpointDir.flatMap(newestCheckpoint(spark, _))
@@ -87,10 +103,14 @@ object PageRank {
       val base = teleport + damp * sinkMass / n
 
       // gather r(src)/d(src) along edges, scatter-add into dst
-      // (semiring +.2nd over the structural adjacency)
-      val contrib = adj
-        .join(state.select(col("id").as("src"), (col("r") / col("d")).as("t")), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("t")).as("s"))
+      // (semiring +.2nd over the structural adjacency); when hubs were
+      // detected the join key is (src, salt) so no single task owns a hub
+      val stateT = state.select(col("id").as("src"), (col("r") / col("d")).as("t"))
+      val gathered =
+        if (hot.isEmpty) adj.join(stateT, Seq("src"))
+        else adj.join(graft.core.Skew.saltState(stateT, "src", hot, skewSalts),
+          Seq("src", "salt"))
+      val contrib = gathered.groupBy(col("dst").as("id")).agg(sum(col("t")).as("s"))
 
       val next = Iterate.cutKeyed(state.join(contrib, Seq("id"), "left")
         .select(col("id"),

@@ -71,10 +71,11 @@ object TriangleCount {
   def relabelByDegree(canon: DataFrame): DataFrame = {
     val deg = canon.select(col("lo").as("id")).union(canon.select(col("hi").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    // deterministic total order: (deg, id) — zipWithIndex-free ranking via
-    // window is fine at relabel time (one shuffle, done once)
-    val win = org.apache.spark.sql.expressions.Window.orderBy(col("deg"), col("id"))
-    val ranks = deg.select(col("id"), row_number().over(win).cast("long").as("rank"))
+    // deterministic total order (deg, id) via distributed range-partitioned
+    // ranking (graft.core.Ranking) — a global window would funnel every
+    // vertex through one task
+    val ranks = graft.core.Ranking.denseRank(deg, "rank", "deg", "id")
+      .select(col("id"), col("rank"))
     canon
       .join(ranks.select(col("id").as("lo"), col("rank").as("rlo")), Seq("lo"))
       .join(ranks.select(col("id").as("hi"), col("rank").as("rhi")), Seq("hi"))

@@ -88,6 +88,30 @@ final case class GBMatrix(df: DataFrame) {
   def resize(m: Long, n: Long): GBMatrix =
     GBMatrix(df.filter(col("src") < m && col("dst") < n))
 
+  /** GrB_Matrix_extract with EXPLICIT index lists (GraphBLAS.h:4991,
+    * Source/GB_subref.c): C(k,l) = A(I(k), J(l)). Index lists arrive as
+    * (id, pos) DataFrames — at scale an index list can itself be data-sized,
+    * so the reindex is a join (broadcast when small, per AQE), never a
+    * driver-side array. Duplicate indices duplicate rows/cols, matching the
+    * reference.
+    */
+  def extractIndex(iList: DataFrame, jList: DataFrame): GBMatrix =
+    GBMatrix(df
+      .join(iList.select(col("id").as("src"), col("pos").as("si")), Seq("src"))
+      .join(jList.select(col("id").as("dst"), col("pos").as("dj")), Seq("dst"))
+      .select(col("si").as("src"), col("dj").as("dst"), col("w")))
+
+  /** extractIndex convenience for literal index lists (position = list order,
+    * exactly GrB's I[k] convention).
+    */
+  def extractIndex(i: Seq[Long], j: Seq[Long]): GBMatrix = {
+    val sp = spark
+    import sp.implicits._
+    extractIndex(
+      i.zipWithIndex.map { case (v, p) => (v, p.toLong) }.toDF("id", "pos"),
+      j.zipWithIndex.map { case (v, p) => (v, p.toLong) }.toDF("id", "pos"))
+  }
+
   // --- element-wise set ops (§2.3): joins on the index key -------------------
 
   /** GrB_eWiseMult (GraphBLAS.h:4736): op on the pattern INTERSECTION = inner
@@ -321,6 +345,57 @@ final case class GBMatrix(df: DataFrame) {
     GBMatrix(df.select(col("src"), col("dst"),
       when(pred(col("src"), col("dst"), col("w")), lit(x)).otherwise(col("w")).as("w")))
 
+  /** GrB_Row_assign (GraphBLAS.h:5592): C(i,:) = u — row i is replaced by
+    * u's pattern (row-i entries not covered by u are deleted; other rows
+    * untouched). u: (id, v) over column indices.
+    */
+  def assignRow(i: Long, u: DataFrame): GBMatrix =
+    GBMatrix(df.filter(col("src") =!= i).unionByName(
+      u.select(lit(i).as("src"), col("id").as("dst"), col("v").as("w"))))
+
+  /** GrB_Col_assign (GraphBLAS.h:5604): C(:,j) = u. */
+  def assignCol(j: Long, u: DataFrame): GBMatrix =
+    GBMatrix(df.filter(col("dst") =!= j).unionByName(
+      u.select(col("id").as("src"), lit(j).as("dst"), col("v").as("w"))))
+
+  /** GxB_subassign C(i0:i1, j0:j1)<M> = A (GraphBLAS.h:5101): the mask is
+    * SUBMATRIX-sized (0-based submatrix coordinates, like A) and — unlike
+    * GrB_assign — the operation can never touch C outside the region, even
+    * with replace (Source/GB_assign.c:28-30 documents exactly this scope
+    * distinction). Inside the region: where M present, C takes A's entry (or
+    * is deleted if A has none there); where M absent, old C survives unless
+    * `replace`.
+    */
+  def subassignRange(a: GBMatrix, i0: Long, i1: Long, j0: Long, j1: Long,
+                     mask: GBMatrix, replace: Boolean = false): GBMatrix = {
+    val inRegion = col("src").between(i0, i1) && col("dst").between(j0, j1)
+    val outside = df.filter(!inRegion)
+    val insideOld = GBMatrix(df.filter(inRegion)
+      .select((col("src") - i0).as("src"), (col("dst") - j0).as("dst"), col("w")))
+    val newIn = a.maskBy(mask).df
+    val keptOld = if (replace) insideOld.df.limit(0)
+                  else insideOld.maskBy(mask, complement = true).df
+    GBMatrix(outside.unionByName(
+      newIn.unionByName(keptOld)
+        .select((col("src") + i0).as("src"), (col("dst") + j0).as("dst"), col("w"))))
+  }
+
+  /** GrB_Matrix_assign with a mask over ALL of C (GraphBLAS.h:5579,
+    * Source/GB_assign.c:28-30): the mask is C-sized; with `replace`, entries
+    * of C OUTSIDE the assigned region are also cleared wherever the mask is
+    * absent — the behavior that distinguishes assign from subassign.
+    */
+  def assignRangeMasked(a: GBMatrix, i0: Long, i1: Long, j0: Long, j1: Long,
+                        mask: GBMatrix, replace: Boolean = false): GBMatrix = {
+    val inRegion = col("src").between(i0, i1) && col("dst").between(j0, j1)
+    val newIn = a.offsetBy(i0, j0).maskBy(mask).df
+    val insideKept = if (replace) df.limit(0)
+                     else GBMatrix(df.filter(inRegion)).maskBy(mask, complement = true).df
+    val outsideOld = GBMatrix(df.filter(!inRegion))
+    val outsideKept = if (replace) outsideOld.maskBy(mask).df else outsideOld.df
+    GBMatrix(outsideKept.unionByName(insideKept).unionByName(newIn))
+  }
+
   /** Upper bounds (max index + 1) used by assignRange to define the target
     * region extent; computed lazily from the data (the engine is dimensionless
     * like a Dataset; the reference tracks vlen/vdim explicitly).
@@ -339,13 +414,14 @@ final case class GBMatrix(df: DataFrame) {
     lit(x).as("w")))
 
   /** GrB.compact (@GrB/compact.m): drop empty rows/cols by densely re-ranking
-    * the ids that actually occur (deterministic ascending order).
+    * the ids that actually occur (deterministic ascending order). The rank is
+    * a distributed range-partition + zipWithIndex (graft.core.Ranking), not a
+    * single-task global window.
     */
   def compact: GBMatrix = {
     val ids = df.select(col("src").as("id")).union(df.select(col("dst").as("id")))
       .distinct()
-    val win = Window.orderBy(col("id"))
-    val rank = ids.select(col("id"), (row_number().over(win) - 1).cast("long").as("k"))
+    val rank = Ranking.denseRank(ids, "k", "id")
     GBMatrix(df
       .join(rank.select(col("id").as("src"), col("k").as("si")), Seq("src"))
       .join(rank.select(col("id").as("dst"), col("k").as("di")), Seq("dst"))
@@ -373,9 +449,8 @@ final case class GBMatrix(df: DataFrame) {
     val canon = df.select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-    val win = Window.orderBy(col("lo"), col("hi"))
-    val withId = canon.select((row_number().over(win) - 1).cast("long").as("edge"),
-      col("lo"), col("hi"))
+    // distributed edge numbering (graft.core.Ranking) — no global window
+    val withId = Ranking.denseRank(canon, "edge", "lo", "hi")
     withId.select(col("edge"), col("lo").as("vertex"), lit(-1.0).as("w"))
       .unionByName(withId.select(col("edge"), col("hi").as("vertex"), lit(1.0).as("w")))
   }

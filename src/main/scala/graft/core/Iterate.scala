@@ -33,10 +33,15 @@ object Iterate {
 
   /** Best-effort release of the cached blocks behind a cut() frame; safe to
     * call only once the successor state has been cut (the truncated lineage
-    * cannot recompute). Non-cut frames are left to the ContextCleaner.
+    * cannot recompute). LOCAL MODE ONLY: on a real cluster an executor death
+    * after free() could lose successor blocks whose lineage references the
+    * freed (truncated) predecessor — there, the last K states must stay
+    * pinned and the ContextCleaner handles release. Non-local sessions and
+    * non-cut frames are therefore left alone.
     */
   def free(df: DataFrame): Unit = df.queryExecution.logical match {
-    case lr: LogicalRDD => lr.rdd.unpersist(false)
+    case lr: LogicalRDD if df.sparkSession.sparkContext.isLocal =>
+      lr.rdd.unpersist(false)
     case _ => ()
   }
 }

@@ -39,7 +39,10 @@ object Monoid {
     def combine(a: Double, b: Double): Double = math.max(a, b)
   }
   case object Times extends Monoid("times") {
-    def agg(c: Column): Column = exp(sum(log(c))) // only valid for positive values; rarely used
+    // true product aggregate — exact for zero and negative values (the
+    // exp(sum(log)) shortcut silently drops non-positive inputs: Spark's LOG
+    // returns null there)
+    def agg(c: Column): Column = product(c)
     def identity = 1.0
     def combine(a: Double, b: Double): Double = a * b
   }

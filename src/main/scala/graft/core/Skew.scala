@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hub-vertex skew handling for the gather join of iterative algorithms
+  * (north rule: "salting for hub-vertex skew"; the reference's analogue is
+  * the coarse/fine task slicing of /root/reference/Source/GB_AxB_saxpy3.c:24-51,
+  * where a single hot column gets a team of fine tasks instead of one).
+  *
+  * The gather join `adj ⋈ state ON src` hash-partitions edges by src, so one
+  * power-law hub src owning p% of the edges puts p% of the join + multiply +
+  * partial-agg work in ONE task. Fix: salt ONLY the hot keys — edges of a hot
+  * src get `salt = dst mod S` (spreading the hub over S reducers), cold edges
+  * get salt 0 (their distribution was fine); the state side replicates the few
+  * hot rows S times and keeps the rest single. The join key becomes
+  * (src, salt). Results are identical (same product set, regrouped), and the
+  * cold path pays only a constant-column overhead.
+  */
+object Skew {
+
+  /** Keys of `df.col(key)` whose frequency exceeds `frac` of an average
+    * partition's share (and at least `minDeg`), heaviest first, capped —
+    * the driver-side hot list is O(cap), never data-sized.
+    */
+  def hotKeys(df: DataFrame, key: String, parts: Int, frac: Double = 0.5,
+              minDeg: Long = 4096, cap: Int = 1024): Seq[Long] = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val total = df.count()
+    val threshold = math.max(minDeg.toDouble, total / parts.toDouble * frac)
+    counts.filter(col("c") > threshold).orderBy(col("c").desc).limit(cap)
+      .select(col(key)).collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Edge side: add the salt column (hot srcs spread by dst, cold stay 0). */
+  def saltEdges(adj: DataFrame, hot: Seq[Long], salts: Int): DataFrame =
+    adj.withColumn("salt",
+      when(col("src").isin(hot: _*), pmod(col("dst"), lit(salts)).cast("int"))
+        .otherwise(lit(0)))
+
+  /** State side: replicate hot rows across all salt buckets (a few × S rows),
+    * cold rows get the single salt 0. `idCol` is the state's key column.
+    */
+  def saltState(state: DataFrame, idCol: String, hot: Seq[Long], salts: Int): DataFrame =
+    state.withColumn("salt", explode(
+      when(col(idCol).isin(hot: _*),
+        sequence(lit(0), lit(salts - 1)))
+        .otherwise(array(lit(0)))))
+}

@@ -27,10 +27,14 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Word w-shingles of the text, distinct per doc: (doc_id, shingle_hash). */
+  /** Word w-shingles of the text, distinct per doc: (doc_id, shingle_hash).
+    * Empty tokens (leading/doubled whitespace) are dropped BEFORE windowing so
+    * shingles are over the real token stream.
+    */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
     val tokens = split(lower(col("text")), "\\s+")
     docs.select(col("doc_id"), posexplode(tokens).as(Seq("p", "tok")))
+      .filter(length(col("tok")) > 0)
       .withColumn("sh", concat_ws(" ",
         col("tok"),
         lead(col("tok"), 1).over(org.apache.spark.sql.expressions.Window
@@ -129,14 +133,22 @@ object Dedup {
       .groupBy("doc_id").agg(sum("bv").as("simhash"))
   }
 
-  /** SimHash near-dup candidates: block on 4 x 16-bit sub-fingerprints (any
-    * pair within Hamming distance 3 shares at least one block — pigeonhole),
-    * then verify exact Hamming distance <= maxHamming.
+  /** SimHash near-dup candidates: block on (maxHamming+1) sub-fingerprints —
+    * by pigeonhole, ANY pair within Hamming distance maxHamming has all its
+    * differing bits confined to at most maxHamming blocks, so it collides on
+    * at least one block. Blocking is therefore COMPLETE for the requested
+    * radius (round 1 hard-coded 4 blocks, silently incomplete past d=3);
+    * exact Hamming distance is verified on the candidates.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(docs).cache()
-    val blockCols = array((0 until 4).map(b =>
-      shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
+    val blockCols = array((0 until nBlocks).map { b =>
+      val width = bounds(b + 1) - bounds(b)
+      val m = if (width >= 64) -1L else (1L << width) - 1
+      shiftright(col("simhash"), bounds(b)).bitwiseAND(lit(m))
+    }: _*)
     val blocks = sig.select(col("doc_id"), col("simhash"),
       posexplode(blockCols).as(Seq("blk", "bv")))
     val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
@@ -148,14 +160,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
-    * feasible because the shingle-join is inverted-index-shaped (shuffle on
-    * shingle hash); for web scale restrict via minhashCandidates first.
+  /** Exact n-gram Jaccard over pairs sharing at least one NON-UBIQUITOUS
+    * shingle. The inverted-index self-join has a document-frequency cap
+    * (standard practice): one boilerplate shingle shared by f documents would
+    * emit f²/2 candidate pairs — quadratic blowup at web scale. Capping df at
+    * `maxDf` bounds the worst shingle's pair emission at maxDf²/2 and makes
+    * the result an under-approximation ONLY for pairs whose every shared
+    * shingle occurs in > maxDf documents (such pairs share nothing
+    * distinctive; the exact-Jaccard verify still uses the FULL shingle sets).
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, w: Int = 3,
+                        maxDf: Int = 1000): DataFrame = {
     val sh = shingles(docs, w).cache()
-    val cands = sh.select(col("doc_id").as("a"), col("sh"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val shCapped = sh.join(rare, Seq("sh"), "left_semi")
+    val cands = shCapped.select(col("doc_id").as("a"), col("sh"))
+      .join(shCapped.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
       .filter(col("a") < col("b")).select("a", "b").distinct()
     jaccardVerify(sh, cands, threshold)
   }

@@ -80,18 +80,30 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
     * (the near-dup flavor of similarity search for dedup pipelines).
+    *
+    * Candidate pairs are DEDUPLICATED before scoring, so the (exact) cosine
+    * is computed once per (a,b) — not once per colliding table. Recall bound:
+    * a pair at cosine s collides in one table with probability
+    * (1 - acos(s)/π)^bits, and in ≥1 of T tables with 1-(1-p)^T — e.g. at the
+    * driver settings (s≈0.35, bits=6, T=8) recall ≈ 35%; raise `tables` (or
+    * lower `bits`) for higher recall at proportionally more candidate volume.
+    * Scoring is exact on every emitted pair; only recall is approximate.
     */
   def cosineNearDups(corpus: DataFrame, threshold: Double, dim: Int,
                      bits: Int = 10, tables: Int = 4, seed: Long = 99L): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding").as("e"),
+    val b = corpus.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
         srpBucket(col("embedding"), dim, bits, seed + t)): _*)).as(Seq("tbl", "bkt")))
-    b.as("x").join(b.as("y"),
+    val pairs = b.as("x").join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine(col("x.e"), col("y.e")).as("score"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("score"))
       .filter(col("score") >= threshold)
   }
 }

@@ -16,8 +16,12 @@ object TripletReader {
            dup: Monoid = Monoid.Plus): GBMatrix = {
     val off = if (oneBased) 1L else 0L
     val raw = spark.read.text(path)
+      // drop comment/header lines (MatrixMarket '%%...' banners, '#' comments)
+      // BEFORE the ANSI-mode numeric casts below, which would otherwise throw
+      .filter(!trim(col("value")).startsWith("%") &&
+        !trim(col("value")).startsWith("#"))
       .select(split(trim(col("value")), "\\s+").as("f"))
-      .filter(size(col("f")) >= 2)
+      .filter(size(col("f")) >= 2 && element_at(col("f"), 1) =!= "")
     GBMatrix.fromTuples(raw.select(
       (element_at(col("f"), 1).cast("long") - off).as("src"),
       (element_at(col("f"), 2).cast("long") - off).as("dst"),
