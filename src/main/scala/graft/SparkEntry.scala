@@ -122,6 +122,14 @@ object SparkEntry {
     "gb_extract" -> ((s, d) =>
       GBMatrix(edgesBi(s, d)).extractRange(1, 50, PartOffset + 1, PartOffset + 500).df),
 
+    // §2.5 extract with EXPLICIT index lists (incl. a duplicated index —
+    // duplicates duplicate rows, GraphBLAS.h:4991 / GB_subref.c semantics)
+    "gb_extract_index" -> ((s, d) =>
+      GBMatrix(edgesBi(s, d)).extractIndex(
+        Seq(7L, 3L, 21L, 3L, 50L, 11L),
+        Seq(PartOffset + 5, PartOffset + 40, PartOffset + 17, PartOffset + 200,
+          PartOffset + 1, PartOffset + 333, PartOffset + 77)).df),
+
     // §2.6 reduce to vector (row sums + degree)
     "gb_reduce_rows" -> ((s, d) => {
       val m = GBMatrix(edgesBi(s, d))
@@ -141,6 +149,13 @@ object SparkEntry {
       val m = GBMatrix(edgesBi(s, d))
       val u = m.reduceCols(Monoid.Plus) // in-degree-weight vector over parts
       m.mxv(u, Semiring.PlusTimes).withColumnRenamed("v", "y")
+    }),
+
+    // §2.2 vxm: w' = u'·A (the frontier-push direction), plus-times
+    "gb_vxm" -> ((s, d) => {
+      val m = GBMatrix(edgesBi(s, d))
+      val u = m.reduceRows(Monoid.Plus) // out-weight vector over suppliers
+      m.vxm(u, Semiring.PlusTimes).withColumnRenamed("v", "y")
     }),
 
     // §2.2 mxm: C = A·Aᵀ with plus-pair = #shared parts per supplier pair
@@ -211,6 +226,28 @@ object SparkEntry {
     "gb_assign_scalar" -> ((s, d) =>
       GBMatrix(edgesBi(s, d)).assignScalar((_, _, w) => w > 3.0, 3.0).df),
 
+    // §2.5 GrB_Row_assign: replace supplier 7's row by the part in-degree
+    // vector (row entries not covered by u are deleted; other rows untouched)
+    "gb_assign_row" -> ((s, d) => {
+      val m = GBMatrix(edgesBi(s, d))
+      m.assignRow(7L, m.reduceCols(Monoid.Plus)).df
+    }),
+
+    // §2.5 GrB_Col_assign: replace one part's column by supplier out-weights
+    "gb_assign_col" -> ((s, d) => {
+      val m = GBMatrix(edgesBi(s, d))
+      m.assignCol(PartOffset + 7, m.reduceRows(Monoid.Plus)).df
+    }),
+
+    // §2.5 GxB_subassign with a SUBMATRIX-scoped structural mask
+    // (the assign-vs-subassign mask-scope distinction, GB_assign.c:28-30)
+    "gb_subassign_masked" -> ((s, d) => {
+      val c = GBMatrix(edgesBi(s, d))
+      val a = GBMatrix(nationAdj(s, d)).apply((_, _, w) => w * 5.0)
+      val mask = GBMatrix(nationAdj(s, d)).select((i, _, _) => i % 2 === 0)
+      c.subassignRange(a, 1L, 32L, PartOffset + 1, PartOffset + 32, mask).df
+    }),
+
     // §2.10 interface conveniences: expand / compact / laplacian / incidence
     "gb_expand" -> ((s, d) => GBMatrix(edgesBi(s, d)).expand(3.5).df),
     "gb_compact" -> ((s, d) => GBMatrix(edgesBi(s, d)).compact.df),
@@ -235,6 +272,7 @@ object SparkEntry {
       val w2 = GBMatrix(nationAdj(s, d)).transpose.apply((_, _, w) => w * 0.25)
       val bias2 = s.range(0, 32).select(col("id"), lit(0.1).as("v"))
       DNN.run(s, y0, Seq((w1, bias1), (w2, bias2))).df
+        .select(col("src"), col("dst"), round(col("w"), 6).as("w"))
     }),
 
     // §2.7 sort within rows: top-3 heaviest entries per supplier
@@ -267,12 +305,13 @@ object SparkEntry {
     // §2.10 connected components (min-label propagation to fixpoint)
     "algo_cc" -> ((s, d) => ConnectedComponents.run(s, edgesSup(s, d))),
 
-    // §2.10 BFS levels (any-pair frontier expansion) from the min supplier
+    // §2.10 BFS levels + parents (any-pair frontier, min-determinized
+    // any.first parent per bfs.m:149-167) from the min supplier
     "algo_bfs" -> ((s, d) => {
       val e = edgesSup(s, d)
       val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
-      BFS.run(s, und, source = 1L).select(col("id"), col("level"))
+      BFS.run(s, und, source = 1L).select(col("id"), col("level"), col("parent"))
     }),
 
     // §2.9 min-plus semiring: hop-count SSSP on the directed bipartite graph
@@ -283,6 +322,10 @@ object SparkEntry {
 
     // §2.10 label propagation communities (deterministic min tie-break)
     "algo_labelprop" -> ((s, d) => LabelPropagation.run(s, edgesSup(s, d), maxIter = 20)),
+
+    // §2.10 label propagation, 5 fixed rounds (SQL-oracle-checkable unrolled
+    // form, like algo_pagerank5)
+    "algo_labelprop5" -> ((s, d) => LabelPropagation.runFixed(s, edgesSup(s, d), k = 5)),
 
     // §2.10 k-truss (k=4) on the co-supplier graph
     "algo_ktruss" -> ((s, d) => KTruss.run(s, edgesSup(s, d), k = 4)),
@@ -401,6 +444,49 @@ object SparkEntry {
          |u AS (SELECT dst AS id, CAST(sum(w) AS DOUBLE) AS v FROM a GROUP BY dst)
          |SELECT a.src AS id, CAST(sum(a.w * u.v) AS DOUBLE) AS y
          |FROM a JOIN u ON a.dst = u.id GROUP BY a.src""".stripMargin,
+
+    "gb_vxm" ->
+      s"""WITH a AS ($edgesBiSql),
+         |u AS (SELECT src AS id, CAST(sum(w) AS DOUBLE) AS v FROM a GROUP BY src)
+         |SELECT a.dst AS id, CAST(sum(u.v * a.w) AS DOUBLE) AS y
+         |FROM a JOIN u ON a.src = u.id GROUP BY a.dst""".stripMargin,
+
+    "gb_extract_index" ->
+      s"""WITH a AS ($edgesBiSql),
+         |im AS (SELECT * FROM (VALUES (7, 0), (3, 1), (21, 2), (3, 3), (50, 4),
+         |       (11, 5)) v(id, pos)),
+         |jm AS (SELECT * FROM (VALUES (${PartOffset + 5}, 0), (${PartOffset + 40}, 1),
+         |       (${PartOffset + 17}, 2), (${PartOffset + 200}, 3), (${PartOffset + 1}, 4),
+         |       (${PartOffset + 333}, 5), (${PartOffset + 77}, 6)) v(id, pos))
+         |SELECT CAST(im.pos AS BIGINT) AS src, CAST(jm.pos AS BIGINT) AS dst, a.w
+         |FROM a JOIN im ON a.src = im.id JOIN jm ON a.dst = jm.id""".stripMargin,
+
+    "gb_assign_row" ->
+      s"""WITH a AS ($edgesBiSql),
+         |u AS (SELECT dst AS id, CAST(sum(w) AS DOUBLE) AS v FROM a GROUP BY dst)
+         |SELECT src, dst, w FROM a WHERE src <> 7
+         |UNION ALL SELECT CAST(7 AS BIGINT) AS src, id AS dst, v AS w FROM u""".stripMargin,
+
+    "gb_assign_col" ->
+      s"""WITH a AS ($edgesBiSql),
+         |u AS (SELECT src AS id, CAST(sum(w) AS DOUBLE) AS v FROM a GROUP BY src)
+         |SELECT src, dst, w FROM a WHERE dst <> ${PartOffset + 7}
+         |UNION ALL SELECT id AS src, CAST(${PartOffset + 7} AS BIGINT) AS dst, v AS w FROM u""".stripMargin,
+
+    "gb_subassign_masked" ->
+      s"""WITH c AS ($edgesBiSql), n AS ($nationAdjSql),
+         |aa AS (SELECT src, dst, w * 5.0 AS w FROM n),
+         |m AS (SELECT src, dst FROM n WHERE src % 2 = 0)
+         |SELECT src, dst, w FROM c
+         |WHERE NOT (src BETWEEN 1 AND 32 AND dst BETWEEN ${PartOffset + 1} AND ${PartOffset + 32})
+         |UNION ALL
+         |SELECT aa.src + 1 AS src, aa.dst + ${PartOffset + 1} AS dst, aa.w
+         |FROM aa JOIN m ON aa.src = m.src AND aa.dst = m.dst
+         |UNION ALL
+         |SELECT c.src, c.dst, c.w FROM c
+         |WHERE src BETWEEN 1 AND 32 AND dst BETWEEN ${PartOffset + 1} AND ${PartOffset + 32}
+         |AND NOT EXISTS (SELECT 1 FROM m
+         |                WHERE m.src = c.src - 1 AND m.dst = c.dst - ${PartOffset + 1})""".stripMargin,
 
     "gb_mxm" ->
       s"""WITH a AS ($edgesBiSql)
@@ -534,6 +620,8 @@ object SparkEntry {
          |  SELECT und.d, reach.lab FROM reach JOIN und ON und.s = reach.node)
          |SELECT node AS id, min(lab) AS comp FROM reach GROUP BY node""".stripMargin,
 
+    // levels via recursive CTE; parent(v) = min neighbor one level up (the
+    // min-determinized any.first of bfs.m:149-167); source parents itself
     "algo_bfs" ->
       s"""WITH RECURSIVE e AS (SELECT src, dst FROM ($edgesSupSql)),
          |und AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
@@ -541,8 +629,31 @@ object SparkEntry {
          |  SELECT CAST(1 AS BIGINT), 0
          |  UNION
          |  SELECT und.d, reach.lvl + 1 FROM reach JOIN und ON und.s = reach.node
-         |  WHERE reach.lvl < 25)
-         |SELECT node AS id, CAST(min(lvl) AS INT) AS level FROM reach GROUP BY node""".stripMargin,
+         |  WHERE reach.lvl < 25),
+         |lv AS (SELECT node AS id, CAST(min(lvl) AS INT) AS level FROM reach GROUP BY node),
+         |par AS (SELECT u.d AS id, min(u.s) AS parent
+         |        FROM und u JOIN lv a ON a.id = u.s JOIN lv b ON b.id = u.d
+         |        WHERE b.level = a.level + 1 GROUP BY u.d)
+         |SELECT l.id, l.level, COALESCE(p.parent, CAST(1 AS BIGINT)) AS parent
+         |FROM lv l LEFT JOIN par p ON p.id = l.id""".stripMargin,
+
+    "algo_labelprop5" -> labelPropUnrolledSql(5),
+
+    "algo_dnn" ->
+      s"""WITH y0 AS ($edgesBiSql),
+         |w1 AS (SELECT CAST(n_nationkey + $PartOffset AS BIGINT) AS src,
+         |       CAST(n_regionkey AS BIGINT) AS dst, 0.5 AS w FROM nation),
+         |y1p AS (SELECT y0.src, w1.dst, sum(y0.w * w1.w) AS w
+         |        FROM y0 JOIN w1 ON y0.dst = w1.src GROUP BY 1, 2),
+         |y1 AS (SELECT src, dst, CASE WHEN w > 32 THEN 32 ELSE w END AS w
+         |       FROM (SELECT src, dst, w + (-0.2) AS w FROM y1p) WHERE w > 0),
+         |w2 AS (SELECT CAST(n_regionkey AS BIGINT) AS src,
+         |       CAST(n_nationkey AS BIGINT) AS dst, 0.25 AS w FROM nation),
+         |y2p AS (SELECT y1.src, w2.dst, sum(y1.w * w2.w) AS w
+         |        FROM y1 JOIN w2 ON y1.dst = w2.src GROUP BY 1, 2),
+         |y2 AS (SELECT src, dst, CASE WHEN w > 32 THEN 32 ELSE w END AS w
+         |       FROM (SELECT src, dst, w + 0.1 AS w FROM y2p) WHERE w > 0)
+         |SELECT src, dst, round(w, 6) AS w FROM y2""".stripMargin,
 
     "algo_sssp" ->
       s"""WITH RECURSIVE e AS (SELECT src, dst FROM ($edgesBiSql)),
@@ -564,9 +675,119 @@ object SparkEntry {
         |CAST(ceil(len(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT) AS bpe_est
         |FROM documents""".stripMargin,
 
+    // mirrors TextStats.qualityScores exactly (same op order so the float
+    // results are bit-identical; round(,6) on both sides regardless)
+    "text_quality" -> {
+      val stop = TextStats.DefaultStopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS ntok,
+         |  CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) AS nstop,
+         |  CAST(len(text) AS DOUBLE) AS tlen,
+         |  CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE) AS npunct,
+         |  CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+         |  CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS nchars
+         |  FROM t),
+         |r AS (SELECT doc_id, ntok,
+         |  nstop / greatest(ntok, 1.0) AS sr,
+         |  npunct / greatest(tlen, 1.0) AS pr,
+         |  nupper / greatest(tlen, 1.0) AS ur,
+         |  nchars / greatest(ntok, 1.0) AS mwl
+         |  FROM m)
+         |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+         |  round(sr, 6) AS stop_ratio, round(pr, 6) AS punct_ratio,
+         |  round(ur, 6) AS upper_ratio, round(mwl, 6) AS mean_word_len,
+         |  round((CASE WHEN ntok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |      + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |      + least(sr * 4.0, 1.0) * 0.3
+         |      + (1.0 - least(ur * 5.0, 1.0)) * 0.2, 6) AS quality
+         |FROM r""".stripMargin
+    },
+
+    // mirrors TextStats.langId: marker-word hits per language, argmax with
+    // alphabetical tie-break (the CASE checks in alphabetical order)
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS h_de,
+         |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','it','with','for'], x))) AS h_en,
+         |  len(list_filter(toks, x -> list_contains(['el','la','los','las','que','y','es','en','un','una','por'], x))) AS h_es,
+         |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une','dans','pour'], x))) AS h_fr,
+         |  len(list_filter(toks, x -> list_contains(['il','la','che','di','e','un','una','per','non','sono'], x))) AS h_it
+         |  FROM t),
+         |x AS (SELECT doc_id, greatest(h_de, h_en, h_es, h_fr, h_it) AS mx,
+         |      h_de, h_en, h_es, h_fr, h_it FROM h)
+         |SELECT doc_id,
+         |  CASE WHEN mx > 0 THEN (CASE WHEN h_de = mx THEN 'de' WHEN h_en = mx THEN 'en'
+         |    WHEN h_es = mx THEN 'es' WHEN h_fr = mx THEN 'fr' ELSE 'it' END)
+         |  ELSE 'und' END AS pred_lang,
+         |  CAST(mx AS BIGINT) AS marker_hits
+         |FROM x""".stripMargin,
+
+    // mirrors Dedup.ngramJaccardPairs: distinct 3-word shingles, df-capped
+    // inverted-index candidates, exact Jaccard on the FULL shingle sets
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+         |       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |         WHERE df <= 1000),
+         |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM shc x JOIN shc y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.a, c.b, count(*) AS ic
+         |          FROM cand c JOIN sh x ON x.doc_id = c.a
+         |          JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+         |          GROUP BY 1, 2)
+         |SELECT i.a, i.b, round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5""".stripMargin,
+
+    // mirrors Similarity.bruteForceTopK: exact cosine, rank by (score desc,
+    // id asc) — only the integer ranking is emitted, so the last-ULP
+    // difference between the two engines' dot-product orders is irrelevant
+    "ann_brute_topk" ->
+      s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 10),
+         |s AS (SELECT q.qid, c.id, list_cosine_similarity(q.qe, c.e) AS score
+         |      FROM c, q WHERE q.qid <> c.id)
+         |SELECT qid, id, CAST(rn AS INT) AS rank FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+         |  FROM s) WHERE rn <= 5""".stripMargin,
+
     "media_features" -> "", // engine-internal synthesis: rows-only
     "media_frames" -> ""
   ).filter(_._2.nonEmpty)
+
+  /** k unrolled label-propagation rounds as DuckDB SQL (same math as
+    * algos.LabelPropagation.runFixed: symmetrized structure, per-round
+    * neighbor-label histogram, argmax with min-label tie-break).
+    */
+  private def labelPropUnrolledSql(k: Int): String = {
+    val prelude =
+      s"""WITH e AS (SELECT src, dst FROM ($edgesSupSql)),
+         |und AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
+         |l0 AS (SELECT DISTINCT s AS id, s AS label FROM und)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""h$i AS (SELECT und.d AS id, l.label AS lab, count(*) AS cnt
+         |        FROM und JOIN l${i - 1} l ON und.s = l.id GROUP BY 1, 2),
+         |b$i AS (SELECT id, lab FROM (
+         |        SELECT id, lab,
+         |        row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+         |        FROM h$i) WHERE rn = 1),
+         |l$i AS (SELECT v.id, COALESCE(b.lab, v.label) AS label
+         |        FROM l${i - 1} v LEFT JOIN b$i b ON b.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$iters\nSELECT id, label FROM l$k"
+  }
 
   /** k unrolled PageRank iterations as DuckDB SQL (same math as
     * algos.PageRank: damp=0.85, sinks d=1 contribute damp*mass/n, start 1/n).

@@ -61,4 +61,38 @@ object LabelPropagation {
     und.unpersist(false)
     labels.select(col("id"), col("label"))
   }
+
+  /** Fixed-iteration-count variant: exactly `k` synchronous rounds, no
+    * convergence action — the SQL-oracle-checkable unrolled form (same shape
+    * as PageRank.runFixed). Identical per-round math to run(); converged
+    * rounds are no-ops, so k >= the fixpoint depth gives the fixpoint.
+    */
+  def runFixed(spark: SparkSession, edges: DataFrame, k: Int,
+               numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(parts, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = und.select(col("src").as("id")).distinct()
+    var labels = Iterate.cutKeyed(
+      vertices.select(col("id"), col("id").as("label")), parts, "id")
+    for (_ <- 1 to k) {
+      val hist = und
+        .join(labels.select(col("id").as("src"), col("label").as("l")), Seq("src"))
+        .groupBy(col("dst"), col("l")).agg(count(lit(1)).as("cnt"))
+      val best = hist.groupBy(col("dst").as("id"))
+        .agg(max(struct(col("cnt"), negate(col("l")).as("nl"))).as("m"))
+        .select(col("id"), negate(col("m.nl")).as("nlabel"))
+      val next = Iterate.cutKeyed(labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nlabel"), col("label")).as("label")),
+        parts, "id")
+      Iterate.free(labels)
+      labels = next
+    }
+    und.unpersist(false)
+    labels.select(col("id"), col("label"))
+  }
 }

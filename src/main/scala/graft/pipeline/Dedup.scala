@@ -140,8 +140,14 @@ object Dedup {
     * radius (round 1 hard-coded 4 blocks, silently incomplete past d=3);
     * exact Hamming distance is verified on the candidates.
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs).cache()
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashCandidatePairs(simhash(docs).cache(), maxHamming)
+
+  /** Blocked pair search over precomputed (doc_id, simhash) fingerprints —
+    * the blocking stage of simhashNearDups, exposed so completeness is
+    * directly testable on adversarial bit patterns.
+    */
+  def simhashCandidatePairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
     val blockCols = array((0 until nBlocks).map { b =>

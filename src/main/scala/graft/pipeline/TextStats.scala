@@ -80,7 +80,7 @@ object TextStats {
       filter(arr, s => s.getField("hits") === maxHits), s => s.getField("lang")))
     docs.select(col("doc_id"),
       when(maxHits > 0, best).otherwise(lit("und")).as("pred_lang"),
-      maxHits.as("marker_hits"))
+      maxHits.cast("long").as("marker_hits"))
   }
 
   /** Document fingerprint: 64-bit rolling hash of the normalized token

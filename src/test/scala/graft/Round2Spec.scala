@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.algos.{LabelPropagation, PageRank}
+import graft.pipeline.Dedup
+
+/** Round-2 surface: true product monoid, explicit-index extract, row/col
+  * assign, assign-vs-subassign mask scope, distributed ranking, hub-skew
+  * salting, pigeonhole-complete SimHash blocking, the n-gram df cap, the
+  * fixed-k label-propagation variant, and comment-tolerant triplet reads.
+  */
+class Round2Spec extends SparkTestBase {
+
+  test("Times monoid is a true product: zeros and negatives exact") {
+    import spark.implicits._
+    val raw = Seq((1L, 1L, -2.0), (1L, 1L, 3.0), (1L, 1L, -0.5),
+      (2L, 2L, 4.0), (2L, 2L, 0.0), (3L, 3L, -2.0)).toDF("src", "dst", "w")
+    assertMatrixEq(toMap(GBMatrix.fromTuples(raw, Monoid.Times)),
+      Map((1L, 1L) -> 3.0, (2L, 2L) -> 0.0, (3L, 3L) -> -2.0))
+    assert(GBMatrix.of(spark, Seq((0L, 0L, -2.0), (0L, 1L, 3.0), (1L, 0L, 0.0)))
+      .reduceScalar(Monoid.Times) == 0.0)
+    assert(GBMatrix.of(spark, Seq((0L, 0L, -2.0), (0L, 1L, 3.0)))
+      .reduceScalar(Monoid.Times) == -6.0)
+  }
+
+  test("extractIndex: explicit lists reindex; duplicate indices duplicate rows") {
+    val a = Map((1L, 10L) -> 1.0, (2L, 10L) -> 2.0, (2L, 20L) -> 3.0, (5L, 30L) -> 4.0)
+    val m = toMatrix(a)
+    assertMatrixEq(toMap(m.extractIndex(Seq(2L, 1L, 2L), Seq(10L, 30L))),
+      Map((0L, 0L) -> 2.0, (1L, 0L) -> 1.0, (2L, 0L) -> 2.0))
+    assertMatrixEq(toMap(m.extractIndex(Seq(2L, 5L), Seq(20L, 30L))),
+      Map((0L, 0L) -> 3.0, (1L, 1L) -> 4.0))
+  }
+
+  test("assignRow / assignCol replace exactly one row/col") {
+    val m = toMatrix(Map((1L, 1L) -> 1.0, (1L, 2L) -> 2.0, (2L, 1L) -> 3.0))
+    val u = vecToDF(Map(5L -> 9.0))
+    assertMatrixEq(toMap(m.assignRow(1L, u)), Map((1L, 5L) -> 9.0, (2L, 1L) -> 3.0))
+    assertMatrixEq(toMap(m.assignCol(1L, u)), Map((5L, 1L) -> 9.0, (1L, 2L) -> 2.0))
+  }
+
+  test("subassign vs assign: mask scope + replace (GB_assign.c:28-30)") {
+    val c = toMatrix(Map((0L, 0L) -> 1.0, (0L, 1L) -> 2.0, (5L, 5L) -> 7.0))
+    val a = toMatrix(Map((0L, 0L) -> 10.0))
+    val mask = toMatrix(Map((0L, 0L) -> 1.0))
+    // subassign+replace: inside-unmasked (0,1) cleared, OUTSIDE (5,5) survives
+    assertMatrixEq(toMap(c.subassignRange(a, 0, 1, 0, 1, mask, replace = true)),
+      Map((0L, 0L) -> 10.0, (5L, 5L) -> 7.0))
+    assertMatrixEq(toMap(c.subassignRange(a, 0, 1, 0, 1, mask)),
+      Map((0L, 0L) -> 10.0, (0L, 1L) -> 2.0, (5L, 5L) -> 7.0))
+    // assign (C-wide mask)+replace: (5,5) is unmasked -> cleared TOO
+    assertMatrixEq(toMap(c.assignRangeMasked(a, 0, 1, 0, 1, mask, replace = true)),
+      Map((0L, 0L) -> 10.0))
+    assertMatrixEq(toMap(c.assignRangeMasked(a, 0, 1, 0, 1, mask)),
+      Map((0L, 0L) -> 10.0, (0L, 1L) -> 2.0, (5L, 5L) -> 7.0))
+  }
+
+  test("Ranking.denseRank: 0-based global order without a global window") {
+    import spark.implicits._
+    val ids = Seq(30L, 5L, 17L, 2L, 100L, 42L).toDF("id")
+    val got = Ranking.denseRank(ids, "k", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 0L, 5L -> 1L, 17L -> 2L, 30L -> 3L, 42L -> 4L, 100L -> 5L))
+  }
+
+  test("hub-skew salting: detection fires and results are identical") {
+    import spark.implicits._
+    // vertex 0 owns ~6000 of ~6003 edges (out-degree hub)
+    val edges = ((1L to 6000L).map(i => (0L, i, 1.0)) ++
+      Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 0L, 1.0))).toDF("src", "dst", "w")
+    val hot = Skew.hotKeys(edges.select("src", "dst"), "src", parts = 4)
+    assert(hot == Seq(0L))
+    val salted = dfToVec(PageRank.run(spark, edges, tol = 0.0, maxIter = 8,
+      skewSalts = 4).ranks.withColumnRenamed("r", "v"))
+    val plain = dfToVec(PageRank.run(spark, edges, tol = 0.0, maxIter = 8,
+      skewSalts = -1).ranks.withColumnRenamed("r", "v"))
+    assertVecEq(salted, plain, tol = 1e-12, ctx = "salted-vs-plain")
+  }
+
+  test("simhash blocking is pigeonhole-complete at the requested radius") {
+    import spark.implicits._
+    val base = 0x123456789ABCDEFL
+    // 6 flips in 6 DIFFERENT 9/10-bit blocks (the adversarial case the old
+    // fixed 4x16 blocking missed: those flips touch all four 16-bit blocks)
+    val flips = Seq(0, 10, 20, 30, 40, 50).map(1L << _).reduce(_ | _)
+    val sig = Seq((1L, base), (2L, base ^ flips), (3L, ~base)).toDF("doc_id", "simhash")
+    val got = Dedup.simhashCandidatePairs(sig, maxHamming = 6).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(got.head.getAs[Number]("hamming").intValue == 6)
+  }
+
+  test("ngram jaccard df cap: boilerplate-only pairs dropped, real dups kept") {
+    import spark.implicits._
+    val boiler = "common header line three"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, s"$boiler unrelated one two"),
+      (4L, s"$boiler something else four"),
+      (5L, s"$boiler misc stuff five")).toDF("doc_id", "text")
+    def pairs(maxDf: Int) =
+      Dedup.ngramJaccardPairs(docs, threshold = 0.1, w = 3, maxDf = maxDf)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boiler shingles have df=3 > 2 -> capped; docs 3/4/5 share ONLY boiler
+    assert(pairs(maxDf = 2) == Set((1L, 2L)))
+    assert(pairs(maxDf = 100) == Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
+  }
+
+  test("labelprop runFixed(k) reaches run()'s fixpoint for k >= depth") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (10L, 11L, 1.0)).toDF("src", "dst", "w")
+    def labs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs(LabelPropagation.runFixed(spark, e, k = 6)) ==
+      labs(LabelPropagation.run(spark, e, maxIter = 20)))
+  }
+
+  test("triplet reader skips %% and # comment lines (MatrixMarket banners)") {
+    val path = "/tmp/graft_triplet_comment_test.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "%%MatrixMarket matrix coordinate real general\n# a comment\n1 2 3.5\n2 3\n")
+    val m = graft.sources.TripletReader.read(spark, path, oneBased = true)
+    assertMatrixEq(toMap(m), Map((0L, 1L) -> 3.5, (1L, 2L) -> 1.0))
+  }
+}
