@@ -188,8 +188,37 @@ object SparkEntry {
       GBMatrix(nation).kron(GBMatrix(nation), 32, 32, BinOp.TimesOp).df
     }),
 
-    // §2.6 argmax per row (deterministic tie-break)
+    // §2.6 argmax / argmin per row (deterministic tie-break)
     "gb_argmax" -> ((s, d) => GBMatrix(edgesBi(s, d)).argmaxRows),
+    "gb_argmin" -> ((s, d) => GBMatrix(edgesBi(s, d)).argminRows),
+
+    // §2.1 batched setElement: upserts overwrite existing entries (implied
+    // SECOND accum, GB_setElement.c) and insert new ones in one merge
+    "gb_set_elements" -> ((s, d) => {
+      val m = GBMatrix(edgesBi(s, d))
+      m.setElements(GBMatrix(nationAdj(s, d)).offsetBy(1, PartOffset + 1).df).df
+    }),
+
+    // §2.1 batched removeElement (bulk zombie sweep): drop heavy entries
+    "gb_remove_elements" -> ((s, d) => {
+      val m = GBMatrix(edgesBi(s, d))
+      m.removeElements(m.df.filter(col("w") >= 4.0)).df
+    }),
+
+    // @GrB/isequal.m as a first-class op: pattern+value equality
+    "gb_isequal" -> ((s, d) => {
+      import s.implicits._
+      val m = GBMatrix(edgesBi(s, d))
+      Seq((m.isequal(m.apply((_, _, w) => w * 1.0)),
+        m.isequal(m.assignScalar((_, _, w) => w > 3.0, 3.0))))
+        .toDF("eq_self", "eq_clamped")
+    }),
+
+    // @GrB/random.m sprand: deterministic hash-positioned sparse random
+    // (engine-internal hashing — rows-only check; differential-tested)
+    "gb_random" -> ((s, _) =>
+      GBMatrix.random(s, 1000, 1000, 0.01, seed = 7L).df
+        .select(col("src"), col("dst"), round(col("w"), 6).as("w"))),
 
     // §2.1 concat: 2×2 tile grid of the nation adjacency (offset unions)
     "gb_concat" -> ((s, d) => {
@@ -586,6 +615,26 @@ object SparkEntry {
          |  SELECT src, dst, w,
          |  row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
          |  FROM ($edgesBiSql)) WHERE rn = 1""".stripMargin,
+
+    "gb_argmin" ->
+      s"""SELECT src AS id, dst AS arg, w AS v FROM (
+         |  SELECT src, dst, w,
+         |  row_number() OVER (PARTITION BY src ORDER BY w ASC, dst ASC) AS rn
+         |  FROM ($edgesBiSql)) WHERE rn = 1""".stripMargin,
+
+    "gb_set_elements" ->
+      s"""WITH c AS ($edgesBiSql), n AS ($nationAdjSql),
+         |u AS (SELECT src + 1 AS src, dst + ${PartOffset + 1} AS dst, w FROM n)
+         |SELECT COALESCE(c.src, u.src) AS src, COALESCE(c.dst, u.dst) AS dst,
+         |COALESCE(u.w, c.w) AS w
+         |FROM c FULL OUTER JOIN u ON c.src = u.src AND c.dst = u.dst""".stripMargin,
+
+    "gb_remove_elements" ->
+      s"""SELECT src, dst, w FROM ($edgesBiSql) WHERE w < 4.0""",
+
+    "gb_isequal" ->
+      s"""SELECT true AS eq_self,
+         |(SELECT count(*) FROM ($edgesBiSql) WHERE w > 3.0) = 0 AS eq_clamped""".stripMargin,
 
     "gb_sort_topk" ->
       s"""SELECT * FROM (

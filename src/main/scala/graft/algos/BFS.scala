@@ -42,12 +42,15 @@ object BFS {
 
     while (frontierSize > 0 && level < maxIter) {
       level += 1
-      // q<~v,replace> = q * A  (any.first for parents, min-deterministic)
-      val next = Iterate.cut(adj.join(frontier.select(col("id").as("src")), Seq("src"))
+      // q<~v,replace> = q * A  (any.first for parents, min-deterministic);
+      // the frontier size is observed during the cut pass itself (no extra job)
+      val nextPre = adj.join(frontier.select(col("id").as("src")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .select(col("id"), lit(level).as("level"), col("parent")))
-      frontierSize = next.count()
+        .select(col("id"), lit(level).as("level"), col("parent"))
+        .observe(s"bfs_$level", count(lit(1)).as("n"))
+      val next = Iterate.cut(nextPre)
+      frontierSize = nextPre.queryExecution.observedMetrics(s"bfs_$level").getLong(0)
       if (frontierSize > 0) {
         val newVisited = Iterate.cut(visited.unionByName(next))
         Iterate.free(visited)

@@ -32,20 +32,26 @@ object ConnectedComponents {
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // hub skew in the gather join: salt hot srcs (graft.core.Skew); min is
-    // order-insensitive so the salted two-phase result is identical
+    // hub skew in the gather join (graft.core.Skew hot-key isolation): cold
+    // edges stay co-partitioned with the labels; hot-src edges are spread by
+    // dst and join a broadcast of the few hot label rows — identical result
+    // (min is order-insensitive), no straggler task
     val hot = if (skewSalts > 0) graft.core.Skew.hotKeys(undPlain, "src", parts)
               else Seq.empty[Long]
-    val und = if (hot.isEmpty) undPlain else {
-      val s = graft.core.Skew.saltEdges(undPlain, hot, skewSalts)
-        .repartition(parts, col("src"), col("salt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      s.count()
+    val (und, undHot) = if (hot.isEmpty) (undPlain, None) else {
+      val cold = undPlain.filter(!col("src").isin(hot: _*))
+        .repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      val hotE = undPlain.filter(col("src").isin(hot: _*))
+        .repartition(parts, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+      cold.count(); hotE.count()
       undPlain.unpersist(false)
-      s
+      (cold, Some(hotE))
     }
 
-    val vertices = und.select(col("src").as("id")).distinct()
+    val vertices = (undHot match {
+      case None => und.select(col("src").as("id"))
+      case Some(h) => und.select(col("src").as("id")).union(h.select(col("src").as("id")))
+    }).distinct()
     // labels is referenced twice per iteration (gather + merge): cut() keeps
     // the plan leaf-sized across the fixpoint loop (graft.core.Iterate)
     var labels = Iterate.cutKeyed(
@@ -56,24 +62,31 @@ object ConnectedComponents {
     while (iter < maxIter && changed > 0) {
       // neighbor-min gather: min.second semiring vxm over the adjacency
       val labT = labels.select(col("id").as("src"), col("comp").as("c"))
-      val gathered =
-        if (hot.isEmpty) und.join(labT, Seq("src"))
-        else und.join(graft.core.Skew.saltState(labT, "src", hot, skewSalts),
-          Seq("src", "salt"))
+      val gathered = undHot match {
+        case None => und.join(labT, Seq("src"))
+        case Some(h) => und.join(labT, Seq("src")).unionByName(
+          h.join(broadcast(labT.filter(col("src").isin(hot: _*))), Seq("src")))
+      }
       val neighborMin = gathered
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
 
-      val next = Iterate.cutKeyed(labels.join(neighborMin, Seq("id"), "left")
+      // changed-count observed during the state materialization itself
+      // (CollectMetrics) — no separate per-iteration count job
+      val merged = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (col("nmin") < col("comp")).as("chg")), parts, "id")
-
-      changed = next.filter(col("chg")).count()
+          (col("nmin") < col("comp")).as("chg"))
+        .observe(s"cc_$iter", sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+      // cut the SAME frame whose qe carries the metrics accumulator (a
+      // derived select would re-plan and execute a different CollectMetrics)
+      val next = Iterate.cutKeyed(merged, parts, "id")
+      val row = merged.queryExecution.observedMetrics(s"cc_$iter")
+      changed = if (row.isNullAt(0)) 0L else row.getLong(0)
       Iterate.free(labels)
       labels = next
       iter += 1
     }
-    und.unpersist(false)
+    und.unpersist(false); undHot.foreach(_.unpersist(false))
     labels.select(col("id"), col("comp"))
   }
 }

@@ -49,11 +49,14 @@ object LabelPropagation {
         .agg(max(struct(col("cnt"), negate(col("l")).as("nl"))).as("m"))
         .select(col("id"), negate(col("m.nl")).as("nlabel"))
 
-      val next = Iterate.cutKeyed(labels.join(best, Seq("id"), "left")
+      // changed-count observed during the state materialization (no extra job)
+      val merged = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("nlabel"), col("label")).as("label"),
-          (coalesce(col("nlabel"), col("label")) =!= col("label")).as("chg")), parts, "id")
-
-      changed = next.filter(col("chg")).count()
+          (coalesce(col("nlabel"), col("label")) =!= col("label")).as("chg"))
+        .observe(s"lpa_$iter", sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+      val next = Iterate.cutKeyed(merged, parts, "id")
+      val row = merged.queryExecution.observedMetrics(s"lpa_$iter")
+      changed = if (row.isNullAt(0)) 0L else row.getLong(0)
       Iterate.free(labels)
       labels = next
       iter += 1

@@ -69,17 +69,21 @@ object PageRank {
     val n = degrees.count()
     val teleport = (1.0 - damp) / n
 
-    // hub-src skew: if any src owns an outsized share of edges, salt the
-    // gather join (graft.core.Skew) — identical results, no straggler task
+    // hub-src skew (graft.core.Skew hot-key isolation): cold edges keep the
+    // src partitioning (co-partitioned with the state, zero exchange); the
+    // few hot srcs' edges are salt-spread across partitions by dst and join
+    // a per-iteration BROADCAST of the tiny hot state slice. Identical
+    // results, no straggler task, no extra data-sized exchange.
     val hot = if (skewSalts > 0) graft.core.Skew.hotKeys(adjPlain, "src", parts)
               else Seq.empty[Long]
-    val adj = if (hot.isEmpty) adjPlain else {
-      val s = graft.core.Skew.saltEdges(adjPlain, hot, skewSalts)
-        .repartition(parts, col("src"), col("salt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      s.count() // materialize before dropping the unsalted copy
+    val (adj, adjHot) = if (hot.isEmpty) (adjPlain, None) else {
+      val cold = adjPlain.filter(!col("src").isin(hot: _*))
+        .repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      val hotE = adjPlain.filter(col("src").isin(hot: _*))
+        .repartition(parts, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+      cold.count(); hotE.count() // materialize before dropping the unsplit copy
       adjPlain.unpersist(false)
-      s
+      (cold, Some(hotE))
     }
 
     // resume from newest complete checkpoint if present
@@ -103,24 +107,27 @@ object PageRank {
       val base = teleport + damp * sinkMass / n
 
       // gather r(src)/d(src) along edges, scatter-add into dst
-      // (semiring +.2nd over the structural adjacency); when hubs were
-      // detected the join key is (src, salt) so no single task owns a hub
+      // (semiring +.2nd over the structural adjacency); hot-src edges join a
+      // broadcast of the few hot state rows so no single task owns a hub
       val stateT = state.select(col("id").as("src"), (col("r") / col("d")).as("t"))
-      val gathered =
-        if (hot.isEmpty) adj.join(stateT, Seq("src"))
-        else adj.join(graft.core.Skew.saltState(stateT, "src", hot, skewSalts),
-          Seq("src", "salt"))
+      val gathered = adjHot match {
+        case None => adj.join(stateT, Seq("src"))
+        case Some(h) => adj.join(stateT, Seq("src")).unionByName(
+          h.join(broadcast(stateT.filter(col("src").isin(hot: _*))), Seq("src")))
+      }
       val contrib = gathered.groupBy(col("dst").as("id")).agg(sum(col("t")).as("s"))
 
-      val next = Iterate.cutKeyed(state.join(contrib, Seq("id"), "left")
+      // inf-norm convergence (normdiff.m:12-16) + the NEXT iteration's sink
+      // mass are OBSERVED during the state-materialization pass itself
+      // (CollectMetrics accumulators) — no separate per-iteration stats job
+      val merged = state.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damp) * coalesce(col("s"), lit(0.0))).as("r"),
-          col("r").as("rp"), col("d"), col("isSink")), parts, "id")
-
-      // fused pass over the cut state: inf-norm convergence
-      // (normdiff.m:12-16) + the NEXT iteration's sink mass
-      val row = next.agg(max(abs(col("r") - col("rp"))),
-        sum(when(col("isSink"), col("r")))).collect()(0)
+          col("r").as("rp"), col("d"), col("isSink"))
+        .observe(s"pr_$iter", max(abs(col("r") - col("rp"))).as("delta"),
+          sum(when(col("isSink"), col("r"))).as("sinkMass"))
+      val next = Iterate.cutKeyed(merged, parts, "id")
+      val row = merged.queryExecution.observedMetrics(s"pr_$iter")
       delta = getD(row, 0)
       sinkMass = getD(row, 1)
 
@@ -135,7 +142,8 @@ object PageRank {
       }
     }
 
-    adj.unpersist(false); degrees.unpersist(false)
+    adj.unpersist(false); adjHot.foreach(_.unpersist(false))
+    degrees.unpersist(false)
     Result(state.select(col("id"), col("r")), iter, delta, metrics.toSeq)
   }
 

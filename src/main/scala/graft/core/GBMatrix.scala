@@ -74,6 +74,28 @@ final case class GBMatrix(df: DataFrame) {
   /** GrB.prune: drop explicit zeros. */
   def prune: GBMatrix = GBMatrix(df.filter(col("w") =!= 0.0))
 
+  /** Batched GrB_Matrix_setElement (Source/GB_setElement.c pending-tuple
+    * semantics): apply a batch of (src,dst,w) upserts — an update overwrites
+    * an existing entry (the implied SECOND accum of setElement), duplicates
+    * WITHIN the batch combine via `dup` first (GB_builder assembly). In Spark
+    * the per-element C call becomes one batched merge, exactly the
+    * union+compact the reference's GB_wait performs (SURVEY.md §3.3).
+    */
+  def setElements(updates: DataFrame, dup: Monoid = Monoid.Plus): GBMatrix = {
+    val u = GBMatrix(updates.select(col("src").cast("long"),
+      col("dst").cast("long"), col("w").cast("double"))).build(dup)
+      .df.withColumnRenamed("w", "wu")
+    GBMatrix(df.join(u, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"), coalesce(col("wu"), col("w")).as("w")))
+  }
+
+  /** Batched GrB_Matrix_removeElement (zombie deletion): drop the entries
+    * whose (src,dst) appear in `keys` — one anti join, the bulk form of the
+    * reference's zombie sweep (GB_matrix.h:362-390).
+    */
+  def removeElements(keys: DataFrame): GBMatrix =
+    GBMatrix(df.join(keys.select("src", "dst"), Seq("src", "dst"), "left_anti"))
+
   /** Structure only: all weights become 1.0 (spones / iso pattern). */
   def pattern: GBMatrix = GBMatrix(df.select(col("src"), col("dst"), lit(1.0).as("w")))
 
@@ -184,6 +206,30 @@ final case class GBMatrix(df: DataFrame) {
     val win = Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)
     df.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
       .select(col("src").as("id"), col("dst").as("arg"), col("w").as("v"))
+  }
+
+  /** argmin per row (@GrB/argmin.m), same deterministic tie-break. */
+  def argminRows: DataFrame = {
+    val win = Window.partitionBy("src").orderBy(col("w").asc, col("dst").asc)
+    df.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .select(col("src").as("id"), col("dst").as("arg"), col("w").as("v"))
+  }
+
+  /** GrB.norm (@GrB/norm.m): inf-norm = max |a_ij| over stored entries. */
+  def normInf: Double = {
+    val r = df.agg(max(abs(col("w")))).collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** @GrB/isequal.m: same pattern AND same values (within tol; the reference
+    * compares exactly — tol=0 gives that). One full-outer join, one count.
+    */
+  def isequal(other: GBMatrix, tol: Double = 0.0): Boolean = {
+    val b = other.df.withColumnRenamed("w", "wb")
+    df.join(b, Seq("src", "dst"), "full_outer")
+      .filter(col("w").isNull || col("wb").isNull ||
+        abs(col("w") - col("wb")) > tol)
+      .limit(1).count() == 0
   }
 
   /** GxB_Matrix_sort within rows (GraphBLAS.h:10932): rank of each entry in
@@ -332,7 +378,12 @@ final case class GBMatrix(df: DataFrame) {
     */
   def assignRange(a: GBMatrix, i0: Long, j0: Long): GBMatrix = {
     val placed = a.offsetBy(i0, j0)
-    val (iMax, jMax) = (i0 + a.nrowsUpper, j0 + a.ncolsUpper)
+    // ONE fused aggregate for both extents (two separate collects would
+    // execute a's plan twice)
+    val ext = a.df.agg(max(col("src")), max(col("dst"))).collect()(0)
+    val (iMax, jMax) =
+      if (ext.isNullAt(0)) (i0, j0)
+      else (i0 + ext.getLong(0) + 1, j0 + ext.getLong(1) + 1)
     val outside = df.filter(!(col("src") >= i0 && col("src") < iMax &&
       col("dst") >= j0 && col("dst") < jMax))
     GBMatrix(outside.unionByName(placed.df))
@@ -394,17 +445,6 @@ final case class GBMatrix(df: DataFrame) {
     val outsideOld = GBMatrix(df.filter(!inRegion))
     val outsideKept = if (replace) outsideOld.maskBy(mask).df else outsideOld.df
     GBMatrix(outsideKept.unionByName(insideKept).unionByName(newIn))
-  }
-
-  /** Upper bounds (max index + 1) used by assignRange to define the target
-    * region extent; computed lazily from the data (the engine is dimensionless
-    * like a Dataset; the reference tracks vlen/vdim explicitly).
-    */
-  private def nrowsUpper: Long = df.agg(max(col("src"))).collect()(0) match {
-    case r if r.isNullAt(0) => 0L; case r => r.getLong(0) + 1
-  }
-  private def ncolsUpper: Long = df.agg(max(col("dst"))).collect()(0) match {
-    case r if r.isNullAt(0) => 0L; case r => r.getLong(0) + 1
   }
 
   // --- graph-matrix conveniences (§2.10 interface layer) -----------------------
@@ -492,6 +532,24 @@ object GBMatrix {
   def of(spark: SparkSession, entries: Seq[(Long, Long, Double)]): GBMatrix = {
     import spark.implicits._
     GBMatrix(entries.toDF("src", "dst", "w"))
+  }
+
+  /** GrB.random / sprand (@GrB/random.m): deterministic sparse random m×n
+    * matrix with ~`density`·m·n entries, weights uniform in (0,1). O(nnz)
+    * work and fully distributed: positions/values are pure hash functions of
+    * a row index (no RNG state), so the result is identical at any
+    * parallelism. Collisions collapse via build (slightly fewer than nnz
+    * entries, like sprand's duplicate draws).
+    */
+  def random(spark: SparkSession, m: Long, n: Long, density: Double,
+             seed: Long = 42L): GBMatrix = {
+    val nnz = math.max(1L, (density * m * n).toLong)
+    val base = spark.range(0, nnz)
+    GBMatrix(base.select(
+      pmod(xxhash64(col("id"), lit(seed)), lit(m)).as("src"),
+      pmod(xxhash64(col("id"), lit(seed + 1)), lit(n)).as("dst"),
+      (abs(xxhash64(col("id"), lit(seed + 2))).cast("double") /
+        lit(Long.MaxValue.toDouble)).as("w"))).build(Monoid.Max)
   }
 
   /** GxB_Matrix_concat (GraphBLAS.h:3613): assemble a 2-D grid of tiles.

@@ -10,12 +10,23 @@ import org.apache.spark.sql.functions._
   *
   * The gather join `adj ⋈ state ON src` hash-partitions edges by src, so one
   * power-law hub src owning p% of the edges puts p% of the join + multiply +
-  * partial-agg work in ONE task. Fix: salt ONLY the hot keys — edges of a hot
-  * src get `salt = dst mod S` (spreading the hub over S reducers), cold edges
-  * get salt 0 (their distribution was fine); the state side replicates the few
-  * hot rows S times and keeps the rest single. The join key becomes
-  * (src, salt). Results are identical (same product set, regrouped), and the
-  * cold path pays only a constant-column overhead.
+  * partial-agg work in ONE task.
+  *
+  * Two remedies, both provided:
+  *
+  * 1. **Hot-key isolation** (used by PageRank/CC): split the (few, detected)
+  *    hot-src edges out and salt-spread them across partitions by `dst`; the
+  *    cold edges keep their src partitioning (co-partitioned with the state,
+  *    zero exchange), while the hot edges join against a BROADCAST of the
+  *    ≤cap hot state rows — replicating the tiny state side to every
+  *    partition instead of funneling the huge edge side through one task.
+  *    No extra data-sized exchange anywhere; identical results.
+  *
+  * 2. **Key salting** (`saltEdges`/`saltState`, used by vxmSalted-style
+  *    one-shot products): append `salt = dst mod S` to hot keys and
+  *    replicate the matching state rows S times; join on (src, salt).
+  *    Simpler, but re-keys the state join — right for single products,
+  *    wasteful inside loops whose state partitioning is otherwise reused.
   */
 object Skew {
 

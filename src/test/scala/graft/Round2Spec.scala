@@ -117,6 +117,36 @@ class Round2Spec extends SparkTestBase {
       labs(LabelPropagation.run(spark, e, maxIter = 20)))
   }
 
+  test("setElements upserts (SECOND accum) / removeElements deletes") {
+    import spark.implicits._
+    val m = toMatrix(Map((1L, 1L) -> 1.0, (2L, 2L) -> 2.0))
+    val upd = Seq((1L, 1L, 9.0), (3L, 3L, 5.0), (3L, 3L, 1.0)).toDF("src", "dst", "w")
+    assertMatrixEq(toMap(m.setElements(upd, Monoid.Plus)),
+      Map((1L, 1L) -> 9.0, (2L, 2L) -> 2.0, (3L, 3L) -> 6.0))
+    val del = Seq((2L, 2L), (9L, 9L)).toDF("src", "dst")
+    assertMatrixEq(toMap(m.removeElements(del)), Map((1L, 1L) -> 1.0))
+  }
+
+  test("argminRows / normInf / isequal") {
+    val m = toMatrix(Map((1L, 1L) -> 3.0, (1L, 2L) -> -5.0, (2L, 7L) -> 2.0))
+    assert(dfToVec(m.argminRows.select("id", "v")) == Map(1L -> -5.0, 2L -> 2.0))
+    assert(m.normInf == 5.0)
+    assert(m.isequal(m))
+    assert(!m.isequal(m.prune.apply((_, _, w) => w + 1.0)))
+    assert(!m.isequal(toMatrix(Map((1L, 1L) -> 3.0)))) // pattern differs
+  }
+
+  test("random/sprand: deterministic, in-bounds, ~density, partitioning-independent") {
+    val a = GBMatrix.random(spark, 100, 50, 0.05, seed = 3L)
+    val b = GBMatrix.random(spark, 100, 50, 0.05, seed = 3L)
+    val m = toMap(a)
+    assert(m == toMap(b)) // bit-identical regeneration
+    assert(m.keys.forall { case (i, j) => i >= 0 && i < 100 && j >= 0 && j < 50 })
+    assert(m.values.forall(w => w > 0.0 && w < 1.0))
+    assert(m.size > 150 && m.size <= 250) // ~250 draws minus collisions
+    assert(toMap(GBMatrix(a.df.repartition(7))) == m)
+  }
+
   test("triplet reader skips %% and # comment lines (MatrixMarket banners)") {
     val path = "/tmp/graft_triplet_comment_test.txt"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
