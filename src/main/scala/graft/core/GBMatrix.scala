@@ -254,16 +254,28 @@ final case class GBMatrix(df: DataFrame) {
       col("src"), col("dst").as("k"), col("w").as("wa"))
     val b = (if (desc.transposeB) other.transpose else other).df.select(
       col("src").as("k"), col("dst"), col("w").as("wb"))
-    val prod = a.join(b, Seq("k"))
-      .select(col("src"), col("dst"), sr.mult(col("wa"), col("wb")).as("t"))
-    val masked = mask match {
-      case Some(m) if !desc.maskComplement =>
-        prod.join(m.df.select("src", "dst"), Seq("src", "dst"), "left_semi")
-      case Some(m) =>
-        prod.join(m.df.select("src", "dst"), Seq("src", "dst"), "left_anti")
-      case None => prod
+    mask match {
+      case Some(m) if desc.dot3 && !desc.maskComplement =>
+        // dot3 (GB_AxB_dot3.c): start FROM the mask and compute only the
+        // masked dot products — work is Σ_{(i,j)∈M} deg_A(i), not the full
+        // product. The right method when the mask is sparse (Desc scaladoc).
+        val prod = m.df.select("src", "dst")
+          .join(a, Seq("src"))
+          .join(b, Seq("k", "dst"))
+          .select(col("src"), col("dst"), sr.mult(col("wa"), col("wb")).as("t"))
+        GBMatrix(prod.groupBy("src", "dst").agg(sr.add.agg(col("t")).as("w")))
+      case _ =>
+        val prod = a.join(b, Seq("k"))
+          .select(col("src"), col("dst"), sr.mult(col("wa"), col("wb")).as("t"))
+        val masked = mask match {
+          case Some(m) if !desc.maskComplement =>
+            prod.join(m.df.select("src", "dst"), Seq("src", "dst"), "left_semi")
+          case Some(m) =>
+            prod.join(m.df.select("src", "dst"), Seq("src", "dst"), "left_anti")
+          case None => prod
+        }
+        GBMatrix(masked.groupBy("src", "dst").agg(sr.add.agg(col("t")).as("w")))
     }
-    GBMatrix(masked.groupBy("src", "dst").agg(sr.add.agg(col("t")).as("w")))
   }
 
   /** GrB_mxv w = A·u (GraphBLAS.h:4662): gather on dst, scatter-agg on src.
@@ -527,6 +539,14 @@ object GBMatrix {
     */
   def diagOf(v: DataFrame, k: Long = 0): GBMatrix =
     GBMatrix(v.select(col("id").as("src"), (col("id") + k).as("dst"), col("v").as("w")))
+
+  /** GrB_Vector_build (GraphBLAS.h:2255-2393): a vector from (id, v) tuples,
+    * duplicates combined with the dup monoid — the named vector-side twin of
+    * Matrix build (same one-shuffle groupBy+agg plan).
+    */
+  def buildVector(v: DataFrame, dup: Monoid = Monoid.Plus): DataFrame =
+    v.select(col("id").cast("long"), col("v").cast("double"))
+      .groupBy("id").agg(dup.agg(col("v")).as("v"))
 
   /** In-memory matrix for tests/fixtures. */
   def of(spark: SparkSession, entries: Seq[(Long, Long, Double)]): GBMatrix = {

@@ -149,14 +149,20 @@ object Semiring {
 }
 
 /** Descriptor: per-call execution modifiers
-  * (/root/reference/Source/Shared/GB_opaque.h:444-465). `GxB_AxB_METHOD` has
-  * no analogue — AQE + broadcast hints play that role.
+  * (/root/reference/Source/Shared/GB_opaque.h:444-465). `dot3` is the
+  * GxB_AxB_METHOD = GxB_AxB_DOT hint (GraphBLAS.h:444-471): with a sparse
+  * mask, compute ONLY the masked dot products (mask-first join order,
+  * Source/GB_AxB_dot3.c) instead of the full product filtered by the mask —
+  * a win when Σ_{(i,j)∈M} deg_A(i) ≪ Σ_k deg_A(k)·deg_B(k). The default
+  * (auto) stays saxpy-shaped and lets AQE pick join strategies, mirroring
+  * GB_AxB_meta_adotb_control's auto mode.
   */
 final case class Desc(
     transposeA: Boolean = false,
     transposeB: Boolean = false,
     maskComplement: Boolean = false,
     maskStructural: Boolean = false,
-    replace: Boolean = false)
+    replace: Boolean = false,
+    dot3: Boolean = false)
 
 object Desc { val default: Desc = Desc() }

@@ -30,6 +30,36 @@ object TripletReader {
       coalesce(get(col("f"), lit(2)).cast("double"), lit(1.0)).as("w")), dup)
   }
 
+  /** MatrixMarket coordinate reader (the reference bundles
+    * Demo/Matrix/cover.mtx — 1-based, `%%MatrixMarket` banner, a dims line,
+    * then `i j [x]` entries; `symmetric` in the banner stores only one
+    * triangle). Line order within a text file is recovered via zipWithIndex
+    * (splits are offset-ordered), so the dims line — the first non-comment
+    * line — is identified distributively, not by a driver-side file read.
+    * Returns (matrix, nrows, ncols).
+    */
+  def readMatrixMarket(spark: SparkSession, path: String,
+                       dup: Monoid = Monoid.Plus): (GBMatrix, Long, Long) = {
+    val lines = spark.read.text(path).rdd.map(_.getString(0)).zipWithIndex()
+      .filter { case (l, _) => l.trim.nonEmpty }
+    val banner = lines.map { case (l, i) => (i, l) }.sortByKey().first()._2
+    val symmetric = banner.toLowerCase.contains("symmetric")
+    val data = lines.filter { case (l, _) => !l.trim.startsWith("%") }
+    val dimsIdx = data.map(_._2).min()
+    val dimsTok = data.filter(_._2 == dimsIdx).first()._1.trim.split("\\s+")
+    val (nrows, ncols) = (dimsTok(0).toLong, dimsTok(1).toLong)
+    import spark.implicits._
+    val entries = data.filter(_._2 != dimsIdx).map(_._1).toDF("value")
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .select((element_at(col("f"), 1).cast("long") - 1).as("src"),
+        (element_at(col("f"), 2).cast("long") - 1).as("dst"),
+        coalesce(get(col("f"), lit(2)).cast("double"), lit(1.0)).as("w"))
+    val full = if (!symmetric) entries
+               else entries.unionByName(entries.filter(col("src") =!= col("dst"))
+                 .select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    (GBMatrix.fromTuples(full, dup), nrows, ncols)
+  }
+
   def write(m: GBMatrix, path: String, oneBased: Boolean = false): Unit = {
     val off = if (oneBased) 1L else 0L
     m.df.select(concat_ws(" ", col("src") + off, col("dst") + off, col("w")).as("value"))

@@ -154,4 +154,39 @@ class Round2Spec extends SparkTestBase {
     val m = graft.sources.TripletReader.read(spark, path, oneBased = true)
     assertMatrixEq(toMap(m), Map((0L, 1L) -> 3.5, (1L, 2L) -> 1.0))
   }
+
+  test("MatrixMarket reader: banner, dims line, 1-based; symmetric mirroring") {
+    val gen = "/tmp/graft_mm_general.mtx"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(gen),
+      "%%MatrixMarket matrix coordinate real general\n% comment\n3 4 3\n1 2 5.0\n3 4 1.5\n2 2 -2.0\n")
+    val (m, r, c) = graft.sources.TripletReader.readMatrixMarket(spark, gen)
+    assert((r, c) == (3L, 4L))
+    assertMatrixEq(toMap(m),
+      Map((0L, 1L) -> 5.0, (2L, 3L) -> 1.5, (1L, 1L) -> -2.0))
+    val sym = "/tmp/graft_mm_symmetric.mtx"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(sym),
+      "%%MatrixMarket matrix coordinate pattern symmetric\n3 3 2\n2 1\n3 3\n")
+    val (ms, rs, cs) = graft.sources.TripletReader.readMatrixMarket(spark, sym)
+    assert((rs, cs) == (3L, 3L))
+    assertMatrixEq(toMap(ms),
+      Map((1L, 0L) -> 1.0, (0L, 1L) -> 1.0, (2L, 2L) -> 1.0))
+  }
+
+  test("buildVector combines duplicate (id,v) tuples with the dup monoid") {
+    import spark.implicits._
+    val raw = Seq((1L, 2.0), (1L, 3.0), (4L, 1.0)).toDF("id", "v")
+    assert(dfToVec(GBMatrix.buildVector(raw, Monoid.Plus)) == Map(1L -> 5.0, 4L -> 1.0))
+    assert(dfToVec(GBMatrix.buildVector(raw, Monoid.Min)) == Map(1L -> 2.0, 4L -> 1.0))
+  }
+
+  test("mxm dot3 (mask-first) matches the saxpy-shaped masked product") {
+    val a = toMatrix(sprand(12, 0.3, 21L))
+    val b = toMatrix(sprand(12, 0.3, 22L))
+    val mask = toMatrix(sprand(12, 0.2, 23L))
+    for (sr <- Seq(Semiring.PlusTimes, Semiring.MinPlus, Semiring.PlusPair)) {
+      val saxpy = toMap(a.mxm(b, sr, Some(mask)))
+      val dot3 = toMap(a.mxm(b, sr, Some(mask), Desc(dot3 = true)))
+      assertMatrixEq(dot3, saxpy, ctx = s"dot3 ${sr.name}")
+    }
+  }
 }
