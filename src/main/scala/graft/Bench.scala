@@ -228,6 +228,16 @@ object Bench {
 
     // hub-skew fixture: salted vs unsalted gather at full parallelism
     val (hubEdges, hubSalted, hubUnsalted) = hubFixture(spark, scaleIters)
+
+    // floor-amortized scaling input: the 10x corpus (~80M edges at the
+    // default), where the ~1 s parallelism-independent per-iteration floor
+    // is <10% of an iteration. SPARK_GRAFT_BIG_FILES=0 disables.
+    val bigFiles = sys.env.getOrElse("SPARK_GRAFT_BIG_FILES", "20000000").toLong
+    val bigPath = s"/tmp/graft_bench_edges_$bigFiles"
+    if (bigFiles > 0 && !new java.io.File(s"$bigPath/_SUCCESS").exists()) {
+      Corpus.deriveEdges(Corpus.synthesize(spark, bigFiles))
+        .write.mode("overwrite").parquet(bigPath)
+    }
     spark.stop()
 
     // --- throughput at both parallelism levels, each in a FRESH CHILD JVM:
@@ -247,6 +257,16 @@ object Bench {
     // strong-scaling efficiency lowCpus -> cpus (ideal speedup = cpus/lowCpus)
     val idealSpeedup = cpus.toDouble / lowCpus
     val efficiency = (tputHi / tputLo) / idealSpeedup
+
+    // floor-amortized scaling on the big graph (one child per level)
+    val bigIters = sys.env.getOrElse("SPARK_GRAFT_BIG_ITERS", "6").toInt
+    val (bigNnz, bigHi, bigLo) =
+      if (bigFiles > 0) {
+        val (n1, hi) = childThroughput(cpus, bigPath, bigIters)
+        val (_, lo) = childThroughput(lowCpus, bigPath, bigIters)
+        (n1, hi, lo)
+      } else (0L, 0.0, 0.0)
+    val bigEff = if (bigLo > 0) (bigHi / bigLo) / idealSpeedup else 0.0
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + jn(v, 3) }
       .mkString("{", ",", "}")
@@ -268,6 +288,12 @@ object Bench {
       s""""mem_bandwidth_gbps_c$cpus":${jn(memHi / 1e9, 1)},""" +
       s""""efficiency_vs_mem_ceiling":${jn(efficiency / math.max(memCeiling, 1e-9), 3)},""" +
       s""""efficiency_vs_ceiling":${jn(efficiency / math.max(cpuCeiling, 1e-9), 3)}},""" +
+      s""""scaling_amortized":{"edges":$bigNnz,""" +
+      s""""edges_per_sec_per_iter_c$cpus":${jn(bigHi, 0)},""" +
+      s""""edges_per_sec_per_iter_c$lowCpus":${jn(bigLo, 0)},""" +
+      s""""measured_speedup":${jn(if (bigLo > 0) bigHi / bigLo else 0.0, 2)},""" +
+      s""""efficiency":${jn(bigEff, 3)},""" +
+      s""""efficiency_vs_mem_ceiling":${jn(bigEff / math.max(memCeiling, 1e-9), 3)}},""" +
       s""""hub_fixture":{"edges":$hubEdges,"salted_sec_per_iter":${jn(hubSalted, 3)},""" +
       s""""unsalted_sec_per_iter":${jn(hubUnsalted, 3)},""" +
       s""""salted_speedup":${jn(if (hubSalted > 0) hubUnsalted / hubSalted else 0.0, 2)}}}"""

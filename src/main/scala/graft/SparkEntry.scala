@@ -417,6 +417,12 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextStats.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
 
+    // pipeline: stream-shaped event analytics (batch form; SURVEY.md §2.11)
+    "events_windowed" -> ((s, d) =>
+      Events.windowedCounts(s.read.parquet(s"$d/events.parquet"))),
+    "events_sessions" -> ((s, d) =>
+      Events.sessions(s.read.parquet(s"$d/events.parquet"), gapMinutes = 30)),
+
     // pipeline: multimodal plumbing (stubbed codec, real schema/partitioning)
     "media_features" -> ((s, _) =>
       Multimodal.decodeAndFeaturize(s, Multimodal.synthesize(s, 1000))
@@ -811,6 +817,24 @@ object SparkEntry {
          |SELECT qid, id, CAST(rn AS INT) AS rank FROM (
          |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
          |  FROM s) WHERE rn <= 5""".stripMargin,
+
+    "events_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      """WITH w AS (SELECT user_id, event_id, ts, value,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess FROM w),
+        |c AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess FROM s)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
+        |round(sum(value), 6) AS sum_value,
+        |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "media_features" -> "", // engine-internal synthesis: rows-only
     "media_frames" -> ""

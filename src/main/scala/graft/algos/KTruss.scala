@@ -35,9 +35,12 @@ object KTruss {
 
     while (!stable && iter < maxIter && nvals > 0) {
       val support = TriangleCount.edgeSupport(canon)
-      val kept = Iterate.cut(canon.join(
-          support.filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi"))
-      val newN = kept.count()
+      // surviving-edge count observed during the cut pass (no extra job)
+      val keptPre = canon.join(
+          support.filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi")
+        .observe(s"ktruss_$iter", count(lit(1)).as("n"))
+      val kept = Iterate.cut(keptPre)
+      val newN = keptPre.queryExecution.observedMetrics(s"ktruss_$iter").getLong(0)
       stable = newN == nvals
       Iterate.free(canon)
       canon = kept

@@ -36,11 +36,14 @@ object SSSP {
       val cand = adj.join(frontier.select(col("id").as("src"), col("dist")), Seq("src"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
         .groupBy("id").agg(min(col("nd")).as("nd"))
-      // improved = strictly better than current (or newly reached)
-      val improved = Iterate.cut(cand.join(dist, Seq("id"), "left")
+      // improved = strictly better than current (or newly reached); its size
+      // is observed during the cut pass itself (no extra count job)
+      val improvedPre = cand.join(dist, Seq("id"), "left")
         .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("id"), col("nd").as("dist")))
-      active = improved.count()
+        .select(col("id"), col("nd").as("dist"))
+        .observe(s"sssp_$iter", count(lit(1)).as("n"))
+      val improved = Iterate.cut(improvedPre)
+      active = improvedPre.queryExecution.observedMetrics(s"sssp_$iter").getLong(0)
       if (active > 0) {
         val newDist = Iterate.cut(dist.join(improved.select("id"), Seq("id"), "left_anti")
           .unionByName(improved))

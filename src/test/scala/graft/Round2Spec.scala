@@ -179,6 +179,26 @@ class Round2Spec extends SparkTestBase {
     assert(dfToVec(GBMatrix.buildVector(raw, Monoid.Min)) == Map(1L -> 2.0, 4L -> 1.0))
   }
 
+  test("events: tumbling-window counts and gap sessionization") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (0L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0, "{}"),
+      (2L, ts("2024-01-01 01:10:00"), 1L, "view", 4.0, "{}"),  // >30min gap: new session
+      (3L, ts("2024-01-01 00:10:00"), 2L, "view", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val win = graft.pipeline.Events.windowedCounts(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(win == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00", "view", 1L, 4.0),
+      ("2024-01-01 00:00:00", "view", 1L, 8.0)))
+    val sess = graft.pipeline.Events.sessions(ev, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sess == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)))
+  }
+
   test("mxm dot3 (mask-first) matches the saxpy-shaped masked product") {
     val a = toMatrix(sprand(12, 0.3, 21L))
     val b = toMatrix(sprand(12, 0.3, 22L))
