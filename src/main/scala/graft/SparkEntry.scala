@@ -122,6 +122,12 @@ object SparkEntry {
     "gb_extract" -> ((s, d) =>
       GBMatrix(edgesBi(s, d)).extractRange(1, 50, PartOffset + 1, PartOffset + 500).df),
 
+    // §2.5 GrB_Col_extract + row twin: single-column/row vectors (ids exist
+    // at every SF: supplier/part key spaces start at 0)
+    "gb_col_extract" -> ((s, d) =>
+      GBMatrix(edgesBi(s, d)).extractCol(PartOffset + 7)),
+    "gb_row_extract" -> ((s, d) => GBMatrix(edgesBi(s, d)).extractRow(7)),
+
     // §2.5 extract with EXPLICIT index lists (incl. a duplicated index —
     // duplicates duplicate rows, GraphBLAS.h:4991 / GB_subref.c semantics)
     "gb_extract_index" -> ((s, d) =>
@@ -323,6 +329,11 @@ object SparkEntry {
     // §2.10 PageRank, 5 fixed iterations (SQL-oracle-checkable unrolled form)
     "algo_pagerank5" -> ((s, d) =>
       PageRank.runFixed(s, edgesBi(s, d), k = 5)
+        .select(col("id"), round(col("r"), 8).as("r"))),
+
+    // §2.10 WEIGHTED PageRank (pagerank.m:74-85 +.* semiring), 5 iterations
+    "algo_pagerank5w" -> ((s, d) =>
+      PageRank.runFixed(s, edgesBi(s, d), k = 5, weighted = true)
         .select(col("id"), round(col("r"), 8).as("r"))),
 
     // §2.10 PageRank to convergence at 1e-6 (flagship; no SQL equivalent)
@@ -664,6 +675,12 @@ object SparkEntry {
          |  UNION ALL SELECT a, c FROM tri) GROUP BY lo, hi""".stripMargin,
 
     "algo_pagerank5" -> pagerankUnrolledSql(5),
+    "algo_pagerank5w" -> pagerankUnrolledSql(5, weighted = true),
+
+    "gb_col_extract" ->
+      s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
+    "gb_row_extract" ->
+      s"""SELECT dst AS id, w AS v FROM ($edgesBiSql) WHERE src = 7""",
 
     "algo_cc" ->
       s"""WITH RECURSIVE e AS (SELECT src, dst FROM ($edgesSupSql)),
@@ -863,11 +880,14 @@ object SparkEntry {
   }
 
   /** k unrolled PageRank iterations as DuckDB SQL (same math as
-    * algos.PageRank: damp=0.85, sinks d=1 contribute damp*mass/n, start 1/n).
+    * algos.PageRank: damp=0.85, sinks d=1 contribute damp*mass/n, start 1/n;
+    * weighted multiplies each contribution by the edge weight — +.* semiring,
+    * pagerank.m:74-85 — while d stays the out-degree count).
     */
-  private def pagerankUnrolledSql(k: Int): String = {
+  private def pagerankUnrolledSql(k: Int, weighted: Boolean = false): String = {
+    val term = if (weighted) "r%d.r / deg.d * e.w" else "r%d.r / deg.d"
     val prelude =
-      s"""WITH e AS (SELECT src, dst FROM ($edgesBiSql)),
+      s"""WITH e AS (SELECT src, dst, w FROM ($edgesBiSql)),
          |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
          |deg AS (SELECT verts.id, COALESCE(o.d, 1.0) AS d, o.d IS NULL AS sink
@@ -877,7 +897,7 @@ object SparkEntry {
     val iters = (1 to k).map { i =>
       s"""s$i AS (SELECT sum(r${i - 1}.r) AS m FROM r${i - 1}
          |        JOIN deg ON deg.id = r${i - 1}.id AND deg.sink),
-         |c$i AS (SELECT e.dst AS id, sum(r${i - 1}.r / deg.d) AS c
+         |c$i AS (SELECT e.dst AS id, sum(${term.format(i - 1)}) AS c
          |        FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src
          |        JOIN deg ON deg.id = e.src GROUP BY e.dst),
          |r$i AS (SELECT verts.id,

@@ -42,18 +42,26 @@ object PageRank {
     * @param skewSalts     salt-bucket count for hub-src skew in the gather
     *                      join (graft.core.Skew); applied only when a hot key
     *                      is actually detected. <= 0 disables detection.
+    * @param weighted      pagerank.m:74-85: weighted=true multiplies each
+    *                      contribution by the stored edge weight (+.* instead
+    *                      of +.2nd); d stays the out-degree COUNT either way
+    *                      (pagerank.m:97, GrB.entries 'degree'). Weighted
+    *                      input must have unique (src,dst) entries.
     */
   def run(spark: SparkSession, edges: DataFrame, damp: Double = 0.85,
           tol: Double = 1e-6, maxIter: Int = 100,
           checkpointDir: Option[String] = None, checkpointEvery: Int = 10,
-          numPartitions: Int = 0, skewSalts: Int = 8): Result = {
+          numPartitions: Int = 0, skewSalts: Int = 8,
+          weighted: Boolean = false): Result = {
 
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    // distinct structural edges, partitioned by src and cached: the loop's
-    // reusable CSR side (reference keeps A by-row; we keep the partitioning)
-    val adjPlain = edges.select(col("src"), col("dst")).distinct()
+    // edges partitioned by src and cached: the loop's reusable CSR side
+    // (reference keeps A by-row; we keep the partitioning); unweighted runs
+    // carry only the structure
+    val adjPlain = (if (weighted) edges.select(col("src"), col("dst"), col("w"))
+                    else edges.select(col("src"), col("dst")).distinct())
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -115,7 +123,8 @@ object PageRank {
         case Some(h) => adj.join(stateT, Seq("src")).unionByName(
           h.join(broadcast(stateT.filter(col("src").isin(hot: _*))), Seq("src")))
       }
-      val contrib = gathered.groupBy(col("dst").as("id")).agg(sum(col("t")).as("s"))
+      val term = if (weighted) col("t") * col("w") else col("t") // +.* vs +.2nd
+      val contrib = gathered.groupBy(col("dst").as("id")).agg(sum(term).as("s"))
 
       // inf-norm convergence (normdiff.m:12-16) + the NEXT iteration's sink
       // mass are OBSERVED during the state-materialization pass itself
@@ -175,6 +184,7 @@ object PageRank {
   /** Fixed-iteration-count variant with no early exit — used by the unrolled
     * SQL oracle (same math, k iterations exactly).
     */
-  def runFixed(spark: SparkSession, edges: DataFrame, k: Int, damp: Double = 0.85): DataFrame =
-    run(spark, edges, damp = damp, tol = 0.0, maxIter = k).ranks
+  def runFixed(spark: SparkSession, edges: DataFrame, k: Int, damp: Double = 0.85,
+               weighted: Boolean = false): DataFrame =
+    run(spark, edges, damp = damp, tol = 0.0, maxIter = k, weighted = weighted).ranks
 }

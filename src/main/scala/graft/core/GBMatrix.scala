@@ -110,6 +110,20 @@ final case class GBMatrix(df: DataFrame) {
   def resize(m: Long, n: Long): GBMatrix =
     GBMatrix(df.filter(col("src") < m && col("dst") < n))
 
+  /** GrB_Col_extract w = A(:,j) (GraphBLAS.h:5004): one pushed-down filter. */
+  def extractCol(j: Long): DataFrame =
+    df.filter(col("dst") === j).select(col("src").as("id"), col("w").as("v"))
+
+  /** Row twin: w' = A(i,:). */
+  def extractRow(i: Long): DataFrame =
+    df.filter(col("src") === i).select(col("dst").as("id"), col("w").as("v"))
+
+  /** GrB.save (@GrB/save.m analogue): the serialize/deserialize surface is
+    * a compressed columnar parquet write (GxB_Matrix_serialize's
+    * LZ4/ZSTD blob, GraphBLAS.h:10827, maps to parquet's codec).
+    */
+  def save(path: String): Unit = df.write.mode("overwrite").parquet(path)
+
   /** GrB_Matrix_extract with EXPLICIT index lists (GraphBLAS.h:4991,
     * Source/GB_subref.c): C(k,l) = A(I(k), J(l)). Index lists arrive as
     * (id, pos) DataFrames — at scale an index list can itself be data-sized,
@@ -553,6 +567,10 @@ object GBMatrix {
     import spark.implicits._
     GBMatrix(entries.toDF("src", "dst", "w"))
   }
+
+  /** GrB.load (@GrB/load.m analogue): read a matrix saved with save(). */
+  def load(spark: SparkSession, path: String): GBMatrix =
+    GBMatrix(spark.read.parquet(path).select(col("src"), col("dst"), col("w")))
 
   /** GrB.random / sprand (@GrB/random.m): deterministic sparse random m×n
     * matrix with ~`density`·m·n entries, weights uniform in (0,1). O(nnz)

@@ -179,6 +179,55 @@ class Round2Spec extends SparkTestBase {
     assert(dfToVec(GBMatrix.buildVector(raw, Monoid.Min)) == Map(1L -> 2.0, 4L -> 1.0))
   }
 
+  test("codecs: WAV/BMP round-trip with analytic features; pipeline decodes them") {
+    import graft.pipeline.{Codecs, Multimodal}
+    val sr = 8000; val freq = 440.0; val n = 800
+    val wav = Codecs.wavEncodePcm16(sr, Array.tabulate(n)(i =>
+      (16384 * math.sin(2 * math.Pi * freq * i / sr)).toShort))
+    val wi = Codecs.wavDecode(wav)
+    assert(wi.sampleRate == sr && wi.channels == 1 && wi.nSamples == n)
+    assert(math.abs(wi.durationSec - 0.1) < 1e-9)
+    assert(math.abs(wi.rms - 0.5 / math.sqrt(2)) < 0.01)      // sine RMS = A/sqrt(2)
+    assert(math.abs(wi.zeroCrossRate - 2 * freq / sr) < 0.01) // ~2f/sr crossings/sample
+    val bmp = Codecs.bmpEncode24(10, 5, (x, y) => (x * 20, y * 50, 7))
+    val bi = Codecs.bmpDecode(bmp)
+    assert(bi.width == 10 && bi.height == 5)
+    assert(math.abs(bi.meanR - (0 until 10).map(_ * 20).sum / 10.0) < 1e-9)
+    assert(math.abs(bi.meanG - (0 until 5).map(_ * 50).sum / 5.0) < 1e-9)
+    assert(bi.meanB == 7.0)
+    // end-to-end: the Spark pipeline really decodes its audio payloads
+    val feats = Multimodal.decodeAndFeaturize(spark, Multimodal.synthesize(spark, 12))
+      .filter(col("kind") === "audio").select("feature").collect()
+    assert(feats.nonEmpty && feats.forall { r =>
+      val a = r.getSeq[Float](0)
+      a(0) == 0.8f && math.abs(a(2) - 16384.0 / 32768 / math.sqrt(2)) < 0.01
+    })
+  }
+
+  test("weighted PageRank: heavy edge attracts more rank (+.* semiring)") {
+    import spark.implicits._
+    // pagerank.m's weighted mode divides by the out-degree COUNT (not the
+    // weight sum), so mass conservation needs row-stochastic-after-/d
+    // weights: vertex 1's weights sum to its degree (1.8 + 0.2 = 2)
+    val e = Seq((1L, 2L, 1.8), (1L, 3L, 0.2), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val w = dfToVec(PageRank.run(spark, e, tol = 1e-9, maxIter = 60, weighted = true)
+      .ranks.withColumnRenamed("r", "v"))
+    val u = dfToVec(PageRank.run(spark, e, tol = 1e-9, maxIter = 60)
+      .ranks.withColumnRenamed("r", "v"))
+    assert(w(2L) > u(2L) && w(3L) < u(3L), s"weighted=$w unweighted=$u")
+    assert(math.abs(u(2L) - u(3L)) < 1e-9) // unweighted splits evenly
+  }
+
+  test("extractRow/extractCol and save/load round-trip") {
+    val m = toMatrix(Map((1L, 10L) -> 2.0, (1L, 11L) -> 3.0, (2L, 10L) -> 4.0))
+    assert(dfToVec(m.extractRow(1L)) == Map(10L -> 2.0, 11L -> 3.0))
+    assert(dfToVec(m.extractCol(10L)) == Map(1L -> 2.0, 2L -> 4.0))
+    val path = "/tmp/graft_save_load_test"
+    m.save(path)
+    assert(GBMatrix.load(spark, path).isequal(m))
+  }
+
   test("events: tumbling-window counts and gap sessionization") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
