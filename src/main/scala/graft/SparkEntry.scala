@@ -370,6 +370,9 @@ object SparkEntry {
     // §2.10 k-truss (k=4) on the co-supplier graph
     "algo_ktruss" -> ((s, d) => KTruss.run(s, edgesSup(s, d), k = 4)),
 
+    // §2.10 k-truss, 3 fixed rounds (SQL-oracle-checkable unrolled form)
+    "algo_ktruss3" -> ((s, d) => KTruss.runFixed(s, edgesSup(s, d), k = 4, rounds = 3)),
+
     // §2.10 maximal independent set (Luby, deterministic hash scores)
     "algo_mis" -> ((s, d) => MIS.run(s, edgesSup(s, d))),
 
@@ -677,6 +680,8 @@ object SparkEntry {
     "algo_pagerank5" -> pagerankUnrolledSql(5),
     "algo_pagerank5w" -> pagerankUnrolledSql(5, weighted = true),
 
+    "algo_ktruss3" -> ktrussUnrolledSql(4, 3),
+
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
     "gb_row_extract" ->
@@ -856,6 +861,27 @@ object SparkEntry {
     "media_features" -> "", // engine-internal synthesis: rows-only
     "media_frames" -> ""
   ).filter(_._2.nonEmpty)
+
+  /** `rounds` unrolled k-truss support-filter rounds as DuckDB SQL (same
+    * per-round math as algos.KTruss.runFixed: wedge-join support over the
+    * canonical surviving edges, keep support >= k-2).
+    */
+  private def ktrussUnrolledSql(k: Int, rounds: Int): String = {
+    val prelude = s"WITH e0 AS (SELECT src AS lo, dst AS hi FROM ($edgesSupSql))"
+    val rs = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""t$r AS (SELECT x.lo AS a, x.hi AS b, y.hi AS c
+         |      FROM e$p x JOIN e$p y ON x.hi = y.lo
+         |      JOIN e$p z ON z.lo = x.lo AND z.hi = y.hi),
+         |s$r AS (SELECT lo, hi, count(*) AS support FROM (
+         |      SELECT a AS lo, b AS hi FROM t$r
+         |      UNION ALL SELECT b, c FROM t$r
+         |      UNION ALL SELECT a, c FROM t$r) GROUP BY lo, hi),
+         |e$r AS (SELECT e.lo, e.hi FROM e$p e JOIN s$r s
+         |      ON e.lo = s.lo AND e.hi = s.hi AND s.support >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$rs\nSELECT lo, hi FROM e$rounds"
+  }
 
   /** k unrolled label-propagation rounds as DuckDB SQL (same math as
     * algos.LabelPropagation.runFixed: symmetrized structure, per-round

@@ -2,7 +2,6 @@ package graft.algos
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.core.Iterate
 
 /** k-truss (GraphBLAS/@GrB/ktruss.m): iterate C<C> = C*C (plus-and semiring —
@@ -20,33 +19,58 @@ object KTruss {
   def run(spark: SparkSession, edges: DataFrame, k: Int, maxIter: Int = 100,
           numPartitions: Int = 0): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
-    val parts = if (numPartitions > 0) numPartitions
-                else spark.conf.get("spark.sql.shuffle.partitions").toInt
-
-    // canon is referenced 4x per round (3x in edgeSupport + the semi-join):
-    // cut() per round keeps plans leaf-sized (graft.core.Iterate)
-    var canon = Iterate.cut(edges.select(
-        least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
-      .repartition(parts, col("lo")))
+    var canon = canonicalize(spark, edges, numPartitions)
     var nvals = canon.count()
     var iter = 0
     var stable = false
-
     while (!stable && iter < maxIter && nvals > 0) {
-      val support = TriangleCount.edgeSupport(canon)
-      // surviving-edge count observed during the cut pass (no extra job)
-      val keptPre = canon.join(
-          support.filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi")
-        .observe(s"ktruss_$iter", count(lit(1)).as("n"))
-      val kept = Iterate.cut(keptPre)
-      val newN = keptPre.queryExecution.observedMetrics(s"ktruss_$iter").getLong(0)
+      val (kept, newN) = round(canon, k)
       stable = newN == nvals
-      Iterate.free(canon)
       canon = kept
       nvals = newN
       iter += 1
     }
     canon
+  }
+
+  /** Fixed-round variant: exactly `rounds` support-filter rounds, no
+    * fixpoint detection — the SQL-oracle-checkable unrolled form (same
+    * per-round math; converged rounds are no-ops, so the Spark query and the
+    * unrolled oracle agree by construction).
+    */
+  def runFixed(spark: SparkSession, edges: DataFrame, k: Int, rounds: Int,
+               numPartitions: Int = 0): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    var canon = canonicalize(spark, edges, numPartitions)
+    for (_ <- 1 to rounds) canon = round(canon, k)._1
+    canon
+  }
+
+  /** Simple undirected canonical edges, cut (it is referenced 4x per round:
+    * 3x in edgeSupport + the semi-join — graft.core.Iterate).
+    */
+  private def canonicalize(spark: SparkSession, edges: DataFrame,
+                           numPartitions: Int): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Iterate.cut(edges.select(
+        least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .repartition(parts, col("lo")))
+  }
+
+  /** One support-filter round; the surviving-edge count is observed during
+    * the cut pass (no extra job). Frees the superseded state.
+    */
+  private def round(canon: DataFrame, k: Int): (DataFrame, Long) = {
+    val support = TriangleCount.edgeSupport(canon)
+    val keptPre = canon.join(
+        support.filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi")
+      .observe(s"ktruss_${System.identityHashCode(canon)}", count(lit(1)).as("n"))
+    val kept = Iterate.cut(keptPre)
+    val n = keptPre.queryExecution
+      .observedMetrics(s"ktruss_${System.identityHashCode(canon)}").getLong(0)
+    Iterate.free(canon)
+    (kept, n)
   }
 }

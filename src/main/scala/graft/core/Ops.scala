@@ -1,0 +1,98 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's string-named elementwise function inventory as Column
+  * builders — the @GrB string-op surface (`'sqrt'`, `'+.2nd.double'`, …;
+  * /root/reference/Include/GraphBLAS.h:782-950 unary, :986-1390 binary)
+  * resolved to codegen'd Catalyst expressions over the engine's double
+  * domain. Booleans are the reference's {0,1} doubles; bitwise ops operate
+  * on the long reinterpretation, as GrB does on integer types.
+  *
+  * Not carried over: complex parts (no complex type here by design,
+  * SURVEY.md §1.2) and gamma/lgamma/erf/erfc/frexp (no Spark builtin; a
+  * custom Expression would be the route if ever needed).
+  */
+object Ops {
+
+  private def b2d(c: Column): Column = c.cast("double")
+
+  /** GrB_UnaryOp inventory (GraphBLAS.h:782-950). */
+  val unary: Map[String, Column => Column] = Map(
+    "identity" -> (c => c),
+    "ainv"     -> (c => -c),
+    "minv"     -> (c => lit(1.0) / c),
+    "lnot"     -> (c => b2d(c === 0.0)),
+    "one"      -> (_ => lit(1.0)),
+    "abs"      -> (c => abs(c)),
+    "sqrt"     -> (c => sqrt(c)),
+    "log"      -> (c => log(c)),
+    "exp"      -> (c => exp(c)),
+    "log2"     -> (c => log2(c)),
+    "log10"    -> (c => log10(c)),
+    "log1p"    -> (c => log1p(c)),
+    "expm1"    -> (c => expm1(c)),
+    "sin"      -> (c => sin(c)),
+    "cos"      -> (c => cos(c)),
+    "tan"      -> (c => tan(c)),
+    "asin"     -> (c => asin(c)),
+    "acos"     -> (c => acos(c)),
+    "atan"     -> (c => atan(c)),
+    "sinh"     -> (c => sinh(c)),
+    "cosh"     -> (c => cosh(c)),
+    "tanh"     -> (c => tanh(c)),
+    "asinh"    -> (c => asinh(c)),
+    "acosh"    -> (c => acosh(c)),
+    "atanh"    -> (c => atanh(c)),
+    "signum"   -> (c => signum(c)),
+    "ceil"     -> (c => ceil(c).cast("double")),
+    "floor"    -> (c => floor(c).cast("double")),
+    "round"    -> (c => round(c, 0)),
+    "trunc"    -> (c => (c.cast("long")).cast("double")),
+    "isinf"    -> (c => b2d(c === Double.PositiveInfinity ||
+                            c === Double.NegativeInfinity)),
+    "isnan"    -> (c => b2d(isnan(c))),
+    "isfinite" -> (c => b2d(!isnan(c) && c =!= Double.PositiveInfinity &&
+                            c =!= Double.NegativeInfinity)),
+    "bnot"     -> (c => bitwise_not(c.cast("long")).cast("double")))
+
+  /** GrB_BinaryOp inventory (GraphBLAS.h:986-1390); positional
+    * FIRSTI/SECONDJ live on GBMatrix.apply's (i, j, w) signature instead.
+    */
+  val binary: Map[String, (Column, Column) => Column] = Map(
+    "first"     -> ((a, _) => a),
+    "second"    -> ((_, b) => b),
+    "oneb"      -> ((_, _) => lit(1.0)),
+    "pair"      -> ((_, _) => lit(1.0)),
+    "plus"      -> ((a, b) => a + b),
+    "minus"     -> ((a, b) => a - b),
+    "rminus"    -> ((a, b) => b - a),
+    "times"     -> ((a, b) => a * b),
+    "div"       -> ((a, b) => a / b),
+    "rdiv"      -> ((a, b) => b / a),
+    "pow"       -> ((a, b) => pow(a, b)),
+    "min"       -> ((a, b) => least(a, b)),
+    "max"       -> ((a, b) => greatest(a, b)),
+    "any"       -> ((a, _) => a),
+    "iseq"      -> ((a, b) => b2d(a === b)),
+    "isne"      -> ((a, b) => b2d(a =!= b)),
+    "islt"      -> ((a, b) => b2d(a < b)),
+    "isgt"      -> ((a, b) => b2d(a > b)),
+    "isle"      -> ((a, b) => b2d(a <= b)),
+    "isge"      -> ((a, b) => b2d(a >= b)),
+    "lor"       -> ((a, b) => b2d(a =!= 0.0 || b =!= 0.0)),
+    "land"      -> ((a, b) => b2d(a =!= 0.0 && b =!= 0.0)),
+    "lxor"      -> ((a, b) => b2d((a =!= 0.0) =!= (b =!= 0.0))),
+    "atan2"     -> ((a, b) => atan2(a, b)),
+    "hypot"     -> ((a, b) => hypot(a, b)),
+    "fmod"      -> ((a, b) => a % b),
+    "remainder" -> ((a, b) => a - round(a / b, 0) * b),
+    "copysign"  -> ((a, b) => when(b < 0.0, -abs(a)).otherwise(abs(a))),
+    "ldexp"     -> ((a, b) => a * pow(lit(2.0), b)),
+    "bor"       -> ((a, b) => b2d(a.cast("long").bitwiseOR(b.cast("long")))),
+    "band"      -> ((a, b) => b2d(a.cast("long").bitwiseAND(b.cast("long")))),
+    "bxor"      -> ((a, b) => b2d(a.cast("long").bitwiseXOR(b.cast("long")))),
+    "bxnor"     -> ((a, b) => b2d(bitwise_not(
+      a.cast("long").bitwiseXOR(b.cast("long"))))))
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{GBMatrix, Iterate, Semiring}
+
+/** Physical-plan shape assertions: the properties the 100 TB story depends
+  * on, checked against the ACTUAL executed plans (not hopes): column pruning
+  * and predicate pushdown reach the parquet scan, the loop-state join runs
+  * without a shuffle, masks sit below aggregations, small sides broadcast.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final physical plan string (execute first so AQE settles). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("lineitem scan prunes to the two referenced columns") {
+    val plan = finalPlan(SparkEntry.edgesBi(spark, sf))
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_suppkey") && scan.contains("l_partkey"), scan)
+    assert(!scan.contains("l_quantity") && !scan.contains("l_orderkey"),
+      s"scan reads more than the projection needs: $scan")
+  }
+
+  test("extractRange predicates push below the build aggregation to the scan") {
+    val df = GBMatrix(SparkEntry.edgesBi(spark, sf))
+      .extractRange(1, 5, SparkEntry.PartOffset + 1, SparkEntry.PartOffset + 50).df
+    val plan = finalPlan(df)
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    // the src range is a group key: Catalyst must push it through the groupBy
+    // into the parquet scan
+    assert(pushed.contains("l_suppkey"), s"no pushed filter on l_suppkey: $pushed")
+  }
+
+  test("cutKeyed loop-state join is exchange-free (declared partitioning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // disable auto-broadcast so the join exercises the co-partitioned
+    // shuffle-hash path the loops rely on at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val parts = 4
+      val adj = (1L to 400L).map(i => (i % 50, i % 37)).toDF("src", "dst")
+        .repartition(parts, col("src")).cache()
+      adj.count()
+      val state = Iterate.cutKeyed(
+        (0L until 50L).map(i => (i, i * 2.0)).toDF("id", "v"), parts, "id")
+      val j = adj.join(state.select(col("id").as("src"), col("v")), Seq("src"))
+      j.collect()
+      val exec = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the cache's one-time setup repartition lives INSIDE the
+      // InMemoryRelation (a leaf here); the JOIN itself must add no shuffle
+      val shuffles = exec.collect {
+        case s: ShuffleExchangeLike => s
+        case q: ShuffleQueryStageExec => q
+      }
+      assert(shuffles.isEmpty, s"state join re-shuffled:\n$exec")
+      adj.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("masked mxm: the mask semi-join sits BELOW the aggregation") {
+    val a = toMatrix(sprand(10, 0.4, 31L))
+    val m = toMatrix(sprand(10, 0.3, 32L))
+    val plan = finalPlan(a.mxm(a.transpose, Semiring.PlusPair, Some(m)).df)
+    val aggAt = plan.indexOf("HashAggregate")
+    val semiAt = plan.indexOf("Semi")
+    assert(aggAt >= 0 && semiAt >= 0, plan)
+    assert(aggAt < semiAt, // parents print before children: agg above semi
+      s"mask semi-join is not below the aggregation:\n$plan")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val e = spark.read.parquet(s"$sf/../sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val plan = finalPlan(
+      graft.pipeline.Similarity.bruteForceTopK(e, q, k = 3))
+    assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
+  }
+}

@@ -179,6 +179,53 @@ class Round2Spec extends SparkTestBase {
     assert(dfToVec(GBMatrix.buildVector(raw, Monoid.Min)) == Map(1L -> 2.0, 4L -> 1.0))
   }
 
+  test("Ops registry: named unary/binary functions match scala math") {
+    import spark.implicits._
+    val vals = Seq(0.25, 1.0, 2.5, 7.0)
+    val df = vals.map(v => (v, 3.0)).toDF("a", "b")
+    val uExpect: Map[String, Double => Double] = Map(
+      "ainv" -> (-_), "minv" -> (1.0 / _), "abs" -> math.abs, "sqrt" -> math.sqrt,
+      "log" -> math.log, "exp" -> math.exp, "sin" -> math.sin, "tanh" -> math.tanh,
+      "signum" -> (v => math.signum(v)), "floor" -> math.floor,
+      "one" -> (_ => 1.0), "lnot" -> (v => if (v == 0.0) 1.0 else 0.0))
+    for ((name, f) <- uExpect) {
+      val got = df.select(Ops.unary(name)(col("a"))).collect().map(_.getDouble(0))
+      got.zip(vals).foreach { case (g, v) =>
+        assert(math.abs(g - f(v)) < 1e-12, s"unary $name($v)") }
+    }
+    val bExpect: Map[String, (Double, Double) => Double] = Map(
+      "plus" -> (_ + _), "minus" -> (_ - _), "rminus" -> ((a, b) => b - a),
+      "times" -> (_ * _), "div" -> (_ / _), "rdiv" -> ((a, b) => b / a),
+      "pow" -> math.pow, "min" -> math.min, "max" -> math.max,
+      "iseq" -> ((a, b) => if (a == b) 1.0 else 0.0),
+      "islt" -> ((a, b) => if (a < b) 1.0 else 0.0),
+      "lor" -> ((a, b) => if (a != 0 || b != 0) 1.0 else 0.0),
+      "atan2" -> math.atan2, "hypot" -> math.hypot,
+      "fmod" -> ((a, b) => a % b),
+      "copysign" -> ((a, b) => math.copySign(a, b)),
+      "band" -> ((a, b) => (a.toLong & b.toLong).toDouble))
+    for ((name, f) <- bExpect) {
+      val got = df.select(Ops.binary(name)(col("a"), col("b"))).collect()
+        .map(_.getDouble(0))
+      got.zip(vals).foreach { case (g, v) =>
+        assert(math.abs(g - f(v, 3.0)) < 1e-12, s"binary $name($v, 3)") }
+    }
+  }
+
+  test("ktruss runFixed(rounds) reaches run()'s fixpoint for enough rounds") {
+    import spark.implicits._
+    // K4 plus a pendant triangle: 4-truss = the K4
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j, 1.0)
+    val extra = Seq((3L, 10L, 1.0), (3L, 11L, 1.0), (10L, 11L, 1.0))
+    val e = (k4 ++ extra).toDF("src", "dst", "w")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = setOf(graft.algos.KTruss.runFixed(spark, e, k = 4, rounds = 3))
+    val full = setOf(graft.algos.KTruss.run(spark, e, k = 4))
+    assert(fixed == full)
+    assert(fixed == k4.map { case (a, b, _) => (a, b) }.toSet)
+  }
+
   test("codecs: WAV/BMP round-trip with analytic features; pipeline decodes them") {
     import graft.pipeline.{Codecs, Multimodal}
     val sr = 8000; val freq = 440.0; val n = 800
