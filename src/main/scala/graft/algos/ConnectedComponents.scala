@@ -20,8 +20,15 @@ import graft.core.Iterate
   */
 object ConnectedComponents {
 
+  /** @param checkpointDir when set, label state is snapshotted there every
+    *                       `checkpointEvery` rounds (+ at the fixpoint) and
+    *                       the run resumes from the newest complete snapshot
+    *                       (graft.core.Checkpoint — the north rule's
+    *                       resumable iterations).
+    */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 200,
-          numPartitions: Int = 0, skewSalts: Int = 8): DataFrame = {
+          numPartitions: Int = 0, skewSalts: Int = 8,
+          checkpointDir: Option[String] = None, checkpointEvery: Int = 10): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -54,10 +61,12 @@ object ConnectedComponents {
     }).distinct()
     // labels is referenced twice per iteration (gather + merge): cut() keeps
     // the plan leaf-sized across the fixpoint loop (graft.core.Iterate)
-    var labels = Iterate.cutKeyed(
-      vertices.select(col("id"), col("id").as("comp")), parts, "id")
+    val (startIter, l0) = checkpointDir
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "comp")))
+      .getOrElse((0, vertices.select(col("id"), col("id").as("comp"))))
+    var labels = Iterate.cutKeyed(l0, parts, "id")
 
-    var iter = 0
+    var iter = startIter
     var changed = 1L
     while (iter < maxIter && changed > 0) {
       // neighbor-min gather: min.second semiring vxm over the adjacency
@@ -85,6 +94,10 @@ object ConnectedComponents {
       Iterate.free(labels)
       labels = next
       iter += 1
+      checkpointDir.foreach { dir =>
+        if (iter % checkpointEvery == 0 || changed == 0 || iter == maxIter)
+          graft.core.Checkpoint.write(labels.select(col("id"), col("comp")), dir, iter)
+      }
     }
     und.unpersist(false); undHot.foreach(_.unpersist(false))
     labels.select(col("id"), col("comp"))

@@ -20,8 +20,12 @@ import graft.core.Iterate
   */
 object LabelPropagation {
 
+  /** @param checkpointDir snapshot/resume of the label state every
+    *                       `checkpointEvery` rounds (graft.core.Checkpoint).
+    */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 20,
-          numPartitions: Int = 0): DataFrame = {
+          numPartitions: Int = 0,
+          checkpointDir: Option[String] = None, checkpointEvery: Int = 10): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -33,10 +37,12 @@ object LabelPropagation {
 
     val vertices = und.select(col("src").as("id")).distinct()
     // labels is referenced twice per iteration: cut() keeps plans leaf-sized
-    var labels = Iterate.cutKeyed(
-      vertices.select(col("id"), col("id").as("label")), parts, "id")
+    val (startIter, l0) = checkpointDir
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "label")))
+      .getOrElse((0, vertices.select(col("id"), col("id").as("label"))))
+    var labels = Iterate.cutKeyed(l0, parts, "id")
 
-    var iter = 0
+    var iter = startIter
     var changed = 1L
     while (iter < maxIter && changed > 0) {
       // histogram of neighbor labels per vertex...
@@ -60,6 +66,10 @@ object LabelPropagation {
       Iterate.free(labels)
       labels = next
       iter += 1
+      checkpointDir.foreach { dir =>
+        if (iter % checkpointEvery == 0 || changed == 0 || iter == maxIter)
+          graft.core.Checkpoint.write(labels.select(col("id"), col("label")), dir, iter)
+      }
     }
     und.unpersist(false)
     labels.select(col("id"), col("label"))

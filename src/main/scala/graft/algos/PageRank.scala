@@ -95,7 +95,8 @@ object PageRank {
     }
 
     // resume from newest complete checkpoint if present
-    val (startIter, r0) = checkpointDir.flatMap(newestCheckpoint(spark, _))
+    val (startIter, r0) = checkpointDir
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "r")))
       .getOrElse((0, degrees.select(col("id"), lit(1.0 / n).as("r"))))
 
     // state = (id, r, d, isSink), dense over the vertex universe; cut() so
@@ -147,7 +148,7 @@ object PageRank {
 
       checkpointDir.foreach { dir =>
         if (iter % checkpointEvery == 0 || delta < tol || iter == maxIter)
-          writeCheckpoint(state.select(col("id"), col("r")), dir, iter)
+          graft.core.Checkpoint.write(state.select(col("id"), col("r")), dir, iter)
       }
     }
 
@@ -158,28 +159,6 @@ object PageRank {
 
   private def getD(row: Row, i: Int): Double =
     if (row.isNullAt(i)) 0.0 else row.getDouble(i)
-
-  /** Vertex-state checkpoint with per-partition lineage (north rule): columns
-    * (id, r, iter, part) + a _SUCCESS marker from the parquet commit protocol.
-    */
-  def writeCheckpoint(r: DataFrame, dir: String, iter: Int): Unit =
-    r.select(col("id"), col("r"), lit(iter).as("iter"),
-        spark_partition_id().as("part"))
-      .write.mode("overwrite").parquet(f"$dir/iter=$iter%05d")
-
-  /** Newest complete (has _SUCCESS) checkpoint under `dir`, if any. */
-  def newestCheckpoint(spark: SparkSession, dir: String): Option[(Int, DataFrame)] = {
-    val d = new java.io.File(dir)
-    if (!d.isDirectory) return None
-    val done = d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("iter=") &&
-      new java.io.File(f, "_SUCCESS").exists())
-    if (done.isEmpty) None
-    else {
-      val best = done.maxBy(_.getName)
-      val it = best.getName.stripPrefix("iter=").toInt
-      Some((it, spark.read.parquet(best.getAbsolutePath).select(col("id"), col("r"))))
-    }
-  }
 
   /** Fixed-iteration-count variant with no early exit — used by the unrolled
     * SQL oracle (same math, k iterations exactly).

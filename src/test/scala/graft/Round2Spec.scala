@@ -107,6 +107,27 @@ class Round2Spec extends SparkTestBase {
     assert(pairs(maxDf = 100) == Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
   }
 
+  test("CC and LPA resume from checkpoint to the identical fixpoint") {
+    import spark.implicits._
+    import graft.algos.{ConnectedComponents, LabelPropagation}
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0),
+      (10L, 11L, 1.0)).toDF("src", "dst", "w")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccFull = m(ConnectedComponents.run(spark, e))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    ConnectedComponents.run(spark, e, maxIter = 2,
+      checkpointDir = Some(dir), checkpointEvery = 1) // killed mid-run stand-in
+    assert(m(ConnectedComponents.run(spark, e,
+      checkpointDir = Some(dir), checkpointEvery = 1)) == ccFull)
+    val lpaFull = m(LabelPropagation.run(spark, e, maxIter = 10))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_lpa_ckpt").toString
+    LabelPropagation.run(spark, e, maxIter = 2,
+      checkpointDir = Some(dir2), checkpointEvery = 1)
+    assert(m(LabelPropagation.run(spark, e, maxIter = 10,
+      checkpointDir = Some(dir2), checkpointEvery = 1)) == lpaFull)
+  }
+
   test("labelprop runFixed(k) reaches run()'s fixpoint for k >= depth") {
     import spark.implicits._
     val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
