@@ -389,7 +389,11 @@ object SparkEntry {
     "corpus_provenance" -> ((s, _) => {
       import s.implicits._
       val c = Corpus.synthesize(s, 2000)
-      val roundtrip = c // in production: read back from the Iceberg/parquet sink
+      // REAL sink roundtrip: write the corpus to the (parquet-as-Iceberg)
+      // sink, read it back, verify per-row sha256(content) equality
+      val sink = "/tmp/graft_corpus_sink"
+      c.write.mode("overwrite").parquet(sink)
+      val roundtrip = s.read.parquet(sink)
       val violations = Corpus.provenanceViolations(roundtrip, c).count()
       Seq((2000L, violations)).toDF("rows", "violations")
     }),
