@@ -28,7 +28,14 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 200,
           numPartitions: Int = 0, skewSalts: Int = 8,
-          checkpointDir: Option[String] = None, checkpointEvery: Int = 10): DataFrame = {
+          checkpointDir: Option[String] = None, checkpointEvery: Int = 10): DataFrame =
+    // fixed layout + known partition counts: AQE only adds stage barriers
+    Iterate.withoutAQE(spark)(runLoop(spark, edges, maxIter, numPartitions,
+      skewSalts, checkpointDir, checkpointEvery))
+
+  private def runLoop(spark: SparkSession, edges: DataFrame, maxIter: Int,
+          numPartitions: Int, skewSalts: Int,
+          checkpointDir: Option[String], checkpointEvery: Int): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 

@@ -25,7 +25,14 @@ object LabelPropagation {
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 20,
           numPartitions: Int = 0,
-          checkpointDir: Option[String] = None, checkpointEvery: Int = 10): DataFrame = {
+          checkpointDir: Option[String] = None, checkpointEvery: Int = 10): DataFrame =
+    // fixed layout + known partition counts: AQE only adds stage barriers
+    Iterate.withoutAQE(spark)(runLoop(spark, edges, maxIter, numPartitions,
+      checkpointDir, checkpointEvery))
+
+  private def runLoop(spark: SparkSession, edges: DataFrame, maxIter: Int,
+          numPartitions: Int,
+          checkpointDir: Option[String], checkpointEvery: Int): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -81,7 +88,7 @@ object LabelPropagation {
     * rounds are no-ops, so k >= the fixpoint depth gives the fixpoint.
     */
   def runFixed(spark: SparkSession, edges: DataFrame, k: Int,
-               numPartitions: Int = 0): DataFrame = {
+               numPartitions: Int = 0): DataFrame = Iterate.withoutAQE(spark) {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges.select(col("src"), col("dst"))

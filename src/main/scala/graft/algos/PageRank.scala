@@ -52,7 +52,16 @@ object PageRank {
           tol: Double = 1e-6, maxIter: Int = 100,
           checkpointDir: Option[String] = None, checkpointEvery: Int = 10,
           numPartitions: Int = 0, skewSalts: Int = 8,
-          weighted: Boolean = false): Result = {
+          weighted: Boolean = false): Result =
+    // fixed layout + known partition counts: AQE only adds stage barriers
+    Iterate.withoutAQE(spark)(runLoop(spark, edges, damp, tol, maxIter,
+      checkpointDir, checkpointEvery, numPartitions, skewSalts, weighted))
+
+  private def runLoop(spark: SparkSession, edges: DataFrame, damp: Double,
+          tol: Double, maxIter: Int,
+          checkpointDir: Option[String], checkpointEvery: Int,
+          numPartitions: Int, skewSalts: Int,
+          weighted: Boolean): Result = {
 
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
