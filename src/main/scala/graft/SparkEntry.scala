@@ -441,6 +441,32 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       Events.sessions(s.read.parquet(s"$d/events.parquet"), gapMinutes = 30)),
 
+    // §2.10 remaining @GrB utility surface
+    "gb_eye" -> ((s, _) => GBMatrix.eye(s, 30, 20, -3).df),
+    "gb_norms" -> ((s, d) => {
+      import s.implicits._
+      val a = GBMatrix(edgesBi(s, d))
+      Seq((a.norm("1"), a.norm("inf"), a.norm("fro")))
+        .toDF("norm1", "norminf", "normfro")
+    }),
+    "gb_bandwidth" -> ((s, d) => {
+      import s.implicits._
+      val (lo, hi) = GBMatrix(edgesBi(s, d)).bandwidth
+      Seq((lo, hi)).toDF("lo", "hi")
+    }),
+    "gb_structure" -> ((s, d) => {
+      import s.implicits._
+      val a = GBMatrix(edgesBi(s, d))
+      val sym = a.eWiseAdd(a.transpose, BinOp.PlusOp)
+      Seq((a.istril, a.tril().istril, a.istriu, a.isdiag,
+        a.issymmetric, sym.issymmetric))
+        .toDF("istril_raw", "istril_tril", "istriu_raw", "isdiag_raw",
+          "issym_raw", "issym_sym")
+    }),
+    "gb_flip" -> ((s, d) => GBMatrix(nationAdj(s, d)).flip(25, 1).df),
+    "gb_repmat" -> ((s, d) => GBMatrix(nationAdj(s, d)).repmat(2, 3, 25, 5).df),
+    "gb_mpower" -> ((s, d) => GBMatrix(nationAdj(s, d)).matrixPower(3).df),
+
     // pipeline: multimodal plumbing (stubbed codec, real schema/partitioning)
     "media_features" -> ((s, _) =>
       Multimodal.decodeAndFeaturize(s, Multimodal.synthesize(s, 1000))
@@ -861,6 +887,54 @@ object SparkEntry {
         |round(sum(value), 6) AS sum_value,
         |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "gb_eye" ->
+      """SELECT CAST(i AS BIGINT) AS src, CAST(i - 3 AS BIGINT) AS dst,
+        |1.0 AS w FROM range(3, 23) t(i)""".stripMargin,
+
+    "gb_norms" ->
+      s"""WITH e AS ($edgesBiSql)
+         |SELECT (SELECT max(s) FROM (SELECT sum(abs(w)) AS s FROM e GROUP BY dst)) AS norm1,
+         |(SELECT max(s) FROM (SELECT sum(abs(w)) AS s FROM e GROUP BY src)) AS norminf,
+         |(SELECT sqrt(sum(w * w)) FROM e) AS normfro""".stripMargin,
+
+    "gb_bandwidth" ->
+      s"""SELECT CAST(COALESCE(max(greatest(src - dst, 0)), 0) AS BIGINT) AS lo,
+         |CAST(COALESCE(max(greatest(dst - src, 0)), 0) AS BIGINT) AS hi
+         |FROM ($edgesBiSql)""".stripMargin,
+
+    "gb_structure" ->
+      s"""WITH e AS ($edgesBiSql),
+         |t AS (SELECT dst AS src, src AS dst, w FROM e),
+         |sym AS (SELECT COALESCE(a.src, b.src) AS src, COALESCE(a.dst, b.dst) AS dst,
+         |        COALESCE(a.w + b.w, a.w, b.w) AS w
+         |        FROM e a FULL OUTER JOIN t b ON a.src = b.src AND a.dst = b.dst)
+         |SELECT
+         |(SELECT count(*) FROM e WHERE dst > src) = 0 AS istril_raw,
+         |(SELECT count(*) FROM e WHERE dst > src AND dst <= src) = 0 AS istril_tril,
+         |(SELECT count(*) FROM e WHERE dst < src) = 0 AS istriu_raw,
+         |(SELECT count(*) FROM e WHERE dst <> src) = 0 AS isdiag_raw,
+         |(SELECT count(*) FROM (SELECT src, dst, w FROM e EXCEPT
+         |  SELECT dst, src, w FROM e)) = 0 AS issym_raw,
+         |(SELECT count(*) FROM (SELECT src, dst, w FROM sym EXCEPT
+         |  SELECT dst, src, w FROM sym)) = 0 AS issym_sym""".stripMargin,
+
+    "gb_flip" ->
+      """SELECT CAST(24 - n_nationkey AS BIGINT) AS src,
+        |CAST(n_regionkey AS BIGINT) AS dst, 1.0 AS w FROM nation""".stripMargin,
+
+    "gb_repmat" ->
+      """SELECT CAST(ti * 25 + n_nationkey AS BIGINT) AS src,
+        |CAST(tj * 5 + n_regionkey AS BIGINT) AS dst, 1.0 AS w
+        |FROM nation, range(2) t1(ti), range(3) t2(tj)""".stripMargin,
+
+    "gb_mpower" ->
+      s"""WITH e AS ($nationAdjSql),
+         |p2 AS (SELECT a.src AS src, b.dst AS dst, sum(a.w * b.w) AS w
+         |       FROM e a JOIN e b ON a.dst = b.src GROUP BY 1, 2),
+         |p3 AS (SELECT a.src AS src, b.dst AS dst, sum(a.w * b.w) AS w
+         |       FROM p2 a JOIN e b ON a.dst = b.src GROUP BY 1, 2)
+         |SELECT src, dst, w FROM p3""".stripMargin,
 
     "media_features" -> "", // engine-internal synthesis: rows-only
     "media_frames" -> ""

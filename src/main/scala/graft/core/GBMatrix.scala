@@ -235,6 +235,93 @@ final case class GBMatrix(df: DataFrame) {
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
+  /** @GrB/norm.m matrix norms over stored entries: "1" = max abs column sum
+    * (norm.m:5), "inf" = max abs row sum (norm.m:6), "fro" = sqrt of the sum
+    * of squares (norm.m:7-8). The 2-norm is unsupported for sparse matrices,
+    * exactly as in the reference (norm.m:9-10). Each is one partial-agg
+    * shuffle (or none for fro) + a scalar fetch.
+    */
+  def norm(kind: String = "fro"): Double = {
+    val r = kind match {
+      case "1" =>
+        df.groupBy("dst").agg(sum(abs(col("w"))).as("s")).agg(max(col("s")))
+      case "inf" =>
+        df.groupBy("src").agg(sum(abs(col("w"))).as("s")).agg(max(col("s")))
+      case "fro" =>
+        df.agg(sqrt(sum(col("w") * col("w"))))
+      case other => throw new IllegalArgumentException(s"unknown norm: $other")
+    }
+    val row = r.collect()(0)
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** @GrB/bandwidth.m: (lower, upper) bandwidth — max i−j and max j−i over
+    * stored entries, 0 for an empty matrix (gbbandwidth semantics). One
+    * scalar aggregate.
+    */
+  def bandwidth: (Long, Long) = {
+    val r = df.agg(
+      max(greatest(col("src") - col("dst"), lit(0L))),
+      max(greatest(col("dst") - col("src"), lit(0L)))).collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+     if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** @GrB/istril.m: no entries above the diagonal. Existence probe — Spark
+    * stops the scan at the first violating entry (limit-1 pushdown).
+    */
+  def istril: Boolean = df.filter(col("dst") > col("src")).limit(1).count() == 0
+
+  /** @GrB/istriu.m: no entries below the diagonal. */
+  def istriu: Boolean = df.filter(col("dst") < col("src")).limit(1).count() == 0
+
+  /** @GrB/isdiag.m: entries only on the main diagonal. */
+  def isdiag: Boolean = df.filter(col("dst") =!= col("src")).limit(1).count() == 0
+
+  /** @GrB/isbanded.m: bandwidth within (lo, hi). */
+  def isbanded(lo: Long, hi: Long): Boolean = {
+    val (l, h) = bandwidth
+    l <= lo && h <= hi
+  }
+
+  /** @GrB/issymmetric.m: A == A' (pattern and values). */
+  def issymmetric: Boolean = isequal(transpose)
+
+  /** @GrB/flip.m: reverse element order along a dimension — flip(1) maps row
+    * i → m−1−i (A(end:-1:1,:)), flip(2) maps col j → n−1−j. Dims are not
+    * stored in the COO view, so the caller passes the flipped dimension's
+    * size, as resize/reshape already do.
+    */
+  def flip(dimSize: Long, dim: Int = 1): GBMatrix = dim match {
+    case 1 => GBMatrix(df.select((lit(dimSize - 1) - col("src")).as("src"), col("dst"), col("w")))
+    case 2 => GBMatrix(df.select(col("src"), (lit(dimSize - 1) - col("dst")).as("dst"), col("w")))
+    case d => throw new IllegalArgumentException(s"flip dim must be 1 or 2, got $d")
+  }
+
+  /** @GrB/repmat.m: m×n tiling of this gm×gn matrix = ones(m,n) ⊗_2nd G
+    * (repmat.m:15-21 uses gbkronecker with the '2nd' op) — the tile grid is
+    * tiny, so the crossJoin side stays broadcast-sized.
+    */
+  def repmat(m: Long, n: Long, gm: Long, gn: Long): GBMatrix =
+    GBMatrix.ones(spark, m, n).kron(this, gm, gn, BinOp.SecondOp)
+
+  /** @GrB/mpower.m: A^k for a square matrix, k ≥ 1, by binary exponentiation
+    * (⌈log2 k⌉ mxm rounds instead of k−1). A^0 is the identity — build it
+    * with GBMatrix.eye(n) since COO carries no dims (mpower.m:61-63).
+    */
+  def matrixPower(k: Int, sr: Semiring = Semiring.PlusTimes): GBMatrix = {
+    require(k >= 1, "matrixPower needs k >= 1; A^0 = GBMatrix.eye(n)")
+    var acc: GBMatrix = null
+    var base = this
+    var e = k
+    while (e > 0) {
+      if ((e & 1) == 1) acc = if (acc == null) base else acc.mxm(base, sr)
+      e >>= 1
+      if (e > 0) base = base.mxm(base, sr)
+    }
+    acc
+  }
+
   /** @GrB/isequal.m: same pattern AND same values (within tol; the reference
     * compares exactly — tol=0 gives that). One full-outer join, one count.
     */
@@ -561,6 +648,32 @@ object GBMatrix {
   def buildVector(v: DataFrame, dup: Monoid = Monoid.Plus): DataFrame =
     v.select(col("id").cast("long"), col("v").cast("double"))
       .groupBy("id").agg(dup.agg(col("v")).as("v"))
+
+  /** GrB.eye / GrB.speye (@GrB/eye.m, speye.m — identical for the double
+    * domain): sparse m×n identity on diagonal k, generated distributed via
+    * spark.range (no driver-side materialization).
+    */
+  def eye(spark: SparkSession, m: Long, n: Long = -1L, k: Long = 0L): GBMatrix = {
+    val nn = if (n < 0) m else n
+    val lo = math.max(0L, -k)
+    val hi = math.min(m, nn - k) // exclusive; i in [lo, hi) has 0<=i+k<nn
+    val rows = spark.range(lo, math.max(lo, hi))
+    GBMatrix(rows.select(col("id").as("src"), (col("id") + k).as("dst"),
+      lit(1.0).as("w")))
+  }
+
+  /** @GrB/speye.m: "SPEYE sparse identity matrix, same as GrB.eye". */
+  def speye(spark: SparkSession, m: Long, n: Long = -1L, k: Long = 0L): GBMatrix =
+    eye(spark, m, n, k)
+
+  /** @GrB/ones.m analogue: fully-populated m×n matrix of 1.0 (the reference
+    * materializes full matrices the same way, as an explicit all-entries
+    * structure). Intended for small tile/grid operands (repmat); a 100 TB
+    * operand would never be dense-ones.
+    */
+  def ones(spark: SparkSession, m: Long, n: Long): GBMatrix =
+    GBMatrix(spark.range(m * n).select((col("id") / n).cast("long").as("src"),
+      pmod(col("id"), lit(n)).as("dst"), lit(1.0).as("w")))
 
   /** In-memory matrix for tests/fixtures. */
   def of(spark: SparkSession, entries: Seq[(Long, Long, Double)]): GBMatrix = {
