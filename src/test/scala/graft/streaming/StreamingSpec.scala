@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.{GBMatrix, Monoid}
+
+/** Non-blocking-mode analogue (GB_matrix.h:313-341): streamed pending tuples
+  * must be semantically invisible — assembling the pending log after ANY
+  * batch split yields exactly the matrix a one-shot build produces, the
+  * reference's GrB_wait contract.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private val tuples = Seq(
+    (1L, 2L, 1.0), (1L, 2L, 2.0), (3L, 4L, 5.0),
+    (5L, 6L, 7.0), (3L, 4L, -1.0), (1L, 2L, 0.5))
+
+  test("ingest + assemble == one-shot build, for any batch split and dup monoid") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val dir = Files.createTempDirectory("graft-pending").toString
+    val ckpt = Files.createTempDirectory("graft-pending-ckpt").toString
+    val q = EdgeStream.ingest(mem.toDS().toDF("src", "dst", "w"), dir, ckpt)
+    // three uneven micro-batches, duplicates split across batches
+    mem.addData(tuples.take(2)); q.processAllAvailable()
+    mem.addData(tuples.slice(2, 3)); q.processAllAvailable()
+    mem.addData(tuples.drop(3)); q.processAllAvailable()
+    q.stop()
+    val want = GBMatrix.fromTuples(tuples.toDF("src", "dst", "w"))
+    assertMatrixEq(toMap(EdgeStream.assemble(spark, dir)), toMap(want))
+    // a different pending operator folds the same log differently but still
+    // matches its one-shot build (the accum-as-pending-op rule)
+    assertMatrixEq(
+      toMap(EdgeStream.assemble(spark, dir, Monoid.Max)),
+      toMap(GBMatrix.fromTuples(tuples.toDF("src", "dst", "w"), Monoid.Max)))
+  }
+
+  test("ingest restart from checkpoint neither drops nor re-appends batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val dir = Files.createTempDirectory("graft-pending2").toString
+    val ckpt = Files.createTempDirectory("graft-pending2-ckpt").toString
+    val q1 = EdgeStream.ingest(mem.toDS().toDF("src", "dst", "w"), dir, ckpt)
+    mem.addData(tuples.take(3)); q1.processAllAvailable()
+    q1.stop()
+    // restart the SAME source + checkpoint: only the new batch lands
+    val q2 = EdgeStream.ingest(mem.toDS().toDF("src", "dst", "w"), dir, ckpt)
+    mem.addData(tuples.drop(3)); q2.processAllAvailable()
+    q2.stop()
+    assertMatrixEq(toMap(EdgeStream.assemble(spark, dir)),
+      toMap(GBMatrix.fromTuples(tuples.toDF("src", "dst", "w"))))
+  }
+
+  test("runningDegrees stateful counts converge to the batch rowDegrees") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val ckpt = Files.createTempDirectory("graft-deg-ckpt").toString
+    val q = EdgeStream.runningDegrees(mem.toDS().toDF("src", "dst", "w"))
+      .writeStream.outputMode("update").format("memory").queryName("deg")
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(tuples.take(4)); q.processAllAvailable()
+    mem.addData(tuples.drop(4)); q.processAllAvailable()
+    q.stop()
+    // updates accumulate across batches; the max per id is the final count
+    val got = spark.table("deg").groupBy("id").agg(max("v").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // raw incidence counts (multi-edges each count, per the op's contract)
+    val want = tuples.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    assert(got == want)
+  }
+
+  test("arrivalCounts windowed aggregation matches the batch window count") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(min: Int, sec: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+    val timed = Seq((t(0, 10), 1L, 2L, 1.0), (t(0, 50), 2L, 3L, 1.0),
+      (t(1, 5), 3L, 4L, 1.0), (t(2, 30), 4L, 5L, 1.0), (t(2, 59), 5L, 6L, 1.0))
+    val mem = MemoryStream[(Timestamp, Long, Long, Double)]
+    val ckpt = Files.createTempDirectory("graft-win-ckpt").toString
+    val q = EdgeStream.arrivalCounts(
+        mem.toDS().toDF("ts", "src", "dst", "w"))
+      .writeStream.outputMode("complete").format("memory").queryName("rates")
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(timed.take(3)); q.processAllAvailable()
+    mem.addData(timed.drop(3)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rates")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    val want = timed.toDF("ts", "src", "dst", "w")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("edges"))
+      .select(col("window.start").as("win_start"), col("edges"))
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.sum == timed.size)
+  }
+}
