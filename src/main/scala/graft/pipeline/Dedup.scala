@@ -32,39 +32,36 @@ object Dedup {
     * shingles are over the real token stream.
     */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
-    val tokens = split(lower(col("text")), "\\s+")
-    docs.select(col("doc_id"), posexplode(tokens).as(Seq("p", "tok")))
-      .filter(length(col("tok")) > 0)
-      .withColumn("sh", concat_ws(" ",
-        col("tok"),
-        lead(col("tok"), 1).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("p")),
-        lead(col("tok"), 2).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("p"))))
-      .filter(size(split(col("sh"), " ")) === w)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .distinct()
+    // All-array, whole-stage-codegen plan: tokenization, windowing, hashing
+    // and per-doc dedup happen inside one projection — no per-token explode,
+    // no per-doc window sort, no shuffle at all before the consumer's.
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > 0)
+    val starts = sequence(lit(0), size(col("toks")) - w)
+    val hashed = transform(starts,
+      i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= w, array_distinct(hashed))
+          .otherwise(array().cast("array<bigint>"))).as("sh"))
   }
 
   /** MinHash signatures: numPerm universal-hash permutations
     * h_i(x) = (a_i * x + b_i) mod p over the shingle hashes, min per doc.
-    * Plan: explode (doc, perm) only at the aggregation input; one shuffle on
-    * (doc_id, perm) with map-side partial min, then one reshape to the
-    * signature array.
+    * Plan: ONE shuffle (group the doc's shingle hashes), then the whole
+    * numPerm × |shingles| min-reduction runs as a codegen'd nested
+    * higher-order transform — the previous plan posexploded numPerm× rows
+    * through two shuffles; this one moves each shingle hash once.
     */
   def minhashSignatures(sh: DataFrame, numPerm: Int = 32, seed: Long = 7L): DataFrame = {
     val p = lit(2147483647L) // 2^31 - 1: keeps a*x+b < 2^62, no long overflow
-    // per shingle row, compute all perm values as an array, then posexplode
-    val perms = transform(sequence(lit(0), lit(numPerm - 1)), i => {
+    val sig = transform(sequence(lit(0), lit(numPerm - 1)), i => {
       val a = abs(xxhash64(lit("a"), i, lit(seed))) % (p - 1) + 1
       val b = abs(xxhash64(lit("b"), i, lit(seed))) % p
-      pmod(a * pmod(col("sh"), p) + b, p)
+      array_min(transform(col("shs"), x => pmod(a * pmod(x, p) + b, p)))
     })
-    sh.select(col("doc_id"), posexplode(perms).as(Seq("perm", "hv")))
-      .groupBy("doc_id", "perm").agg(min("hv").as("mh"))
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
+    sh.groupBy("doc_id").agg(collect_list(col("sh")).as("shs"))
+      .select(col("doc_id"), sig.as("sig"))
   }
 
   /** LSH banding: signature split into `bands` bands of rows = numPerm/bands;
@@ -117,20 +114,28 @@ object Dedup {
     * token → hash → per-bit ±1 vote → per-doc sum → sign bits → packed long.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-        explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // votes: array of 64 ±1 per token (bit positions are Scala constants so
-    // the shifts stay static, codegen-friendly expressions)
-    val bitCols = array((0 until 64).map(b =>
-      when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
+    // SimHash is per-doc-local, so the whole fingerprint is ONE projection:
+    // a single aggregate() pass over the token-hash array carrying a
+    // 64-long vote accumulator (bit positions are Scala constants so the
+    // shifts stay static) — zero shuffles, vs the previous plan's 64×
+    // posexplode through a (doc, bit) groupBy.
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > 0)
+    val hs = transform(col("toks"), t => xxhash64(t))
+    val zero = array_repeat(lit(0L), 64)
+    val votes = aggregate(col("hs"), zero, (acc, h) =>
+      array((0 until 64).map(b => element_at(acc, b + 1) +
+        when(shiftright(h, b).bitwiseAND(1) === 1, lit(1L))
+          .otherwise(lit(-1L))): _*))
     val powers = typedLit((0 until 64).map(b => 1L << b))
-    val votes = tok.select(col("doc_id"), posexplode(bitCols).as(Seq("bit", "v")))
-    votes.groupBy("doc_id", "bit").agg(sum("v").as("s"))
-      .select(col("doc_id"),
-        when(col("s") > 0, element_at(powers, col("bit").cast("int") + 1)).otherwise(0L).as("bv"))
-      .groupBy("doc_id").agg(sum("bv").as("simhash"))
+    val fp = aggregate(
+      zip_with(col("votes"), powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0) // token-less docs have no fingerprint
+      .select(col("doc_id"), votes.as("votes"))
+      .select(col("doc_id"), fp.as("simhash"))
   }
 
   /** SimHash near-dup candidates: block on (maxHamming+1) sub-fingerprints —

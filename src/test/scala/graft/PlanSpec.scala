@@ -80,6 +80,29 @@ class PlanSpec extends SparkTestBase {
       s"mask semi-join is not below the aggregation:\n$plan")
   }
 
+  // AQE wraps stages in (Result/Shuffle)QueryStage nodes whose plans are not
+  // `children`, so count "Exchange" lines in the printed final plan instead
+  // of collecting node instances.
+  private def exchangeCount(df: DataFrame): Int =
+    finalPlan(df).split("== Initial Plan ==")(0) // AQE prints both plans
+      .linesIterator.count(_.trim.stripPrefix("+- ").startsWith("Exchange"))
+
+  test("simhash is a pure projection: zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.pipeline.Dedup.simhash(docs)
+    assert(exchangeCount(df) == 0, s"simhash shuffled:\n${finalPlan(df)}")
+  }
+
+  test("minhash signatures: exactly one exchange (the per-doc grouping)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.pipeline.Dedup.minhashSignatures(
+      graft.pipeline.Dedup.shingles(docs))
+    assert(exchangeCount(df) == 1,
+      s"expected the single groupBy(doc_id) exchange:\n${finalPlan(df)}")
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val e = spark.read.parquet(s"$sf/../sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)
