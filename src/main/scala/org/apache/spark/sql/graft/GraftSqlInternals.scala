@@ -54,6 +54,12 @@ object GraftSqlInternals {
       throw new IllegalArgumentException(s"no column $k in ${output.map(_.name)}")))
     val rdd: RDD[InternalRow] = qe.toRdd.map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Truncate RDD lineage (keeps the cached blocks and the partitioner).
+    // The declared-partitioning leaves make successive iterations NARROW
+    // dependencies of each other, so without truncation the task object
+    // graph grows per iteration and long fixpoints (100+ small iterations)
+    // die in task (de)serialization with StackOverflowError.
+    rdd.localCheckpoint()
     rdd.count() // eager: the loop must not re-run the producing plan
 
     val finalPlan = qe.executedPlan match {
