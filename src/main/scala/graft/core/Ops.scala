@@ -55,7 +55,9 @@ object Ops {
     "isnan"    -> (c => b2d(isnan(c))),
     "isfinite" -> (c => b2d(!isnan(c) && c =!= Double.PositiveInfinity &&
                             c =!= Double.NegativeInfinity)),
-    "bnot"     -> (c => bitwise_not(c.cast("long")).cast("double")))
+    "bnot"     -> (c => bitwise_not(c.cast("long")).cast("double")),
+    "cbrt"     -> (c => cbrt(c)),
+    "pow2"     -> (c => pow(lit(2.0), c)))
 
   /** GrB_BinaryOp inventory (GraphBLAS.h:986-1390); positional
     * FIRSTI/SECONDJ live on GBMatrix.apply's (i, j, w) signature instead.

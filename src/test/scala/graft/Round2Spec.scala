@@ -208,7 +208,8 @@ class Round2Spec extends SparkTestBase {
       "ainv" -> (-_), "minv" -> (1.0 / _), "abs" -> math.abs, "sqrt" -> math.sqrt,
       "log" -> math.log, "exp" -> math.exp, "sin" -> math.sin, "tanh" -> math.tanh,
       "signum" -> (v => math.signum(v)), "floor" -> math.floor,
-      "one" -> (_ => 1.0), "lnot" -> (v => if (v == 0.0) 1.0 else 0.0))
+      "one" -> (_ => 1.0), "lnot" -> (v => if (v == 0.0) 1.0 else 0.0),
+      "cbrt" -> math.cbrt, "pow2" -> (v => math.pow(2.0, v)))
     for ((name, f) <- uExpect) {
       val got = df.select(Ops.unary(name)(col("a"))).collect().map(_.getDouble(0))
       got.zip(vals).foreach { case (g, v) =>
