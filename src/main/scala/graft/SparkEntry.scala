@@ -422,6 +422,15 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 10)
       Similarity.lshTopK(e, q, k = 5, dim = 64).select(col("qid"), col("id"), col("rank"))
     }),
+    // IVF coarse-quantizer variant (clustered scale path; centroid sampling
+    // is engine-internal xxhash64 → rows-only check, recall differential in
+    // PipelineSpec)
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(e, q, k = 5, nlist = 32, nprobe = 8)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
     // driver embeddings are uniform-random (max pairwise cosine ~0.5), so the
     // near-dup threshold is 0.35 with wide LSH (6-bit buckets × 8 tables)
     "ann_cosine_neardup" -> ((s, d) =>

@@ -78,6 +78,67 @@ object Similarity {
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) coarse index: `nlist` deterministic centroids —
+    * hash-sampled corpus vectors refined by `lloydSteps` Lloyd iterations —
+    * and every corpus vector assigned to its nearest centroid's list.
+    * Returns (assignments: vec_id/list/embedding, centroids: list/ce).
+    *
+    * Scale shape: centroids are a K-row broadcast (assignment is a
+    * broadcast-join argmax, no shuffle of the corpus); a Lloyd step is one
+    * posexplode + (list, dim) average — the standard distributed k-means
+    * update — over K·dim output cells. Everything is deterministic (hash
+    * sampling, no RNG state), so the index is identical at any parallelism.
+    */
+  def ivfIndex(corpus: DataFrame, nlist: Int, seed: Long = 7L,
+               lloydSteps: Int = 1): (DataFrame, DataFrame) = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val win = Window.orderBy(col("h"))
+    var cents = e.select(col("embedding").as("ce"),
+        xxhash64(col("vec_id"), lit(seed)).as("h"))
+      .orderBy(col("h")).limit(nlist)
+      .select((row_number().over(win) - 1).as("list"), col("ce"))
+
+    def assign(cs: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cs))
+        .select(col("vec_id"), col("list"), cosine(col("embedding"), col("ce")).as("s"))
+        .groupBy("vec_id").agg(max_by(col("list"), struct(col("s"), -col("list"))).as("list"))
+
+    for (_ <- 1 to lloydSteps) {
+      val means = assign(cents).join(e, Seq("vec_id"))
+        .select(col("list"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy("list", "p").agg(avg(col("x")).as("m"))
+        .groupBy("list").agg(transform(
+          array_sort(collect_list(struct(col("p"), col("m")))),
+          s => s.getField("m").cast("float")).as("ce"))
+      // empty lists fall away; surviving lists keep their ids
+      cents = means
+    }
+    (assign(cents).join(e, Seq("vec_id")), cents)
+  }
+
+  /** ANN via IVF: queries probe only their `nprobe` nearest centroid lists,
+    * then exact cosine + top-k within the probed lists. Per-query search
+    * work is ~nprobe/nlist of the corpus (vs all of it for brute force);
+    * the list lookup is an equi-join on the centroid id — the clustered
+    * scale path next to the hash-bucketed LSH one.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, seed: Long = 7L): DataFrame = {
+    val (assigned, cents) = ivfIndex(corpus, nlist, seed)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probeWin = Window.partitionBy("qid").orderBy(col("cs").desc, col("list").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), col("list"), cosine(col("qe"), col("ce")).as("cs"))
+      .withColumn("pr", row_number().over(probeWin)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("list"))
+    val scored = probes.join(assigned, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("id"),
+        cosine(col("qe"), col("embedding")).as("score"))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
     * (the near-dup flavor of similarity search for dedup pipelines).
     *

@@ -94,6 +94,24 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("IVF top-k: high recall with few probes on clustered data; deterministic index") {
+    val q = embs.filter(col("vec_id") < 6)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.bruteForceTopK(embs, q, k = 5).select("qid", "id"))
+    // 6 lists over 3 tight clusters, probing 2: same-cluster lists are found
+    val approx = keyset(Similarity.ivfTopK(embs, q, k = 5, nlist = 6, nprobe = 2)
+      .select("qid", "id"))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+    // the index is a pure function of the data (hash sampling, no RNG state)
+    val (a1, c1) = Similarity.ivfIndex(embs, nlist = 6)
+    val (a2, c2) = Similarity.ivfIndex(embs.repartition(7), nlist = 6)
+    assert(a1.select("vec_id", "list").collect().toSet ==
+      a2.select("vec_id", "list").collect().toSet)
+    assert(c1.count() == c2.count())
+  }
+
   test("LSH top-k recall >= 0.8 vs brute force on clustered data") {
     val q = embs.filter(col("vec_id") < 6)
     def keyset(df: org.apache.spark.sql.DataFrame) =
