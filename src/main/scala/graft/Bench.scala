@@ -30,7 +30,7 @@ object Bench {
 
   private val TunedHeap = sys.env.getOrElse("GRAFT_BENCH_HEAP", "16g")
 
-  private def session(cores: Int): SparkSession = {
+  private[graft] def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -52,7 +52,7 @@ object Bench {
     * bypass the catalog (they would otherwise pin tmpfs/heap until the
     * periodic ContextCleaner GC).
     */
-  private def dropCaches(s: SparkSession): Unit = {
+  private[graft] def dropCaches(s: SparkSession): Unit = {
     s.catalog.clearCache()
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }

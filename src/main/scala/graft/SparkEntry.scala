@@ -65,6 +65,22 @@ object SparkEntry {
     """SELECT CAST(n_nationkey AS BIGINT) AS src,
       |CAST(n_regionkey AS BIGINT) AS dst, 1.0 AS w FROM nation""".stripMargin
 
+  /** SQUARE 25×25 nation co-region adjacency (nations sharing a region,
+    * self-loops included) — the fixture for square-only ops (mpower:
+    * `@GrB/mpower.m` errors on non-square A).
+    */
+  def nationCoRegion(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("k"), col("n_regionkey").as("r"))
+    n.as("a").join(n.as("b"), col("a.r") === col("b.r"))
+      .select(col("a.k").as("src"), col("b.k").as("dst"), lit(1.0).as("w"))
+  }
+
+  private val nationCoRegionSql =
+    """SELECT CAST(a.n_nationkey AS BIGINT) AS src,
+      |CAST(b.n_nationkey AS BIGINT) AS dst, 1.0 AS w
+      |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey""".stripMargin
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def embs(spark: SparkSession, dir: String): DataFrame =
@@ -474,7 +490,7 @@ object SparkEntry {
     }),
     "gb_flip" -> ((s, d) => GBMatrix(nationAdj(s, d)).flip(25, 1).df),
     "gb_repmat" -> ((s, d) => GBMatrix(nationAdj(s, d)).repmat(2, 3, 25, 5).df),
-    "gb_mpower" -> ((s, d) => GBMatrix(nationAdj(s, d)).matrixPower(3).df),
+    "gb_mpower" -> ((s, d) => GBMatrix(nationCoRegion(s, d)).matrixPower(3).df),
 
     // pipeline: multimodal plumbing (stubbed codec, real schema/partitioning)
     "media_features" -> ((s, _) =>
@@ -938,7 +954,7 @@ object SparkEntry {
         |FROM nation, range(2) t1(ti), range(3) t2(tj)""".stripMargin,
 
     "gb_mpower" ->
-      s"""WITH e AS ($nationAdjSql),
+      s"""WITH e AS ($nationCoRegionSql),
          |p2 AS (SELECT a.src AS src, b.dst AS dst, sum(a.w * b.w) AS w
          |       FROM e a JOIN e b ON a.dst = b.src GROUP BY 1, 2),
          |p3 AS (SELECT a.src AS src, b.dst AS dst, sum(a.w * b.w) AS w

@@ -91,12 +91,21 @@ object Similarity {
     */
   def ivfIndex(corpus: DataFrame, nlist: Int, seed: Long = 7L,
                lloydSteps: Int = 1): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
     val e = corpus.select(col("vec_id"), col("embedding"))
     val win = Window.orderBy(col("h"))
-    var cents = e.select(col("embedding").as("ce"),
+
+    // The centroid table is K rows — materialize it driver-side into a
+    // LocalRelation so (a) its producing plan (global top-K sample / Lloyd
+    // aggregation over the corpus) runs exactly once, not once per consumer,
+    // and (b) every downstream use is a broadcast of literal rows.
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+    var cents = localize(e.select(col("embedding").as("ce"),
         xxhash64(col("vec_id"), lit(seed)).as("h"))
       .orderBy(col("h")).limit(nlist)
-      .select((row_number().over(win) - 1).as("list"), col("ce"))
+      .select((row_number().over(win) - 1).as("list"), col("ce")))
 
     def assign(cs: DataFrame): DataFrame =
       e.crossJoin(broadcast(cs))
@@ -104,14 +113,17 @@ object Similarity {
         .groupBy("vec_id").agg(max_by(col("list"), struct(col("s"), -col("list"))).as("list"))
 
     for (_ <- 1 to lloydSteps) {
-      val means = assign(cents).join(e, Seq("vec_id"))
+      // decimal sums are exact and order-independent (double sums are not),
+      // so the refined centroids — and hence the whole index — are identical
+      // at any partitioning; empty lists fall away, survivors keep their ids
+      cents = localize(assign(cents).join(e, Seq("vec_id"))
         .select(col("list"), posexplode(col("embedding")).as(Seq("p", "x")))
-        .groupBy("list", "p").agg(avg(col("x")).as("m"))
+        .groupBy("list", "p")
+        .agg((sum(col("x").cast("decimal(38,15)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("list").agg(transform(
           array_sort(collect_list(struct(col("p"), col("m")))),
-          s => s.getField("m").cast("float")).as("ce"))
-      // empty lists fall away; surviving lists keep their ids
-      cents = means
+          s => s.getField("m").cast("float")).as("ce")))
     }
     (assign(cents).join(e, Seq("vec_id")), cents)
   }

@@ -42,10 +42,19 @@ object EdgeStream {
       .queryName(queryName)
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(pendingDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch, pendingDir, id)
       }
       .start()
+
+  /** Idempotent batch landing: each micro-batch overwrites ITS OWN
+    * `batch=<id>` partition directory, so a crash between the parquet commit
+    * and the streaming offset commit is healed by the replayed batch
+    * overwriting the same directory — foreachBatch alone is at-least-once;
+    * keying the write by batchId is what makes the log exactly-once.
+    */
+  def appendBatch(batch: DataFrame, pendingDir: String, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$pendingDir/batch=$id")
 
   /** GrB_wait analogue: assemble the pending-tuple log into a finalized
     * matrix, folding structural duplicates with the dup monoid — the
@@ -54,8 +63,16 @@ object EdgeStream {
     * build's explicit-monoid contract, GraphBLAS.h:2923).
     */
   def assemble(spark: SparkSession, pendingDir: String,
-               dup: Monoid = Monoid.Plus): GBMatrix =
-    GBMatrix.fromTuples(spark.read.parquet(pendingDir), dup)
+               dup: Monoid = Monoid.Plus): GBMatrix = {
+    import spark.implicits._
+    val pending =
+      try spark.read.parquet(pendingDir).select("src", "dst", "w")
+      catch { // no batch has committed yet = a matrix with no pending tuples
+        case _: org.apache.spark.sql.AnalysisException =>
+          Seq.empty[(Long, Long, Double)].toDF("src", "dst", "w")
+      }
+    GBMatrix.fromTuples(pending, dup)
+  }
 
   /** Continuously-maintained per-src arrival counts over the edge stream via
     * typed per-key state (`mapGroupsWithState` — the stateful-operator route

@@ -85,7 +85,8 @@ class PlanSpec extends SparkTestBase {
   // of collecting node instances.
   private def exchangeCount(df: DataFrame): Int =
     finalPlan(df).split("== Initial Plan ==")(0) // AQE prints both plans
-      .linesIterator.count(_.trim.stripPrefix("+- ").startsWith("Exchange"))
+      // tree-drawing prefix includes ':' on non-last-child branches
+      .linesIterator.count(_.replaceAll("^[\\s:+-]*", "").startsWith("Exchange"))
 
   test("simhash is a pure projection: zero exchanges") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

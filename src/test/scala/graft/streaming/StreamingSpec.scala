@@ -56,6 +56,20 @@ class StreamingSpec extends SparkTestBase {
       toMap(GBMatrix.fromTuples(tuples.toDF("src", "dst", "w"))))
   }
 
+  test("batch replay after a crash is idempotent; empty log assembles empty") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pending3").toString
+    // nothing committed yet: GrB_wait on a matrix with no pending tuples
+    assert(EdgeStream.assemble(spark, dir).nvals == 0)
+    EdgeStream.appendBatch(tuples.take(3).toDF("src", "dst", "w"), dir, 0L)
+    // crash between parquet commit and offset commit = the same batch id is
+    // re-executed; the keyed overwrite must leave the log unchanged
+    EdgeStream.appendBatch(tuples.take(3).toDF("src", "dst", "w"), dir, 0L)
+    EdgeStream.appendBatch(tuples.drop(3).toDF("src", "dst", "w"), dir, 1L)
+    assertMatrixEq(toMap(EdgeStream.assemble(spark, dir)),
+      toMap(GBMatrix.fromTuples(tuples.toDF("src", "dst", "w"))))
+  }
+
   test("runningDegrees stateful counts converge to the batch rowDegrees") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
