@@ -24,7 +24,8 @@ object BFS {
     * parent = itself.
     */
   def run(spark: SparkSession, edges: DataFrame, source: Long, maxIter: Int = 10000,
-          numPartitions: Int = 0): DataFrame = {
+          numPartitions: Int = 0, checkpointDir: Option[String] = None,
+          checkpointEvery: Int = 10): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -33,11 +34,17 @@ object BFS {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // visited is referenced twice per level (anti-join + union): cut() per
-    // level keeps plans leaf-sized (graft.core.Iterate)
-    var visited = Iterate.cut(spark.range(1).select(lit(source).as("id"),
-      lit(0).as("level"), lit(source).as("parent")))
+    // level keeps plans leaf-sized (graft.core.Iterate). With checkpointDir,
+    // a rerun resumes from the newest snapshot with ALL visited vertices as
+    // the frontier — the anti-join drops already-visited neighbors, so the
+    // over-wide frontier only re-derives the true one on the resume round.
+    val resumed = checkpointDir
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "level", "parent")))
+    var visited = Iterate.cut(resumed.map(_._2).getOrElse(
+      spark.range(1).select(lit(source).as("id"),
+        lit(0).as("level"), lit(source).as("parent"))))
     var frontier = visited.select(col("id"))
-    var level = 0
+    var level = resumed.map(_._1).getOrElse(0)
     var frontierSize = 1L
 
     while (frontierSize > 0 && level < maxIter) {
@@ -59,6 +66,11 @@ object BFS {
       }
       // next stays cached as the frontier for one more level; the superseded
       // frontier blocks are freed by the ContextCleaner (tiny)
+      checkpointDir.foreach { dir =>
+        if (level % checkpointEvery == 0 || frontierSize == 0 || level == maxIter)
+          graft.core.Checkpoint.write(
+            visited.select(col("id"), col("level"), col("parent")), dir, level)
+      }
     }
     adj.unpersist(false)
     visited

@@ -14,9 +14,16 @@ object SSSP {
 
   /** Returns (id, dist) for reachable vertices. Edge weights must be >= 0 for
     * termination within |V| rounds (Bellman-Ford bound enforced by maxIter).
+    *
+    * With `checkpointDir`, distance snapshots land every `checkpointEvery`
+    * rounds (graft.core.Checkpoint) and a rerun resumes from the newest
+    * complete one with the FULL distance table as the frontier — a correct
+    * over-approximation (re-relaxing settled vertices can only rediscover
+    * their current distances), costing one wider round after resume.
     */
   def run(spark: SparkSession, edges: DataFrame, source: Long, maxIter: Int = 10000,
-          numPartitions: Int = 0): DataFrame = {
+          numPartitions: Int = 0, checkpointDir: Option[String] = None,
+          checkpointEvery: Int = 10): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -24,11 +31,13 @@ object SSSP {
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var dist = Iterate.cut(spark.range(1)
-      .select(lit(source).as("id"), lit(0.0).as("dist")))
+    val resumed = checkpointDir
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "dist")))
+    var dist = Iterate.cut(resumed.map(_._2).getOrElse(spark.range(1)
+      .select(lit(source).as("id"), lit(0.0).as("dist"))))
     var frontier = dist
     var active = 1L
-    var iter = 0
+    var iter = resumed.map(_._1).getOrElse(0)
 
     while (active > 0 && iter < maxIter) {
       iter += 1
@@ -52,6 +61,10 @@ object SSSP {
         dist = newDist
         frontier = improved
       } else Iterate.free(improved)
+      checkpointDir.foreach { dir =>
+        if (iter % checkpointEvery == 0 || active == 0 || iter == maxIter)
+          graft.core.Checkpoint.write(dist.select(col("id"), col("dist")), dir, iter)
+      }
     }
     adj.unpersist(false)
     dist

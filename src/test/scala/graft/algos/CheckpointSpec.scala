@@ -56,6 +56,38 @@ class CheckpointSpec extends SparkTestBase {
     assertVecEq(a, want, tol = 1e-9, ctx = "resume-vs-mimic")
   }
 
+  test("SSSP and BFS resume from mid-run checkpoints to the uninterrupted answer") {
+    import org.apache.spark.sql.functions.col
+    val es = randGraph(40, 160, 26L)
+    val wdf = edgesDF(es).withColumn("w",
+      (org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("src"), col("dst")),
+        org.apache.spark.sql.functions.lit(5L)) + 1).cast("double"))
+
+    // SSSP: kill after 2 rounds, resume, compare with uninterrupted
+    val sdir = Files.createTempDirectory("graft-sssp-ckpt").toString
+    SSSP.run(spark, wdf, source = 0L, maxIter = 2,
+      checkpointDir = Some(sdir), checkpointEvery = 1)
+    val sResumed = SSSP.run(spark, wdf, source = 0L,
+        checkpointDir = Some(sdir), checkpointEvery = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sFull = SSSP.run(spark, wdf, source = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sResumed == sFull)
+
+    // BFS: kill after 1 level, resume; levels+parents must match end-to-end
+    val bdir = Files.createTempDirectory("graft-bfs-ckpt").toString
+    BFS.run(spark, edgesDF(es), source = 0L, maxIter = 1,
+      checkpointDir = Some(bdir), checkpointEvery = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "level", "parent").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).intValue, r.getLong(2))).toSet
+    val bResumed = rows(BFS.run(spark, edgesDF(es), source = 0L,
+      checkpointDir = Some(bdir), checkpointEvery = 100))
+    val bFull = rows(BFS.run(spark, edgesDF(es), source = 0L))
+    assert(bResumed == bFull)
+  }
+
   test("incomplete checkpoint dirs (no _SUCCESS) are ignored on resume") {
     val dir = Files.createTempDirectory("graft-broken").toString
     val es = randGraph(20, 60, 25L)
