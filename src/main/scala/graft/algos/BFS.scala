@@ -26,6 +26,7 @@ object BFS {
   def run(spark: SparkSession, edges: DataFrame, source: Long, maxIter: Int = 10000,
           numPartitions: Int = 0, checkpointDir: Option[String] = None,
           checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -39,7 +40,7 @@ object BFS {
     // the frontier — the anti-join drops already-visited neighbors, so the
     // over-wide frontier only re-derives the true one on the resume round.
     val resumed = checkpointDir
-      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "level", "parent")))
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "level", "parent"), s"src=$source"))
     var visited = Iterate.cut(resumed.map(_._2).getOrElse(
       spark.range(1).select(lit(source).as("id"),
         lit(0).as("level"), lit(source).as("parent"))))
@@ -69,7 +70,8 @@ object BFS {
       checkpointDir.foreach { dir =>
         if (level % checkpointEvery == 0 || frontierSize == 0 || level == maxIter)
           graft.core.Checkpoint.write(
-            visited.select(col("id"), col("level"), col("parent")), dir, level)
+            visited.select(col("id"), col("level"), col("parent")), dir, level,
+            s"src=$source")
       }
     }
     adj.unpersist(false)

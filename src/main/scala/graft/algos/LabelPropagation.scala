@@ -33,6 +33,7 @@ object LabelPropagation {
   private def runLoop(spark: SparkSession, edges: DataFrame, maxIter: Int,
           numPartitions: Int,
           checkpointDir: Option[String], checkpointEvery: Int): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 

@@ -62,7 +62,7 @@ object PageRank {
           checkpointDir: Option[String], checkpointEvery: Int,
           numPartitions: Int, skewSalts: Int,
           weighted: Boolean): Result = {
-
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -105,7 +105,7 @@ object PageRank {
 
     // resume from newest complete checkpoint if present
     val (startIter, r0) = checkpointDir
-      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "r")))
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "r"), f"damp=$damp%.4f"))
       .getOrElse((0, degrees.select(col("id"), lit(1.0 / n).as("r"))))
 
     // state = (id, r, d, isSink), dense over the vertex universe; cut() so
@@ -157,7 +157,7 @@ object PageRank {
 
       checkpointDir.foreach { dir =>
         if (iter % checkpointEvery == 0 || delta < tol || iter == maxIter)
-          graft.core.Checkpoint.write(state.select(col("id"), col("r")), dir, iter)
+          graft.core.Checkpoint.write(state.select(col("id"), col("r")), dir, iter, f"damp=$damp%.4f")
       }
     }
 

@@ -24,6 +24,7 @@ object SSSP {
   def run(spark: SparkSession, edges: DataFrame, source: Long, maxIter: Int = 10000,
           numPartitions: Int = 0, checkpointDir: Option[String] = None,
           checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -32,7 +33,7 @@ object SSSP {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val resumed = checkpointDir
-      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "dist")))
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "dist"), s"src=$source"))
     var dist = Iterate.cut(resumed.map(_._2).getOrElse(spark.range(1)
       .select(lit(source).as("id"), lit(0.0).as("dist"))))
     var frontier = dist
@@ -63,7 +64,7 @@ object SSSP {
       } else Iterate.free(improved)
       checkpointDir.foreach { dir =>
         if (iter % checkpointEvery == 0 || active == 0 || iter == maxIter)
-          graft.core.Checkpoint.write(dist.select(col("id"), col("dist")), dir, iter)
+          graft.core.Checkpoint.write(dist.select(col("id"), col("dist")), dir, iter, s"src=$source")
       }
     }
     adj.unpersist(false)

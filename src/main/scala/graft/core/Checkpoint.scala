@@ -13,19 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object Checkpoint {
 
-  def write(state: DataFrame, dir: String, iter: Int): Unit =
+  // '=' must not appear in the marker name: Spark's data-source file filter
+  // skips "_"-prefixed files ONLY when the name has no '=' (names with '='
+  // look partition-like), so an '=' would get the marker read as parquet
+  private def tagFile(d: java.io.File, tag: String) =
+    new java.io.File(d, "_TAG_" + tag.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  /** `tag` records the run identity (e.g. "src=5" for SSSP/BFS, "damp=0.85"
+    * for PageRank) as a marker file in the snapshot dir, so `newest` refuses
+    * to resume a run with different semantics from a stale directory. The
+    * INPUT edge table is the caller's responsibility — as with any external
+    * checkpoint store, the dir must belong to the same job.
+    */
+  def write(state: DataFrame, dir: String, iter: Int, tag: String = ""): Unit = {
+    val path = f"$dir/iter=$iter%05d"
     state.select(state.columns.map(col) :+ lit(iter).as("iter") :+
         spark_partition_id().as("part"): _*)
-      .write.mode("overwrite").parquet(f"$dir/iter=$iter%05d")
+      .write.mode("overwrite").parquet(path)
+    if (tag.nonEmpty) tagFile(new java.io.File(path), tag).createNewFile()
+  }
 
-  /** Newest complete (has _SUCCESS) snapshot under `dir`, with the state
-    * columns `cols`, if any exists.
+  /** Newest complete (has _SUCCESS, and the matching run tag when one is
+    * expected) snapshot under `dir`, with the state columns `cols`.
     */
-  def newest(spark: SparkSession, dir: String, cols: Seq[String]): Option[(Int, DataFrame)] = {
+  def newest(spark: SparkSession, dir: String, cols: Seq[String],
+             tag: String = ""): Option[(Int, DataFrame)] = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) return None
-    val done = d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("iter=") &&
-      new java.io.File(f, "_SUCCESS").exists())
+    val done = d.listFiles().filter { f =>
+      f.isDirectory && f.getName.startsWith("iter=") &&
+        new java.io.File(f, "_SUCCESS").exists() &&
+        (tag.isEmpty || tagFile(f, tag).exists())
+    }
     if (done.isEmpty) None
     else {
       val best = done.maxBy(_.getName)

@@ -51,7 +51,10 @@ object EdgeStream {
     * `batch=<id>` partition directory, so a crash between the parquet commit
     * and the streaming offset commit is healed by the replayed batch
     * overwriting the same directory — foreachBatch alone is at-least-once;
-    * keying the write by batchId is what makes the log exactly-once.
+    * keying the write by batchId is what makes the log exactly-once. The
+    * batch-partitioned layout is the log's on-disk format from its first
+    * write; a pendingDir must never mix it with flat files (Spark's
+    * partition discovery rejects mixed structures).
     */
   def appendBatch(batch: DataFrame, pendingDir: String, id: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$pendingDir/batch=$id")
@@ -67,8 +70,12 @@ object EdgeStream {
     import spark.implicits._
     val pending =
       try spark.read.parquet(pendingDir).select("src", "dst", "w")
-      catch { // no batch has committed yet = a matrix with no pending tuples
-        case _: org.apache.spark.sql.AnalysisException =>
+      catch { // ONLY the empty-log cases — a log that exists but is
+        // malformed (wrong columns, mixed layouts) must surface, not read
+        // as "no pending tuples"
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+               e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
           Seq.empty[(Long, Long, Double)].toDF("src", "dst", "w")
       }
     GBMatrix.fromTuples(pending, dup)

@@ -88,6 +88,24 @@ class CheckpointSpec extends SparkTestBase {
     assert(bResumed == bFull)
   }
 
+  test("snapshots from a different run identity (other source) are not resumed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val es = randGraph(30, 120, 27L)
+    val wdf = edgesDF(es).withColumn("w", lit(1.0))
+    val dir = Files.createTempDirectory("graft-tag").toString
+    SSSP.run(spark, wdf, source = 0L, maxIter = 3,
+      checkpointDir = Some(dir), checkpointEvery = 1)
+    // same dir, different source: the run tag mismatches, so this must be a
+    // FRESH source-5 run, not source-0 distances wearing a source-5 label
+    val other = SSSP.run(spark, wdf, source = 5L,
+        checkpointDir = Some(dir), checkpointEvery = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fresh = SSSP.run(spark, wdf, source = 5L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(other == fresh)
+    assert(other(5L) == 0.0)
+  }
+
   test("incomplete checkpoint dirs (no _SUCCESS) are ignored on resume") {
     val dir = Files.createTempDirectory("graft-broken").toString
     val es = randGraph(20, 60, 25L)
