@@ -49,6 +49,7 @@ object BFS {
     var frontierSize = 1L
 
     while (frontierSize > 0 && level < maxIter) {
+      val t0 = System.nanoTime()
       level += 1
       // q<~v,replace> = q * A  (any.first for parents, min-deterministic);
       // the frontier size is observed during the cut pass itself (no extra job)
@@ -68,6 +69,8 @@ object BFS {
       // next stays cached as the frontier for one more level; the superseded
       // frontier blocks are freed by the ContextCleaner (tiny)
       checkpointDir.foreach { dir =>
+        graft.core.Checkpoint.logMetric(dir, "level" -> level.toLong,
+          "frontier" -> frontierSize, "millis" -> (System.nanoTime() - t0) / 1000000)
         if (level % checkpointEvery == 0 || frontierSize == 0 || level == maxIter)
           graft.core.Checkpoint.write(
             visited.select(col("id"), col("level"), col("parent")), dir, level,

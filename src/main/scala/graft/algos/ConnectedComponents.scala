@@ -77,6 +77,7 @@ object ConnectedComponents {
     var iter = startIter
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      val t0 = System.nanoTime()
       // neighbor-min gather: min.second semiring vxm over the adjacency
       val labT = labels.select(col("id").as("src"), col("comp").as("c"))
       val gathered = undHot match {
@@ -103,6 +104,8 @@ object ConnectedComponents {
       labels = next
       iter += 1
       checkpointDir.foreach { dir =>
+        graft.core.Checkpoint.logMetric(dir, "iter" -> iter.toLong,
+          "changed" -> changed, "millis" -> (System.nanoTime() - t0) / 1000000)
         if (iter % checkpointEvery == 0 || changed == 0 || iter == maxIter)
           graft.core.Checkpoint.write(labels.select(col("id"), col("comp")), dir, iter)
       }

@@ -53,6 +53,7 @@ object LabelPropagation {
     var iter = startIter
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      val t0 = System.nanoTime()
       // histogram of neighbor labels per vertex...
       val hist = und
         .join(labels.select(col("id").as("src"), col("label").as("l")), Seq("src"))
@@ -75,6 +76,8 @@ object LabelPropagation {
       labels = next
       iter += 1
       checkpointDir.foreach { dir =>
+        graft.core.Checkpoint.logMetric(dir, "iter" -> iter.toLong,
+          "changed" -> changed, "millis" -> (System.nanoTime() - t0) / 1000000)
         if (iter % checkpointEvery == 0 || changed == 0 || iter == maxIter)
           graft.core.Checkpoint.write(labels.select(col("id"), col("label")), dir, iter)
       }

@@ -41,6 +41,7 @@ object SSSP {
     var iter = resumed.map(_._1).getOrElse(0)
 
     while (active > 0 && iter < maxIter) {
+      val t0 = System.nanoTime()
       iter += 1
       // relax: candidate dist via frontier (min-plus vxm)
       val cand = adj.join(frontier.select(col("id").as("src"), col("dist")), Seq("src"))
@@ -63,6 +64,8 @@ object SSSP {
         frontier = improved
       } else Iterate.free(improved)
       checkpointDir.foreach { dir =>
+        graft.core.Checkpoint.logMetric(dir, "iter" -> iter.toLong,
+          "relaxed" -> active, "millis" -> (System.nanoTime() - t0) / 1000000)
         if (iter % checkpointEvery == 0 || active == 0 || iter == maxIter)
           graft.core.Checkpoint.write(dist.select(col("id"), col("dist")), dir, iter, s"src=$source")
       }

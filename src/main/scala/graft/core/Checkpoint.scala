@@ -33,6 +33,19 @@ object Checkpoint {
     if (tag.nonEmpty) tagFile(new java.io.File(path), tag).createNewFile()
   }
 
+  /** Append one iteration-metrics record (numbers only) to
+    * `dir/metrics.jsonl` — the run's durable per-iteration log next to its
+    * state snapshots (the north rule's "iteration metrics"). Driver-side
+    * single-writer append; a resumed run keeps appending to the same log.
+    */
+  def logMetric(dir: String, fields: (String, Long)*): Unit = {
+    new java.io.File(dir).mkdirs()
+    val line = fields.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val w = new java.io.FileWriter(s"$dir/metrics.jsonl", true)
+    try w.write(line + "\n") finally w.close()
+  }
+
   /** Newest complete (has _SUCCESS, and the matching run tag when one is
     * expected) snapshot under `dir`, with the state columns `cols`.
     */

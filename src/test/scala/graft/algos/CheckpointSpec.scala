@@ -88,6 +88,26 @@ class CheckpointSpec extends SparkTestBase {
     assert(bResumed == bFull)
   }
 
+  test("checkpoint dir accumulates a parseable per-iteration metrics log") {
+    val dir = Files.createTempDirectory("graft-metrics").toString
+    val es = randGraph(30, 100, 28L)
+    graft.algos.ConnectedComponents.run(spark, edgesDF(es),
+      checkpointDir = Some(dir), checkpointEvery = 2)
+    val log = new java.io.File(s"$dir/metrics.jsonl")
+    assert(log.exists())
+    val lines = scala.io.Source.fromFile(log).getLines().toList
+    assert(lines.nonEmpty)
+    // every line is one JSON object with iter/changed/millis numeric fields
+    val re = """\{"iter":(\d+),"changed":(\d+),"millis":(\d+)\}""".r
+    lines.foreach { l => assert(re.matches(l), s"unparseable metric line: $l") }
+    val iters = lines.map { case re(i, _, _) => i.toInt }
+    assert(iters == (1 to iters.max).toList, "one record per iteration, in order")
+    // a resumed run appends to the same log
+    ConnectedComponents.run(spark, edgesDF(es),
+      checkpointDir = Some(dir), checkpointEvery = 2)
+    assert(scala.io.Source.fromFile(log).getLines().size > lines.size)
+  }
+
   test("snapshots from a different run identity (other source) are not resumed") {
     import org.apache.spark.sql.functions.{col, lit}
     val es = randGraph(30, 120, 27L)
