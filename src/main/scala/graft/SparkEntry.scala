@@ -179,6 +179,14 @@ object SparkEntry {
       val u = m.reduceRows(Monoid.Plus) // out-weight vector over suppliers
       m.vxm(u, Semiring.PlusTimes).withColumnRenamed("v", "y")
     }),
+    // the generic salting API for one-shot products (two-phase semiring agg;
+    // integral weights keep the regrouped sums exact, so the vxm oracle
+    // applies verbatim)
+    "gb_vxm_salted" -> ((s, d) => {
+      val m = GBMatrix(edgesBi(s, d))
+      val u = m.reduceRows(Monoid.Plus)
+      m.vxmSalted(u, Semiring.PlusTimes, salts = 16).withColumnRenamed("v", "y")
+    }),
 
     // §2.2 mxm: C = A·Aᵀ with plus-pair = #shared parts per supplier pair
     "gb_mxm" -> ((s, d) => {
@@ -550,6 +558,12 @@ object SparkEntry {
          |FROM a JOIN u ON a.dst = u.id GROUP BY a.src""".stripMargin,
 
     "gb_vxm" ->
+      s"""WITH a AS ($edgesBiSql),
+         |u AS (SELECT src AS id, CAST(sum(w) AS DOUBLE) AS v FROM a GROUP BY src)
+         |SELECT a.dst AS id, CAST(sum(u.v * a.w) AS DOUBLE) AS y
+         |FROM a JOIN u ON a.src = u.id GROUP BY a.dst""".stripMargin,
+
+    "gb_vxm_salted" ->
       s"""WITH a AS ($edgesBiSql),
          |u AS (SELECT src AS id, CAST(sum(w) AS DOUBLE) AS v FROM a GROUP BY src)
          |SELECT a.dst AS id, CAST(sum(u.v * a.w) AS DOUBLE) AS y
