@@ -201,6 +201,14 @@ object SparkEntry {
       val mask = GBMatrix(edgesSup(s, d))
       a.mxm(a.transpose, Semiring.PlusPair, Some(mask)).df.withColumnRenamed("w", "shared")
     }),
+    // same product through the dot3 (mask-first) method on a SPARSE mask —
+    // work is Sum over mask entries of deg(src), not the full pair product
+    "gb_mxm_masked_dot3" -> ((s, d) => {
+      val a = GBMatrix(edgesBi(s, d))
+      val mask = GBMatrix(edgesSup(s, d).filter(col("src") < 20))
+      a.mxm(a.transpose, Semiring.PlusPair, Some(mask), Desc(dot3 = true))
+        .df.withColumnRenamed("w", "shared")
+    }),
 
     // §2.8 accum-mask epilogue: C<M> = accum(C, T)
     "gb_accum_mask" -> ((s, d) => {
@@ -613,6 +621,13 @@ object SparkEntry {
 
     "gb_mxm_masked" ->
       s"""WITH a AS ($edgesBiSql), m AS ($edgesSupSql)
+         |SELECT x.src AS src, y.src AS dst, CAST(count(*) AS DOUBLE) AS shared
+         |FROM a x JOIN a y ON x.dst = y.dst
+         |WHERE EXISTS (SELECT 1 FROM m WHERE m.src = x.src AND m.dst = y.src)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "gb_mxm_masked_dot3" ->
+      s"""WITH a AS ($edgesBiSql), m AS (SELECT * FROM ($edgesSupSql) WHERE src < 20)
          |SELECT x.src AS src, y.src AS dst, CAST(count(*) AS DOUBLE) AS shared
          |FROM a x JOIN a y ON x.dst = y.dst
          |WHERE EXISTS (SELECT 1 FROM m WHERE m.src = x.src AND m.dst = y.src)
