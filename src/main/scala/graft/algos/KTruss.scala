@@ -17,18 +17,35 @@ import graft.core.Iterate
 object KTruss {
 
   def run(spark: SparkSession, edges: DataFrame, k: Int, maxIter: Int = 100,
-          numPartitions: Int = 0): DataFrame = {
+          numPartitions: Int = 0, checkpointDir: Option[String] = None,
+          checkpointEvery: Int = 10): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
-    var canon = canonicalize(spark, edges, numPartitions)
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // the loop state IS the surviving edge set, so the snapshot is the
+    // canonical (lo,hi) table; resuming simply continues peeling from it
+    // (the filter is monotone — rounds already applied are never re-done)
+    val resumed = checkpointDir
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("lo", "hi"), s"k=$k"))
+    var canon = resumed.map(r => canonicalize(spark,
+        r._2.select(col("lo").as("src"), col("hi").as("dst")), numPartitions))
+      .getOrElse(canonicalize(spark, edges, numPartitions))
     var nvals = canon.count()
-    var iter = 0
+    var iter = resumed.map(_._1).getOrElse(0)
     var stable = false
     while (!stable && iter < maxIter && nvals > 0) {
+      val t0 = System.nanoTime()
       val (kept, newN) = round(canon, k)
       stable = newN == nvals
       canon = kept
       nvals = newN
       iter += 1
+      checkpointDir.foreach { dir =>
+        graft.core.Checkpoint.logMetric(dir, "iter" -> iter.toLong,
+          "edges" -> nvals, "millis" -> (System.nanoTime() - t0) / 1000000)
+        if (iter % checkpointEvery == 0 || stable || iter == maxIter)
+          graft.core.Checkpoint.write(canon.select(col("lo"), col("hi")),
+            dir, iter, s"k=$k")
+      }
     }
     canon
   }

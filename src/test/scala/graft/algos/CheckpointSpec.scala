@@ -88,6 +88,22 @@ class CheckpointSpec extends SparkTestBase {
     assert(bResumed == bFull)
   }
 
+  test("k-truss resumes its edge-peeling from a mid-run snapshot") {
+    // K5 plus a pendant triangle: the 4-truss is the K5
+    val k5 = (for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)).toSet
+    val es = k5 ++ Set((4L, 10L), (4L, 11L), (10L, 11L))
+    val dir = Files.createTempDirectory("graft-ktruss-ckpt").toString
+    KTruss.run(spark, edgesDF(es), k = 4, maxIter = 1,
+      checkpointDir = Some(dir), checkpointEvery = 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val resumed = pairs(KTruss.run(spark, edgesDF(es), k = 4,
+      checkpointDir = Some(dir), checkpointEvery = 100))
+    val full = pairs(KTruss.run(spark, edgesDF(es), k = 4))
+    assert(resumed == full)
+    assert(resumed == k5.map { case (a, b) => (math.min(a, b), math.max(a, b)) })
+  }
+
   test("checkpoint dir accumulates a parseable per-iteration metrics log") {
     val dir = Files.createTempDirectory("graft-metrics").toString
     val es = randGraph(30, 100, 28L)
