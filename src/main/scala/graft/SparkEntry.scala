@@ -505,6 +505,11 @@ object SparkEntry {
           "issym_raw", "issym_sym")
     }),
     "gb_flip" -> ((s, d) => GBMatrix(nationAdj(s, d)).flip(25, 1).df),
+    // the reference's Wathen FEM demo generator with a SQL-expressible
+    // density (the rho_given path), so DuckDB rebuilds it cell-for-cell
+    "gb_wathen" -> ((s, _) => GBMatrix.wathen(s, 4, 3,
+        rhoFn = Some((i, j) => (pmod(i * lit(31L) + j, lit(7L)) + 1L).cast("double")))
+      .df.select(col("src"), col("dst"), round(col("w"), 6).as("w"))),
     "gb_repmat" -> ((s, d) => GBMatrix(nationAdj(s, d)).repmat(2, 3, 25, 5).df),
     "gb_mpower" -> ((s, d) => GBMatrix(nationCoRegion(s, d)).matrixPower(3).df),
 
@@ -518,6 +523,35 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — same tables, same column names
   // ---------------------------------------------------------------------------
+
+
+  /** gb_wathen oracle: the wathen.c assembly in SQL over the same element
+    * block (numerators/45.0 divides identically in both engines) and the
+    * same integral density (i*31+j)%7+1; per-entry sums rounded to 6 dp on
+    * both sides (summation order differs between engines).
+    */
+  private def wathenOracleSql: String = {
+    val nx = 4L; val ny = 3L
+    val eVals = (for (kr <- 0 until 8; kc <- 0 until 8) yield
+      s"($kr, $kc, ${math.round(GBMatrix.WathenE(kr)(kc) * 45).toInt}/45.0)")
+      .mkString(",\n         |")
+    def nnCase(k: String) =
+      s"""CASE $k WHEN 0 THEN 3*j*$nx + 2*i + 2*j
+         | WHEN 1 THEN 3*j*$nx + 2*i + 2*j - 1
+         | WHEN 2 THEN 3*j*$nx + 2*i + 2*j - 2
+         | WHEN 3 THEN (3*j-1)*$nx + 2*j + i - 2
+         | WHEN 4 THEN 3*(j-1)*$nx + 2*i + 2*j - 4
+         | WHEN 5 THEN 3*(j-1)*$nx + 2*i + 2*j - 3
+         | WHEN 6 THEN 3*(j-1)*$nx + 2*i + 2*j - 2
+         | ELSE (3*j-1)*$nx + 2*j + i - 1 END""".stripMargin.replace("\n", " ")
+    s"""WITH cells AS (SELECT CAST(c % $nx + 1 AS BIGINT) AS i,
+       |CAST(c // $nx + 1 AS BIGINT) AS j FROM range(${nx * ny}) t(c)),
+       |e(kr, kc, v) AS (VALUES $eVals),
+       |t AS (SELECT ${nnCase("kr")} AS src, ${nnCase("kc")} AS dst,
+       |e.v * CAST((i*31 + j) % 7 + 1 AS DOUBLE) AS x FROM cells, e)
+       |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       |round(sum(x), 6) AS w FROM t GROUP BY 1, 2""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "gb_build" -> edgesBiSql,
@@ -972,6 +1006,8 @@ object SparkEntry {
          |  SELECT dst, src, w FROM e)) = 0 AS issym_raw,
          |(SELECT count(*) FROM (SELECT src, dst, w FROM sym EXCEPT
          |  SELECT dst, src, w FROM sym)) = 0 AS issym_sym""".stripMargin,
+
+    "gb_wathen" -> wathenOracleSql,
 
     "gb_flip" ->
       """SELECT CAST(24 - n_nationkey AS BIGINT) AS src,

@@ -675,6 +675,59 @@ object GBMatrix {
     GBMatrix(spark.range(m * n).select((col("id") / n).cast("long").as("src"),
       pmod(col("id"), lit(n)).as("dst"), lit(1.0).as("w")))
 
+  /** The reference's 8×8 Wathen element stiffness block
+    * (Demo/Include/wathen.c:75-83, scaled by 1/45).
+    */
+  private[graft] val WathenE: Seq[Seq[Double]] = {
+    val d = 45.0
+    Seq(
+      Seq( 6, -6,  2, -8,  3, -8,  2, -6),
+      Seq(-6, 32, -6, 20, -8, 16, -8, 20),
+      Seq( 2, -6,  6, -6,  2, -8,  3, -8),
+      Seq(-8, 20, -6, 32, -6, 20, -8, 16),
+      Seq( 3, -8,  2, -6,  6, -6,  2, -8),
+      Seq(-8, 16, -8, 20, -6, 32, -6, 20),
+      Seq( 2, -8,  3, -8,  2, -6,  6, -6),
+      Seq(-6, 20, -8, 16, -8, 20, -6, 32)).map(_.map(_ / d))
+  }
+
+  /** Wathen finite-element matrix on an nx×ny mesh (the reference's demo
+    * generator, Demo/Include/wathen.c:74-195 = wathen.m): n = 3·nx·ny +
+    * 2·nx + 2·ny + 1, one 8×8 element block per mesh cell scaled by a
+    * per-cell density RHO(i,j) = 100·uniform, duplicate node contributions
+    * summed (GrB_Matrix_build with PLUS, wathen.c:193). RHO here is a pure
+    * hash of (i,j,seed) — the rho_given path with a deterministic source —
+    * so the matrix is O(nx·ny·64) fully-distributed arithmetic over a
+    * spark.range, identical at any parallelism.
+    */
+  def wathen(spark: SparkSession, nx: Long, ny: Long, seed: Long = 42L,
+             rhoFn: Option[(Column, Column) => Column] = None): GBMatrix = {
+    val cells = nx * ny
+    val base = spark.range(cells * 64L)
+    val cell = (col("id") / 64L).cast("long")
+    val krow = (pmod(col("id"), lit(64L)) / 8L).cast("long")
+    val kcol = pmod(col("id"), lit(8L))
+    val i = pmod(cell, lit(nx)) + 1L // 1-based, as in wathen.m
+    val j = (cell / nx).cast("long") + 1L
+    // node ids of the cell's 8 mesh nodes (wathen.c:169-177), made 0-based
+    val nn0 = lit(3L) * j * nx + lit(2L) * i + lit(2L) * j + 1L
+    val nn3 = (lit(3L) * j - 1L) * nx + lit(2L) * j + i - 1L
+    val nn4 = lit(3L) * (j - 1L) * nx + lit(2L) * i + lit(2L) * j - 3L
+    val nn = array(Seq(nn0, nn0 - 1L, nn0 - 2L, nn3, nn4, nn4 + 1L,
+      nn4 + 2L, nn3 + 1L).map(_ - 1L): _*)
+    // default density: 100·uniform from a hash of the cell — the reference's
+    // RHO = 100*rand(nx,ny); rhoFn is the rho_given path (wathen.c:118-122)
+    val rho = rhoFn.map(_(i, j)).getOrElse(lit(100.0) *
+      (abs(xxhash64(i, j, lit(seed))).cast("double") / Long.MaxValue.toDouble))
+    val e = typedLit(WathenE)
+    GBMatrix(base.select(
+      element_at(nn, (krow + 1L).cast("int")).as("src"),
+      element_at(nn, (kcol + 1L).cast("int")).as("dst"),
+      (element_at(element_at(e, (krow + 1L).cast("int")),
+        (kcol + 1L).cast("int")) * rho).as("w")))
+      .build(Monoid.Plus)
+  }
+
   /** In-memory matrix for tests/fixtures. */
   def of(spark: SparkSession, entries: Seq[(Long, Long, Double)]): GBMatrix = {
     import spark.implicits._

@@ -71,6 +71,44 @@ class UtilityOpsSpec extends SparkTestBase {
     assert(sym.issymmetric && !asym.issymmetric)
   }
 
+  test("wathen matches a driver-side replica of the reference generator") {
+    import org.apache.spark.sql.functions._
+    val e = Seq(
+      Seq( 6.0, -6, 2, -8, 3, -8, 2, -6), Seq(-6.0, 32, -6, 20, -8, 16, -8, 20),
+      Seq( 2.0, -6, 6, -6, 2, -8, 3, -8), Seq(-8.0, 20, -6, 32, -6, 20, -8, 16),
+      Seq( 3.0, -8, 2, -6, 6, -6, 2, -8), Seq(-8.0, 16, -8, 20, -6, 32, -6, 20),
+      Seq( 2.0, -8, 3, -8, 2, -6, 6, -6), Seq(-6.0, 20, -8, 16, -8, 20, -6, 32))
+      .map(_.map(_ / 45.0))
+    for ((nx, ny) <- Seq((1L, 1L), (3L, 2L))) {
+      val m = GBMatrix.wathen(spark, nx, ny)
+      val got = toMap(m)
+      // the same hash-derived per-cell density, fetched once
+      val rho = spark.range(nx * ny)
+        .select((pmod(col("id"), lit(nx)) + 1L).as("i"),
+          ((col("id") / nx).cast("long") + 1L).as("j"))
+        .select(col("i"), col("j"), (lit(100.0) *
+          (abs(xxhash64(col("i"), col("j"), lit(42L))).cast("double") /
+            Long.MaxValue.toDouble)).as("rho"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // wathen.c:165-190 verbatim, driver-side
+      val acc = scala.collection.mutable.Map[(Long, Long), Double]()
+        .withDefaultValue(0.0)
+      for (j <- 1L to ny; i <- 1L to nx) {
+        val nn0 = 3 * j * nx + 2 * i + 2 * j + 1
+        val nn3 = (3 * j - 1) * nx + 2 * j + i - 1
+        val nn4 = 3 * (j - 1) * nx + 2 * i + 2 * j - 3
+        val nn = Array(nn0, nn0 - 1, nn0 - 2, nn3, nn4, nn4 + 1, nn4 + 2, nn3 + 1)
+          .map(_ - 1)
+        for (kr <- 0 until 8; kc <- 0 until 8)
+          acc((nn(kr), nn(kc))) += e(kr)(kc) * rho((i, j))
+      }
+      assertMatrixEq(got, acc.toMap, tol = 1e-9, ctx = s"wathen($nx,$ny)")
+      val n = 3 * nx * ny + 2 * nx + 2 * ny + 1
+      assert(got.keys.flatMap(k => Seq(k._1, k._2)).max == n - 1)
+      assert(m.issymmetric)
+    }
+  }
+
   test("flip reverses rows or columns given the dimension size") {
     val a = toMatrix(Map((0L, 0L) -> 1.0, (2L, 1L) -> 2.0))
     assertMatrixEq(toMap(a.flip(3, 1)), Map((2L, 0L) -> 1.0, (0L, 1L) -> 2.0))
