@@ -183,6 +183,7 @@ object Bench {
       sys.exit(reexecPinned())
     }
 
+    val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString).toInt
@@ -234,7 +235,9 @@ object Bench {
     // is <10% of an iteration. SPARK_GRAFT_BIG_FILES=0 disables.
     val bigFiles = sys.env.getOrElse("SPARK_GRAFT_BIG_FILES", "20000000").toLong
     val bigPath = s"/tmp/graft_bench_edges_$bigFiles"
-    if (bigFiles > 0 && !new java.io.File(s"$bigPath/_SUCCESS").exists()) {
+    val budget0 = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1500").toLong
+    if (bigFiles > 0 && !new java.io.File(s"$bigPath/_SUCCESS").exists() &&
+        (System.nanoTime() - tStart) / 1000000000L < budget0 / 2) {
       Corpus.deriveEdges(Corpus.synthesize(spark, bigFiles))
         .write.mode("overwrite").parquet(bigPath)
     }
@@ -258,17 +261,12 @@ object Bench {
     val idealSpeedup = cpus.toDouble / lowCpus
     val efficiency = (tputHi / tputLo) / idealSpeedup
 
-    // floor-amortized scaling on the big graph (one child per level): with
-    // ~16 s iterations the noisy host's multi-second spikes average out, so
-    // this is the PRIMARY strong-scaling evidence; the 8M numbers above are
-    // the small-graph secondary (their ~1 s iterations ride the noise)
-    val bigIters = sys.env.getOrElse("SPARK_GRAFT_BIG_ITERS", "6").toInt
-    val (bigNnz, bigHi, bigLo) =
-      if (bigFiles > 0) {
-        val (n1, hi) = childThroughput(cpus, bigPath, bigIters)
-        val (_, lo) = childThroughput(lowCpus, bigPath, bigIters)
-        (n1, hi, lo)
-      } else (0L, 0.0, 0.0)
+    // render the full JSON from what is known so far; the big-graph numbers
+    // arrive last (0s = not yet measured -> scaling falls back to the small
+    // graph), so the metric FILE can be written incrementally: if a driver
+    // timeout kills the remaining phases, the newest complete phase is still
+    // on disk as a valid, parseable record
+    def render(bigNnz: Long, bigHi: Double, bigLo: Double): String = {
     val bigEff = if (bigLo > 0) (bigHi / bigLo) / idealSpeedup else 0.0
     // the engine's measured peak per-iteration edge rate at full parallelism
     val peakHi = math.max(tputHi, bigHi)
@@ -307,10 +305,37 @@ object Bench {
       s""""hub_fixture":{"edges":$hubEdges,"salted_sec_per_iter":${jn(hubSalted, 3)},""" +
       s""""unsalted_sec_per_iter":${jn(hubUnsalted, 3)},""" +
       s""""salted_speedup":${jn(if (hubSalted > 0) hubUnsalted / hubSalted else 0.0, 2)}}}"""
+    json
+    }
 
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
+    def writeOut(json: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
+
+    // small-graph phases complete: land a valid record before the long
+    // big-graph phase (a killed process leaves this on disk)
+    writeOut(render(0L, 0.0, 0.0))
+
+    // floor-amortized scaling on the big graph (one child per level): with
+    // ~16 s iterations the noisy host's multi-second spikes average out, so
+    // this is the PRIMARY strong-scaling evidence; the 8M numbers above are
+    // the small-graph secondary (their ~1 s iterations ride the noise).
+    // Skipped when the wall-clock budget is nearly spent, so a driver-side
+    // timeout never truncates the metric output.
+    val bigIters = sys.env.getOrElse("SPARK_GRAFT_BIG_ITERS", "6").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1500").toLong
+    val elapsed = (System.nanoTime() - tStart) / 1000000000L
+    val (bigNnz, bigHi, bigLo) =
+      if (bigFiles > 0 && elapsed < budget * 7 / 10 &&
+          new java.io.File(s"$bigPath/_SUCCESS").exists()) {
+        val (n1, hi) = childThroughput(cpus, bigPath, bigIters)
+        val (_, lo) = childThroughput(lowCpus, bigPath, bigIters)
+        (n1, hi, lo)
+      } else (0L, 0.0, 0.0)
+
+    val json = render(bigNnz, bigHi, bigLo)
+    writeOut(json)
     println(json)
   }
 
