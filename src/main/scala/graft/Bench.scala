@@ -235,7 +235,7 @@ object Bench {
     // is <10% of an iteration. SPARK_GRAFT_BIG_FILES=0 disables.
     val bigFiles = sys.env.getOrElse("SPARK_GRAFT_BIG_FILES", "20000000").toLong
     val bigPath = s"/tmp/graft_bench_edges_$bigFiles"
-    val budget0 = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1500").toLong
+    val budget0 = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2400").toLong
     if (bigFiles > 0 && !new java.io.File(s"$bigPath/_SUCCESS").exists() &&
         (System.nanoTime() - tStart) / 1000000000L < budget0 / 2) {
       Corpus.deriveEdges(Corpus.synthesize(spark, bigFiles))
@@ -324,7 +324,7 @@ object Bench {
     // Skipped when the wall-clock budget is nearly spent, so a driver-side
     // timeout never truncates the metric output.
     val bigIters = sys.env.getOrElse("SPARK_GRAFT_BIG_ITERS", "6").toInt
-    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1500").toLong
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2400").toLong
     val elapsed = (System.nanoTime() - tStart) / 1000000000L
     val (bigNnz, bigHi, bigLo) =
       if (bigFiles > 0 && elapsed < budget * 7 / 10 &&
