@@ -329,9 +329,20 @@ object Bench {
     val (bigNnz, bigHi, bigLo) =
       if (bigFiles > 0 && elapsed < budget * 7 / 10 &&
           new java.io.File(s"$bigPath/_SUCCESS").exists()) {
-        val (n1, hi) = childThroughput(cpus, bigPath, bigIters)
-        val (_, lo) = childThroughput(lowCpus, bigPath, bigIters)
-        (n1, hi, lo)
+        val (n1, hi1) = childThroughput(cpus, bigPath, bigIters)
+        val (_, lo1) = childThroughput(lowCpus, bigPath, bigIters)
+        // noise guard: the floor-amortized c-high rate should be comparable
+        // to the same run's small-graph c-high rate, and above the c-low
+        // rate. A first pair violating either is a contention window, not
+        // the engine — take a symmetric second sample per level (the same
+        // best-of-2 the small-graph path always uses), budget permitting.
+        val anomalous = hi1 < 0.6 * tputHi || hi1 < lo1
+        val elapsed2 = (System.nanoTime() - tStart) / 1000000000L
+        if (anomalous && elapsed2 < budget * 85 / 100) {
+          val (_, hi2) = childThroughput(cpus, bigPath, bigIters)
+          val (_, lo2) = childThroughput(lowCpus, bigPath, bigIters)
+          (n1, math.max(hi1, hi2), math.max(lo1, lo2))
+        } else (n1, hi1, lo1)
       } else (0L, 0.0, 0.0)
 
     val json = render(bigNnz, bigHi, bigLo)
