@@ -332,11 +332,14 @@ object Bench {
         val (n1, hi1) = childThroughput(cpus, bigPath, bigIters)
         val (_, lo1) = childThroughput(lowCpus, bigPath, bigIters)
         // noise guard: the floor-amortized c-high rate should be comparable
-        // to the same run's small-graph c-high rate, and above the c-low
-        // rate. A first pair violating either is a contention window, not
-        // the engine — take a symmetric second sample per level (the same
-        // best-of-2 the small-graph path always uses), budget permitting.
-        val anomalous = hi1 < 0.6 * tputHi || hi1 < lo1
+        // to the same run's small-graph c-high rate, above the c-low rate,
+        // and the pair should not read past ideal speedup (superlinear =
+        // the c-low child hit the window). A first pair violating any of
+        // these is contention, not the engine — take a symmetric second
+        // sample per level (the same best-of-2 the small-graph path always
+        // uses), budget permitting.
+        val anomalous = hi1 < 0.6 * tputHi || hi1 < lo1 ||
+          hi1 / math.max(lo1, 1e-9) > idealSpeedup * 1.1
         val elapsed2 = (System.nanoTime() - tStart) / 1000000000L
         if (anomalous && elapsed2 < budget * 85 / 100) {
           val (_, hi2) = childThroughput(cpus, bigPath, bigIters)
