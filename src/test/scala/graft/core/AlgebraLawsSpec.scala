@@ -101,6 +101,25 @@ class AlgebraLawsSpec extends SparkTestBase {
     }
   }
 
+  test("min-plus (tropical) laws: associativity, idempotent add, distributivity") {
+    for (s <- seeds) {
+      val a = intRand(10, 0.35, s); val b = intRand(10, 0.35, s + 1)
+      val c = intRand(10, 0.35, s + 2)
+      val sr = Semiring.MinPlus
+      // associative products (shortest 3-hop = either grouping)
+      assertMatrixEq(toMap(a.mxm(b, sr).mxm(c, sr)),
+        toMap(a.mxm(b.mxm(c, sr), sr)), tol = 0.0, ctx = s"seed $s")
+      // min is idempotent: A (min) A == A
+      assertMatrixEq(toMap(a.eWiseAdd(a, BinOp.MinOp)), toMap(a), tol = 0.0)
+      // distributivity of + over min inside the product:
+      // A *(min.+) (B (min) C) == (A *(min.+) B) (min) (A *(min.+) C)
+      assertMatrixEq(
+        toMap(a.mxm(b.eWiseAdd(c, BinOp.MinOp), sr)),
+        toMap(a.mxm(b, sr).eWiseAdd(a.mxm(c, sr), BinOp.MinOp)), tol = 0.0,
+        ctx = s"seed $s")
+    }
+  }
+
   test("kron mixed-product law on patterns: (A (x) B)(C (x) D) == AC (x) BD") {
     // dims: A,C are 4x4; B,D are 3x3 => kron blocks line up
     for (s <- seeds.take(2)) {
