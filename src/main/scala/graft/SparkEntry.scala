@@ -442,6 +442,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    // cluster-representative outputs (linear in cluster size — the scale
+    // path for duplicate mega-clusters the pair queries cap away)
+    "dedup_exact_clusters" -> ((s, d) => Dedup.exactClusters(docs(s, d))),
+    // minhash flavor: band buckets are engine-internal xxhash64 → rows-only
+    // (cluster-merge correctness is unit-tested on planted duplicates)
+    "dedup_minhash_clusters" -> ((s, d) => Dedup.minhashClusters(docs(s, d))),
 
     // pipeline: similarity search
     "ann_brute_topk" -> ((s, d) => {
@@ -464,10 +470,13 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank"))
     }),
     // driver embeddings are uniform-random (max pairwise cosine ~0.5), so the
-    // near-dup threshold is 0.35 with wide LSH (6-bit buckets × 8 tables)
+    // near-dup threshold is 0.35 with 6-bit buckets × 8 tables; multiprobe
+    // (1-bit-flip neighbor buckets) lifts recall to ≈0.91 at the threshold
+    // itself and ≈0.97 at s=0.5 (formula in Similarity.cosineNearDups;
+    // measured on planted pairs in PipelineSpec)
     "ann_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDups(embs(s, d), threshold = 0.35, dim = 64,
-          bits = 6, tables = 8)
+          bits = 6, tables = 8, probes = 1)
         .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
 
     // pipeline: text analysis
@@ -862,6 +871,10 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "dedup_exact_clusters" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id
+        |FROM documents""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -69,7 +69,7 @@ object BFS {
       // next stays cached as the frontier for one more level; the superseded
       // frontier blocks are freed by the ContextCleaner (tiny)
       checkpointDir.foreach { dir =>
-        graft.core.Checkpoint.logMetric(dir, "level" -> level.toLong,
+        graft.core.Checkpoint.logMetric(spark, dir, "level" -> level.toLong,
           "frontier" -> frontierSize, "millis" -> (System.nanoTime() - t0) / 1000000)
         if (level % checkpointEvery == 0 || frontierSize == 0 || level == maxIter)
           graft.core.Checkpoint.write(

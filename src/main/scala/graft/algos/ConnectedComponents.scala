@@ -104,7 +104,7 @@ object ConnectedComponents {
       labels = next
       iter += 1
       checkpointDir.foreach { dir =>
-        graft.core.Checkpoint.logMetric(dir, "iter" -> iter.toLong,
+        graft.core.Checkpoint.logMetric(spark, dir, "iter" -> iter.toLong,
           "changed" -> changed, "millis" -> (System.nanoTime() - t0) / 1000000)
         if (iter % checkpointEvery == 0 || changed == 0 || iter == maxIter)
           graft.core.Checkpoint.write(labels.select(col("id"), col("comp")), dir, iter)

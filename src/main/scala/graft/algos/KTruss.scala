@@ -40,7 +40,7 @@ object KTruss {
       nvals = newN
       iter += 1
       checkpointDir.foreach { dir =>
-        graft.core.Checkpoint.logMetric(dir, "iter" -> iter.toLong,
+        graft.core.Checkpoint.logMetric(spark, dir, "iter" -> iter.toLong,
           "edges" -> nvals, "millis" -> (System.nanoTime() - t0) / 1000000)
         if (iter % checkpointEvery == 0 || stable || iter == maxIter)
           graft.core.Checkpoint.write(canon.select(col("lo"), col("hi")),

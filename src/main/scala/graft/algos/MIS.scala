@@ -15,13 +15,28 @@ import graft.core.Iterate
   *
   * Returns (id, inSet). Result is a valid MIS: no two set members adjacent,
   * every non-member has a set neighbor (asserted in tests).
+  *
+  * Loop parity with the other five iterative algorithms: the remaining-
+  * candidate count is OBSERVED during the state materialization (no separate
+  * count job per round), and the (id, deg, cand, inSet) state vector is
+  * checkpointable/resumable via graft.core.Checkpoint (tag = the score seed,
+  * so a dir written under a different seed is refused).
   */
 object MIS {
 
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 100, seed: Long = 42L,
-          numPartitions: Int = 0): DataFrame = {
+          numPartitions: Int = 0,
+          checkpointDir: Option[String] = None, checkpointEvery: Int = 10): DataFrame =
+    Iterate.withoutAQE(spark)(runLoop(spark, edges, maxIter, seed, numPartitions,
+      checkpointDir, checkpointEvery))
+
+  private def runLoop(spark: SparkSession, edges: DataFrame, maxIter: Int, seed: Long,
+          numPartitions: Int,
+          checkpointDir: Option[String], checkpointEvery: Int): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val stateCols = Seq("id", "deg", "cand", "inSet")
 
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -33,46 +48,61 @@ object MIS {
     val vertices = und.select(col("src").as("id")).distinct()
       .join(deg, Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var candidates = Iterate.cut(vertices)
-    var inSet = Iterate.cut(spark.emptyDataFrame.select(lit(0L).as("id")).limit(0))
-    var iter = 0
-    var nCand = candidates.count()
+    // one unified state vector (id, deg, cand, inSet) — the checkpoint unit
+    val (startIter, s0) = checkpointDir
+      .flatMap(graft.core.Checkpoint.newest(spark, _, stateCols, tag = s"seed=$seed"))
+      .getOrElse((0,
+        vertices.select(col("id"), col("deg"), lit(true).as("cand"), lit(false).as("inSet"))))
+    var state = Iterate.cutKeyed(s0, parts, "id")
+    var iter = startIter
+    var nCand = -1L // unknown until the first observed materialization
 
-    while (nCand > 0 && iter < maxIter) {
+    while (nCand != 0L && iter < maxIter) {
       iter += 1
+      val t0 = System.nanoTime()
       // deterministic "random" score; strictly positive, distinct w.h.p.
-      val scored = Iterate.cut(candidates.select(col("id"),
-        ((abs(xxhash64(col("id"), lit(iter), lit(seed))) % 1000000007L).cast("double") + lit(1.0))
-          / (col("deg").cast("double") + lit(1.0))).toDF("id", "score"))
+      val scored = state.filter(col("cand")).select(col("id"),
+        (((abs(xxhash64(col("id"), lit(iter), lit(seed))) % 1000000007L).cast("double") + 1.0)
+          / (col("deg").cast("double") + 1.0)).as("score"))
 
       // neighbor max over candidate neighbors only (max.second masked to candidates)
       val nbrMax = und
         .join(scored.select(col("id").as("src"), col("score").as("s")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(max(col("s")).as("nmax"))
 
-      val winners = Iterate.cut(scored.join(nbrMax, Seq("id"), "left")
+      val winners = scored.join(nbrMax, Seq("id"), "left")
         .filter(col("nmax").isNull || col("score") > col("nmax"))
-        .select("id"))
+        .select(col("id"), lit(true).as("won"))
 
-      // removed = winners + neighbors(winners)
-      val removed = winners.unionByName(
+      // removed = winners + neighbors(winners); both leave the candidate pool
+      val removed = winners.select("id").unionByName(
         und.join(winners.select(col("id").as("src")), Seq("src"))
           .select(col("dst").as("id"))).distinct()
+        .select(col("id"), lit(true).as("rm"))
 
-      val newInSet = Iterate.cut(inSet.unionByName(winners))
-      val newCand = Iterate.cut(candidates.join(removed, Seq("id"), "left_anti")
-        .select(col("id"), col("deg")))
-      nCand = newCand.count()
-
-      Iterate.free(inSet); Iterate.free(candidates)
-      Iterate.free(scored); Iterate.free(winners)
-      inSet = newInSet
-      candidates = newCand
+      // single merged state update; remaining-candidate count observed during
+      // the SAME materialization pass (CollectMetrics — no extra count job)
+      val merged = state
+        .join(winners, Seq("id"), "left").join(removed, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (col("cand") && col("rm").isNull).as("cand"),
+          (col("inSet") || coalesce(col("won"), lit(false))).as("inSet"))
+        .observe(s"mis_$iter", sum(when(col("cand"), 1L).otherwise(0L)).as("ncand"))
+      val next = Iterate.cutKeyed(merged, parts, "id")
+      val row = merged.queryExecution.observedMetrics(s"mis_$iter")
+      nCand = if (row.isNullAt(0)) 0L else row.getLong(0)
+      Iterate.free(state)
+      state = next
+      checkpointDir.foreach { dir =>
+        graft.core.Checkpoint.logMetric(spark, dir, "iter" -> iter.toLong,
+          "candidates" -> nCand, "millis" -> (System.nanoTime() - t0) / 1000000)
+        if (iter % checkpointEvery == 0 || nCand == 0L || iter == maxIter)
+          graft.core.Checkpoint.write(state.select(stateCols.map(col): _*), dir, iter,
+            tag = s"seed=$seed")
+      }
     }
     und.unpersist(false)
-    vertices.join(inSet.select(col("id"), lit(true).as("inSet")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("inSet"), lit(false)).as("inSet"))
+    state.select(col("id"), col("inSet"))
   }
 }

@@ -156,7 +156,7 @@ object PageRank {
       metrics += IterMetric(iter, delta, sinkMass, (System.nanoTime() - t0) / 1000000)
 
       checkpointDir.foreach { dir =>
-        graft.core.Checkpoint.logMetric(dir, "iter" -> iter.toLong,
+        graft.core.Checkpoint.logMetric(spark, dir, "iter" -> iter.toLong,
           "delta_e9" -> (delta * 1e9).toLong, "millis" -> metrics.last.millis)
         if (iter % checkpointEvery == 0 || delta < tol || iter == maxIter)
           graft.core.Checkpoint.write(state.select(col("id"), col("r")), dir, iter, f"damp=$damp%.4f")

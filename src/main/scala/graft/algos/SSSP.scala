@@ -64,7 +64,7 @@ object SSSP {
         frontier = improved
       } else Iterate.free(improved)
       checkpointDir.foreach { dir =>
-        graft.core.Checkpoint.logMetric(dir, "iter" -> iter.toLong,
+        graft.core.Checkpoint.logMetric(spark, dir, "iter" -> iter.toLong,
           "relaxed" -> active, "millis" -> (System.nanoTime() - t0) / 1000000)
         if (iter % checkpointEvery == 0 || active == 0 || iter == maxIter)
           graft.core.Checkpoint.write(dist.select(col("id"), col("dist")), dir, iter, s"src=$source")

@@ -49,7 +49,10 @@ object Ops {
     "ceil"     -> (c => ceil(c).cast("double")),
     "floor"    -> (c => floor(c).cast("double")),
     "round"    -> (c => round(c, 0)),
-    "trunc"    -> (c => (c.cast("long")).cast("double")),
+    // |x| >= 2^63 overflows the long cast, but such doubles have no
+    // fractional part (ulp > 1 past 2^52), so trunc(x) = x there
+    "trunc"    -> (c => when(abs(c) >= 9.223372036854776e18, c)
+                          .otherwise(c.cast("long").cast("double"))),
     "isinf"    -> (c => b2d(c === Double.PositiveInfinity ||
                             c === Double.NegativeInfinity)),
     "isnan"    -> (c => b2d(isnan(c))),
@@ -89,12 +92,41 @@ object Ops {
     "atan2"     -> ((a, b) => atan2(a, b)),
     "hypot"     -> ((a, b) => hypot(a, b)),
     "fmod"      -> ((a, b) => a % b),
-    "remainder" -> ((a, b) => a - round(a / b, 0) * b),
+    // IEEE remainder rounds the quotient half-to-even — bround, not round
+    // (HALF_UP differs at exact half-way quotients: remainder(5,2) = 1, not -1)
+    "remainder" -> ((a, b) => a - bround(a / b, 0) * b),
     "copysign"  -> ((a, b) => when(b < 0.0, -abs(a)).otherwise(abs(a))),
     "ldexp"     -> ((a, b) => a * pow(lit(2.0), b)),
+    // NOTE: these double-domain entries are exact only for |values| < 2^53
+    // (the long->double round-trip loses low bits past that); for full 64-bit
+    // patterns (e.g. xxhash64 outputs) use the long-typed `bitwise` registry
+    // below and keep the column long end-to-end.
     "bor"       -> ((a, b) => b2d(a.cast("long").bitwiseOR(b.cast("long")))),
     "band"      -> ((a, b) => b2d(a.cast("long").bitwiseAND(b.cast("long")))),
     "bxor"      -> ((a, b) => b2d(a.cast("long").bitwiseXOR(b.cast("long")))),
     "bxnor"     -> ((a, b) => b2d(bitwise_not(
       a.cast("long").bitwiseXOR(b.cast("long"))))))
+
+  /** Exact 64-bit bitwise inventory (GrB_BOR/BAND/BXOR/BXNOR and
+    * GxB_BGET/BSET/BCLR/BSHIFT, GraphBLAS.h:1245-1334) over LONG columns —
+    * no double round-trip, bit-exact for any 64-bit pattern. `bshift`
+    * follows GxB semantics: positive k shifts left, negative shifts right
+    * (arithmetic, matching the signed-integer variants).
+    */
+  val bitwise: Map[String, (Column, Column) => Column] = {
+    def sl(a: Column, k: Column) = call_function("shiftleft", a, k.cast("int"))
+    def sr(a: Column, k: Column) = call_function("shiftright", a, k.cast("int"))
+    Map(
+      "bor"    -> ((a, b) => a.bitwiseOR(b)),
+      "band"   -> ((a, b) => a.bitwiseAND(b)),
+      "bxor"   -> ((a, b) => a.bitwiseXOR(b)),
+      "bxnor"  -> ((a, b) => bitwise_not(a.bitwiseXOR(b))),
+      "bget"   -> ((a, k) => sr(a, k).bitwiseAND(lit(1L))),
+      "bset"   -> ((a, k) => a.bitwiseOR(sl(lit(1L), k))),
+      "bclr"   -> ((a, k) => a.bitwiseAND(bitwise_not(sl(lit(1L), k)))),
+      "bshift" -> ((a, k) => when(k >= 0, sl(a, k)).otherwise(sr(a, -k))))
+  }
+
+  /** Exact unary complement over a LONG column (GrB_BNOT). */
+  val bitwiseNot: Column => Column = c => bitwise_not(c)
 }

@@ -64,21 +64,98 @@ object Dedup {
       .select(col("doc_id"), sig.as("sig"))
   }
 
+  /** Per-bucket population cap applied BEFORE a bucket self-join: a cluster
+    * of f exact/near-identical documents (boilerplate, licenses, templates —
+    * ubiquitous at web scale) shares every band, so an uncapped self-join
+    * emits f²/2 pairs from one key. Capping drops over-populated buckets from
+    * the PAIR output (the same df-cap discipline as ngramJaccardPairs'
+    * maxDf); `clustersFromBuckets` is the linear-output path that still
+    * covers those mega-clusters. `overCapBuckets` reports what was dropped
+    * so pipelines can log it — silent truncation is not an option at scale.
+    */
+  private[pipeline] def capBuckets(buckets: DataFrame, keys: Seq[String],
+                                   maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) buckets
+    else buckets.join(
+      buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("pop"))
+        .filter(col("pop") <= maxBucket).select(keys.map(col): _*),
+      keys, "left_semi")
+
+  /** The (key..., pop) rows a `maxBucket` cap would drop — the audit view of
+    * the cap (count/log these next to the pair output).
+    */
+  def overCapBuckets(buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > maxBucket)
+
+  /** (doc_id, band, bkt) LSH band-bucket table for MinHash signatures —
+    * the banding stage shared by the pair and cluster outputs.
+    */
+  def minhashBuckets(sigs: DataFrame, bands: Int = 8): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => {
+        val rows = size(col("sig")) / bands
+        xxhash64(to_json(struct(slice(col("sig"), b * rows + 1, rows))), b)
+      })).as(Seq("band", "bkt")))
+
   /** LSH banding: signature split into `bands` bands of rows = numPerm/bands;
     * docs sharing a band-bucket hash are near-dup candidates. Emits candidate
-    * pairs (a < b) with the number of colliding bands.
+    * pairs (a < b) with the number of colliding bands. Buckets over
+    * `maxBucket` docs are excluded (see capBuckets) — duplicate mega-clusters
+    * belong to the cluster output, not a quadratic pair list.
     */
-  def minhashCandidates(sigs: DataFrame, bands: Int = 8): DataFrame = {
-    val buckets = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b => {
-          val rows = size(col("sig")) / bands
-          xxhash64(to_json(struct(slice(col("sig"), b * rows + 1, rows))), b)
-        })).as(Seq("band", "bkt")))
+  def minhashCandidates(sigs: DataFrame, bands: Int = 8,
+                        maxBucket: Int = 1000): DataFrame = {
+    val buckets = capBuckets(minhashBuckets(sigs, bands), Seq("band", "bkt"), maxBucket)
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("bands_hit"))
+  }
+
+  /** Cluster-representative dedup output over any (doc_id, bucket-key...)
+    * table: each bucket contributes one STAR of links (doc → min doc_id of
+    * the bucket) — O(docs × buckets/doc) links, linear in cluster size where
+    * the pair output is quadratic — and connected components over those
+    * links merges transitively-linked buckets. Returns (doc_id, rep_id)
+    * with rep_id = min doc_id of the whole (transitive) cluster; docs in no
+    * bucket map to themselves.
+    */
+  def clustersFromBuckets(docs: DataFrame, buckets: DataFrame,
+                          keys: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val bmin = buckets.groupBy(keys.map(col): _*).agg(min(col("doc_id")).as("rep"))
+    val links = buckets.join(bmin, keys)
+      .select(col("doc_id").as("src"), col("rep").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val comp = graft.algos.ConnectedComponents.run(spark, links)
+    docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep_id"))
+  }
+
+  /** Exact-duplicate clusters: (doc_id, rep_id = min doc_id with identical
+    * text). One hash-groupBy + one hash-join; the shuffle carries 32-byte
+    * content hashes. The SQL-expressible base case of clustersFromBuckets
+    * (single bucket per doc ⇒ no transitive merging needed).
+    */
+  def exactClusters(docs: DataFrame, normalize: Boolean = false): DataFrame = {
+    val t = if (normalize) lower(regexp_replace(col("text"), "\\s+", " ")) else col("text")
+    val withH = docs.select(col("doc_id"), sha2(t.cast("binary"), 256).as("h"))
+    withH.join(withH.groupBy("h").agg(min(col("doc_id")).as("rep_id")), Seq("h"))
+      .select(col("doc_id"), col("rep_id"))
+  }
+
+  /** MinHash near-dup clusters: the linear-output flavor of minhashNearDups —
+    * (doc_id, rep_id) via band-bucket star links + connected components,
+    * immune to the f² pair blowup on duplicate mega-clusters (no cap needed:
+    * a 10⁶-doc identical cluster emits 10⁶·bands links, not 10¹² pairs).
+    */
+  def minhashClusters(docs: DataFrame, numPerm: Int = 32, bands: Int = 8,
+                      w: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(shingles(docs, w), numPerm)
+    clustersFromBuckets(docs, minhashBuckets(sigs, bands), Seq("band", "bkt"))
   }
 
   /** Exact Jaccard similarity for given candidate pairs (verification step):
@@ -145,14 +222,14 @@ object Dedup {
     * radius (round 1 hard-coded 4 blocks, silently incomplete past d=3);
     * exact Hamming distance is verified on the candidates.
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashCandidatePairs(simhash(docs).cache(), maxHamming)
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = 1000): DataFrame =
+    simhashCandidatePairs(simhash(docs).cache(), maxHamming, maxBucket)
 
-  /** Blocked pair search over precomputed (doc_id, simhash) fingerprints —
-    * the blocking stage of simhashNearDups, exposed so completeness is
-    * directly testable on adversarial bit patterns.
+  /** (doc_id, simhash, blk, bv) pigeonhole block table for precomputed
+    * fingerprints — the blocking stage shared by the pair and cluster paths.
     */
-  def simhashCandidatePairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashBlocks(sig: DataFrame, maxHamming: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
     val blockCols = array((0 until nBlocks).map { b =>
@@ -160,8 +237,20 @@ object Dedup {
       val m = if (width >= 64) -1L else (1L << width) - 1
       shiftright(col("simhash"), bounds(b)).bitwiseAND(lit(m))
     }: _*)
-    val blocks = sig.select(col("doc_id"), col("simhash"),
+    sig.select(col("doc_id"), col("simhash"),
       posexplode(blockCols).as(Seq("blk", "bv")))
+  }
+
+  /** Blocked pair search over precomputed (doc_id, simhash) fingerprints —
+    * the blocking stage of simhashNearDups, exposed so completeness is
+    * directly testable on adversarial bit patterns. Blocks over `maxBucket`
+    * docs are excluded from the PAIR output (capBuckets; identical-fingerprint
+    * mega-clusters go quadratic otherwise — use clustersFromBuckets over
+    * simhashBlocks for linear cluster output on such data).
+    */
+  def simhashCandidatePairs(sig: DataFrame, maxHamming: Int,
+                            maxBucket: Int = 1000): DataFrame = {
+    val blocks = capBuckets(simhashBlocks(sig, maxHamming), Seq("blk", "bv"), maxBucket)
     val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&

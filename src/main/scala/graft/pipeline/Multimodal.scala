@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * per-partition batch transform (the Scala analogue of a Pandas-UDF
   * `mapInPandas` stage).
   *
-  * The codec layer is REAL for the two formats parseable without external
-  * libraries (graft.pipeline.Codecs): audio rows carry actual RIFF/WAV PCM16
-  * payloads (decoded: sample rate, duration, RMS, zero-crossing rate) and
-  * image rows actual 24-bit BMPs (decoded: dimensions, per-channel means).
-  * Video stays a DECLARED STUB — container formats genuinely require codec
-  * libraries this container does not ship — with a deterministic
-  * hash-derived feature so downstream plumbing is still exercised.
+  * The codec layer is REAL for all three modalities (graft.pipeline.Codecs,
+  * pure JVM, no external libraries): audio rows carry actual RIFF/WAV PCM16
+  * payloads (decoded: sample rate, duration, RMS, zero-crossing rate), image
+  * rows actual 24-bit BMPs (decoded: dimensions, per-channel means), and
+  * video rows actual animated GIF89a payloads — LZW-compressed multi-frame
+  * streams, decoded frame-by-frame (frame count, dimensions, per-channel
+  * means across frames; sampleFrames hashes real decoded pixel data).
   */
 object Multimodal {
 
@@ -22,12 +22,27 @@ object Multimodal {
                       width: Int, height: Int)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            payload_hash: Long, feature: Array[Float])
+  case class FrameRow(media_id: Long, frame_idx: Int, frame_hash: Long,
+                      frame_bytes: Long)
+
+  /** Deterministic 16-color palette for synthesized GIFs (id-tinted). */
+  private def gifPalette(id: Long): Array[Int] =
+    Array.tabulate(16) { i =>
+      val v = i * 17 // 0..255 gray ramp
+      val tint = (id % 3) match {
+        case 0 => (v << 16) | ((v / 2) << 8) | (v / 3)
+        case 1 => ((v / 3) << 16) | (v << 8) | (v / 2)
+        case _ => ((v / 2) << 16) | ((v / 3) << 8) | v
+      }
+      tint
+    }
 
   /** Synthesize a media table with REAL encoded payloads (deterministic per
     * id): audio = a sine tone WAV (freq/duration a function of id), image = a
-    * gradient BMP, video = opaque bytes (stub format). In production this
-    * column comes straight out of parquet/Iceberg binary columns; encoding
-    * here is per-partition compute, no driver-side loop.
+    * gradient BMP, video = an animated GIF (3-6 frames of a moving gradient,
+    * really LZW-encoded). In production this column comes straight out of
+    * parquet/Iceberg binary columns; encoding here is per-partition compute,
+    * no driver-side loop.
     */
   def synthesize(spark: SparkSession, n: Long, seed: Long = 5L): DataFrame = {
     import spark.implicits._
@@ -47,19 +62,27 @@ object Multimodal {
             Codecs.bmpEncode24(w, h, (x, y) =>
               ((x * 255 / math.max(w - 1, 1)), (y * 255 / math.max(h - 1, 1)),
                 ((id % 256).toInt)))
-          case _ => // video container: stub bytes (no codec libs shipped)
-            Array.tabulate[Byte](64)(i => ((id * 31 + i * 7 + seed) % 251).toByte)
+          case _ => // video: animated GIF, frame f = gradient shifted by f
+            val nFrames = (id % 4 + 3).toInt
+            val frames = (0 until nFrames).map { f =>
+              (Array.tabulate[Byte](w * h) { p =>
+                val (x, y) = (p % w, p / w)
+                (((x + y + f * 3 + (id % 7)) % 16)).toByte
+              }, 4 + f) // per-frame delay in centiseconds
+            }
+            Codecs.gifEncode(w, h, gifPalette(id + seed), frames)
         }
         MediaRow(id, kind, payload, w, h)
       }
     }.toDF()
   }
 
-  /** Decode + featurize, batched per partition. Audio/image payloads are
-    * genuinely parsed (Codecs); the feature vector layout is
-    * [f0..f(dim-1)]: audio = (sampleRate/1e4, duration, rms, zcr, ...0),
+  /** Decode + featurize, batched per partition. All payloads are genuinely
+    * parsed (Codecs); the feature vector layout is [f0..f(dim-1)]:
+    * audio = (sampleRate/1e4, duration, rms, zcr, ...0),
     * image = (width/1e3, height/1e3, meanR/255, meanG/255, meanB/255, ...0),
-    * video = deterministic hash-derived stub values.
+    * video = (nFrames/10, width/1e3, height/1e3, meanR/255, meanG/255,
+    *          meanB/255, ...0) over the DECODED frame pixels.
     */
   def decodeAndFeaturize(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame = {
     import spark.implicits._
@@ -83,30 +106,47 @@ object Multimodal {
               feat(2) = (b.meanR / 255.0).toFloat
               feat(3) = (b.meanG / 255.0).toFloat
               if (dim > 4) feat(4) = (b.meanB / 255.0).toFloat
-            case _ => // video: stub feature (no container codec available)
-              var i = 0
-              while (i < dim) {
-                feat(i) = (((h * (i + 1) + r.width * 31 + r.height) % 1000).toFloat) / 1000.0f
-                i += 1
-              }
+            case _ => // video: decode the GIF, average channels across frames
+              val g = Codecs.gifDecode(r.payload)
+              var (sr, sg, sb, np) = (0.0, 0.0, 0.0, 0L)
+              g.frames.foreach(_.rgb.foreach { c =>
+                sr += (c >> 16) & 0xFF; sg += (c >> 8) & 0xFF; sb += c & 0xFF; np += 1
+              })
+              val d = math.max(np, 1L).toDouble
+              feat(0) = g.frames.size / 10.0f
+              feat(1) = g.width / 1000.0f
+              feat(2) = g.height / 1000.0f
+              feat(3) = (sr / d / 255.0).toFloat
+              if (dim > 4) feat(4) = (sg / d / 255.0).toFloat
+              if (dim > 5) feat(5) = (sb / d / 255.0).toFloat
           }
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, h, feat)
         }
       }.toDF()
   }
 
-  /** Frame-sampling plumbing for video-ish payloads: slice the binary into
-    * fixed-size "frames", explode one row per sampled frame — the schema and
-    * partitioning pattern of real frame extraction.
+  /** Frame sampling over the video rows: decode the GIF, keep every
+    * `everyNth` frame, one output row per sampled frame with a hash of the
+    * DECODED pixel data (not the container bytes) — the schema and
+    * per-partition batch shape of real frame extraction, now with real
+    * frames behind it.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 8, everyNth: Int = 2): DataFrame = {
-    val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
+  def sampleFrames(media: DataFrame, everyNth: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
     media.filter(col("kind") === "video")
-      .select(col("media_id"),
-        posexplode(transform(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyNth)),
-          i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
-          .as(Seq("frame_idx", "frame")))
-      .select(col("media_id"), col("frame_idx"),
-        xxhash64(col("frame")).as("frame_hash"), length(col("frame")).as("frame_bytes"))
+      .select(col("media_id"), col("kind"), col("payload"), col("width"), col("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val g = Codecs.gifDecode(r.payload)
+          g.frames.zipWithIndex.collect {
+            case (f, i) if i % everyNth == 0 =>
+              FrameRow(r.media_id, i,
+                java.util.Arrays.hashCode(f.rgb).toLong,
+                f.width.toLong * f.height * 3)
+          }
+        }
+      }.toDF()
   }
 }

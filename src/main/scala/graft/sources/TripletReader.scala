@@ -43,7 +43,18 @@ object TripletReader {
     val lines = spark.read.text(path).rdd.map(_.getString(0)).zipWithIndex()
       .filter { case (l, _) => l.trim.nonEmpty }
     val banner = lines.map { case (l, i) => (i, l) }.sortByKey().first()._2
-    val symmetric = banner.toLowerCase.contains("symmetric")
+    // banner: %%MatrixMarket matrix coordinate <field> <symmetry> — tokenize
+    // rather than substring-match ("symmetric" is a substring of
+    // "skew-symmetric", which needs its mirrored weights NEGATED)
+    val tok = banner.trim.toLowerCase.split("\\s+")
+    val field = tok.lift(3).getOrElse("real")
+    val symKind = tok.lift(4).getOrElse("general")
+    require(field != "complex", s"unsupported MatrixMarket field '$field' (no complex domain)")
+    require(Set("general", "symmetric", "skew-symmetric", "hermitian")(symKind),
+      s"unsupported MatrixMarket symmetry '$symKind'")
+    // real-valued hermitian == symmetric (complex is rejected above)
+    val symmetric = symKind == "symmetric" || symKind == "hermitian"
+    val skew = symKind == "skew-symmetric"
     val data = lines.filter { case (l, _) => !l.trim.startsWith("%") }
     val dimsIdx = data.map(_._2).min()
     val dimsTok = data.filter(_._2 == dimsIdx).first()._1.trim.split("\\s+")
@@ -54,9 +65,12 @@ object TripletReader {
       .select((element_at(col("f"), 1).cast("long") - 1).as("src"),
         (element_at(col("f"), 2).cast("long") - 1).as("dst"),
         coalesce(get(col("f"), lit(2)).cast("double"), lit(1.0)).as("w"))
-    val full = if (!symmetric) entries
-               else entries.unionByName(entries.filter(col("src") =!= col("dst"))
-                 .select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val full =
+      if (symmetric || skew) {
+        val mirroredW = if (skew) -col("w") else col("w")
+        entries.unionByName(entries.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst"), mirroredW.as("w")))
+      } else entries
     (GBMatrix.fromTuples(full, dup), nrows, ncols)
   }
 

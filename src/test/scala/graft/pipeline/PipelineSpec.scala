@@ -183,11 +183,22 @@ class PipelineSpec extends SparkTestBase {
     assert(dim == Seq(8))
   }
 
-  test("frame sampling: only video rows, fixed frame size, stride respected") {
-    val frames = Multimodal.sampleFrames(Multimodal.synthesize(spark, 99),
-      frameBytes = 8, everyNth = 2)
-    val kinds = Multimodal.synthesize(spark, 99).filter(col("kind") === "video").count()
-    assert(frames.select("media_id").distinct().count() == kinds)
-    assert(frames.select("frame_bytes").distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
+  test("frame sampling: only video rows, real decoded frames, stride respected") {
+    val media = Multimodal.synthesize(spark, 99)
+    val frames = Multimodal.sampleFrames(media, everyNth = 2)
+    val vids = media.filter(col("kind") === "video").count()
+    assert(frames.select("media_id").distinct().count() == vids)
+    // every sampled index honors the stride
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    // frame_bytes = w*h*3 of the DECODED frame — matches the synthesized dims
+    val sizes = frames.join(media.select(col("media_id"),
+        (col("width").cast("long") * col("height") * 3).as("expect")), Seq("media_id"))
+      .filter(col("frame_bytes") =!= col("expect")).count()
+    assert(sizes == 0, "decoded frame dims must match the encoded dims")
+    // frame hashes vary across frames of one video (the gradient moves)
+    val someVid = frames.groupBy("media_id").agg(
+      countDistinct(col("frame_hash")).as("nh"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("nh") < 2).count()
+    assert(someVid == 0, "distinct frames must hash differently")
   }
 }
