@@ -31,14 +31,22 @@ object Bench {
   private val TunedHeap = sys.env.getOrElse("GRAFT_BENCH_HEAP", "16g")
 
   private[graft] def session(cores: Int): SparkSession = {
+    // tmpfs shuffle dirs default to UNcompressed (measured round 1: the
+    // compress CPU cost dominated on /dev/shm); GRAFT_SHUFFLE_COMPRESS=lz4
+    // flips to lz4 for the bandwidth-vs-cpu A/B on the big scaling graph
+    // (the iteration is memory-bandwidth-bound at high core counts, so
+    // trading bytes moved for cycles can raise the 32-core rate)
+    val compress = sys.env.get("GRAFT_SHUFFLE_COMPRESS").exists(v =>
+      v.nonEmpty && v != "false" && v != "0")
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.shuffle.compress", compress.toString)
+      .config("spark.shuffle.spill.compress", compress.toString)
+      .config("spark.io.compression.codec", "lz4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "2min")
@@ -261,15 +269,24 @@ object Bench {
     val idealSpeedup = cpus.toDouble / lowCpus
     val efficiency = (tputHi / tputLo) / idealSpeedup
 
+    // lower median (conservative for even sample counts) — the headline
+    // statistic per VERDICT r2: symmetric, robust to one noisy-neighbor
+    // window, never selects upward the way best-of-N max does
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply((xs.size - 1) / 2)
+    def arr(xs: Seq[Double]): String = xs.map(jn(_, 0)).mkString("[", ",", "]")
+
     // render the full JSON from what is known so far; the big-graph numbers
-    // arrive last (0s = not yet measured -> scaling falls back to the small
-    // graph), so the metric FILE can be written incrementally: if a driver
-    // timeout kills the remaining phases, the newest complete phase is still
-    // on disk as a valid, parseable record
-    def render(bigNnz: Long, bigHi: Double, bigLo: Double): String = {
+    // arrive last (empty samples -> scaling falls back to the small graph),
+    // so the metric FILE can be written incrementally: if a driver timeout
+    // kills the remaining phases, the newest complete phase is still on disk
+    // as a valid, parseable record
+    def render(bigNnz: Long, his: Seq[Double], los: Seq[Double],
+               ab: String): String = {
+    val (bigHi, bigLo) = (median(his), median(los))
     val bigEff = if (bigLo > 0) (bigHi / bigLo) / idealSpeedup else 0.0
     // the engine's measured peak per-iteration edge rate at full parallelism
-    val peakHi = math.max(tputHi, bigHi)
+    val peakHi = math.max(tputHi, his.foldLeft(0.0)(math.max))
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + jn(v, 3) }
       .mkString("{", ",", "}")
@@ -278,6 +295,10 @@ object Bench {
     // small graph when the big phase is disabled)
     val (scEdges, scHi, scLo, scEff) =
       if (bigLo > 0) (bigNnz, bigHi, bigLo, bigEff) else (nnz, tputHi, tputLo, efficiency)
+    val gate =
+      if (scEff >= 0.8) "pass-absolute"
+      else if (scEff / math.max(memCeiling, 1e-9) >= 0.9) "pass-vs-ceiling"
+      else "fail"
     val json =
       s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${jn(peakHi, 0)},""" +
       s""""unit":"edges/sec","queries":$qs,"sf":"$sfDir",""" +
@@ -288,15 +309,18 @@ object Bench {
       s""""edges_per_sec_per_iter_c$lowCpus":${jn(tputLo, 0)}},""" +
       s""""scaling":{"input_edges":$scEdges,"cores_low":$lowCpus,"cores_high":$cpus,""" +
       s""""ideal_speedup":${jn(idealSpeedup, 1)},""" +
+      s""""policy":"median of interleaved (c$cpus,c$lowCpus) child pairs",""" +
+      s""""samples_c$cpus":${arr(his)},"samples_c$lowCpus":${arr(los)},""" +
       s""""edges_per_sec_per_iter_c$cpus":${jn(scHi, 0)},""" +
       s""""edges_per_sec_per_iter_c$lowCpus":${jn(scLo, 0)},""" +
       s""""measured_speedup":${jn(scHi / math.max(scLo, 1e-9), 2)},""" +
       s""""efficiency":${jn(scEff, 3)},""" +
+      s""""scaling_gate":"$gate",""" +
       s""""cpu_ceiling_efficiency":${jn(cpuCeiling, 3)},""" +
       s""""mem_bandwidth_ceiling_efficiency":${jn(memCeiling, 3)},""" +
       s""""mem_bandwidth_gbps_c$cpus":${jn(memHi / 1e9, 1)},""" +
       s""""efficiency_vs_mem_ceiling":${jn(scEff / math.max(memCeiling, 1e-9), 3)},""" +
-      s""""efficiency_vs_ceiling":${jn(scEff / math.max(cpuCeiling, 1e-9), 3)}},""" +
+      s""""efficiency_vs_ceiling":${jn(scEff / math.max(cpuCeiling, 1e-9), 3)}$ab},""" +
       s""""scaling_smallgraph":{"edges":$nnz,""" +
       s""""edges_per_sec_per_iter_c$cpus":${jn(tputHi, 0)},""" +
       s""""edges_per_sec_per_iter_c$lowCpus":${jn(tputLo, 0)},""" +
@@ -315,40 +339,63 @@ object Bench {
 
     // small-graph phases complete: land a valid record before the long
     // big-graph phase (a killed process leaves this on disk)
-    writeOut(render(0L, 0.0, 0.0))
+    writeOut(render(0L, Nil, Nil, ""))
 
-    // floor-amortized scaling on the big graph (one child per level): with
-    // ~16 s iterations the noisy host's multi-second spikes average out, so
-    // this is the PRIMARY strong-scaling evidence; the 8M numbers above are
-    // the small-graph secondary (their ~1 s iterations ride the noise).
-    // Skipped when the wall-clock budget is nearly spent, so a driver-side
-    // timeout never truncates the metric output.
+    // floor-amortized scaling on the big graph: with ~12-25 s iterations the
+    // noisy host's multi-second spikes average out, so this is the PRIMARY
+    // strong-scaling evidence; the 8M numbers above are the small-graph
+    // secondary (their ~1 s iterations ride the noise). Protocol (VERDICT
+    // r2): INTERLEAVED (c-high, c-low) child pairs — one contention window
+    // cannot sink a whole level — up to 3 pairs of the winning shuffle
+    // config, headline = per-level MEDIAN; plus one pair with lz4 shuffle
+    // compression (the iteration is memory-bandwidth-bound at high core
+    // counts, so trading bytes for cycles is the one config lever) — both
+    // configs recorded, the better-scaling one carried forward. Budget-
+    // gated per pair so a driver timeout never truncates the JSON.
     val bigIters = sys.env.getOrElse("SPARK_GRAFT_BIG_ITERS", "6").toInt
     val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2400").toLong
-    val elapsed = (System.nanoTime() - tStart) / 1000000000L
-    val (bigNnz, bigHi, bigLo) =
-      if (bigFiles > 0 && elapsed < budget * 7 / 10 &&
-          new java.io.File(s"$bigPath/_SUCCESS").exists()) {
-        val (n1, hi1) = childThroughput(cpus, bigPath, bigIters)
-        val (_, lo1) = childThroughput(lowCpus, bigPath, bigIters)
-        // noise guard: the floor-amortized c-high rate should be comparable
-        // to the same run's small-graph c-high rate, above the c-low rate,
-        // and the pair should not read past ideal speedup (superlinear =
-        // the c-low child hit the window). A first pair violating any of
-        // these is contention, not the engine — take a symmetric second
-        // sample per level (the same best-of-2 the small-graph path always
-        // uses), budget permitting.
-        val anomalous = hi1 < 0.6 * tputHi || hi1 < lo1 ||
-          hi1 / math.max(lo1, 1e-9) > idealSpeedup * 1.1
-        val elapsed2 = (System.nanoTime() - tStart) / 1000000000L
-        if (anomalous && elapsed2 < budget * 85 / 100) {
-          val (_, hi2) = childThroughput(cpus, bigPath, bigIters)
-          val (_, lo2) = childThroughput(lowCpus, bigPath, bigIters)
-          (n1, math.max(hi1, hi2), math.max(lo1, lo2))
-        } else (n1, hi1, lo1)
-      } else (0L, 0.0, 0.0)
+    def elapsedSec = (System.nanoTime() - tStart) / 1000000000L
+    val pairCost = 420L // observed ~115 s c32 + ~210 s c8 + 2 JVM startups
 
-    val json = render(bigNnz, bigHi, bigLo)
+    var (bigNnz, abJson) = (0L, "")
+    val his = Seq.newBuilder[Double]; val los = Seq.newBuilder[Double]
+    if (bigFiles > 0 && new java.io.File(s"$bigPath/_SUCCESS").exists() &&
+        elapsedSec < budget - pairCost) {
+      def runPair(comp: Boolean): (Double, Double) = {
+        val env = if (comp) Map("GRAFT_SHUFFLE_COMPRESS" -> "lz4")
+                  else Map("GRAFT_SHUFFLE_COMPRESS" -> "")
+        val (n, hi) = childThroughput(cpus, bigPath, bigIters, env)
+        bigNnz = n
+        val (_, lo) = childThroughput(lowCpus, bigPath, bigIters, env)
+        (hi, lo)
+      }
+      val (hOff, lOff) = runPair(comp = false)
+      writeOut(render(bigNnz, Seq(hOff), Seq(lOff), ""))
+      // A/B probe: one lz4 pair (recorded either way), budget permitting
+      val (hLz, lLz) =
+        if (elapsedSec < budget - pairCost) runPair(comp = true) else (0.0, 0.0)
+      val effOff = hOff / math.max(lOff, 1e-9)
+      val effLz = hLz / math.max(lLz, 1e-9)
+      val lzWins = lLz > 0 &&
+        (effLz > effOff * 1.05 || (effLz >= effOff * 0.95 && hLz > hOff))
+      if (lLz > 0) abJson =
+        s""","compress_ab":{"off":{"c$cpus":${jn(hOff, 0)},"c$lowCpus":${jn(lOff, 0)},""" +
+        s""""efficiency":${jn(effOff / idealSpeedup, 3)}},""" +
+        s""""lz4":{"c$cpus":${jn(hLz, 0)},"c$lowCpus":${jn(lLz, 0)},""" +
+        s""""efficiency":${jn(effLz / idealSpeedup, 3)}},""" +
+        s""""winner":"${if (lzWins) "lz4" else "off"}"}"""
+      if (lzWins) { his += hLz; los += lLz } else { his += hOff; los += lOff }
+      writeOut(render(bigNnz, his.result(), los.result(), abJson))
+      // two more pairs of the winning config -> median of 3 per level
+      var extra = 0
+      while (extra < 2 && elapsedSec < budget - pairCost) {
+        val (h, l) = runPair(comp = lzWins)
+        his += h; los += l; extra += 1
+        writeOut(render(bigNnz, his.result(), los.result(), abJson))
+      }
+    }
+
+    val json = render(bigNnz, his.result(), los.result(), abJson)
     writeOut(json)
     println(json)
   }
@@ -383,13 +430,16 @@ object Bench {
   }
 
   /** One PageRank throughput measurement in a pristine child JVM; falls back
-    * to an in-process fresh session if the spawn fails.
+    * to an in-process fresh session if the spawn fails. `env` entries are
+    * exported to the child (e.g. GRAFT_SHUFFLE_COMPRESS for the A/B).
     */
-  private def childThroughput(cores: Int, edgesPath: String, iters: Int): (Long, Double) = {
+  private def childThroughput(cores: Int, edgesPath: String, iters: Int,
+                              env: Map[String, String] = Map.empty): (Long, Double) = {
     import scala.jdk.CollectionConverters._
     try {
       val pb = new ProcessBuilder(pinnedCmd(
         Seq("--throughput", cores.toString, edgesPath, iters.toString)).asJava)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(),

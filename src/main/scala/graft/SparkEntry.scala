@@ -345,6 +345,10 @@ object SparkEntry {
     // §2.7 sort within rows: top-3 heaviest entries per supplier
     "gb_sort_topk" -> ((s, d) =>
       GBMatrix(edgesBi(s, d)).sortRows(ascending = false).filter(col("k") <= 3)),
+    // GxB_Matrix_sort's explicit permutation output P: P(i,k) = original
+    // column of row i's k-th ranked value (GraphBLAS.h:10932-10941)
+    "gb_sort_perm" -> ((s, d) =>
+      GBMatrix(edgesBi(s, d)).sortRowsFull(ascending = true)._2.df),
 
     // §2.10 triangle count (SandiaDot2 masked wedge join) on co-supplier graph
     "algo_tricount" -> ((s, d) => {
@@ -788,6 +792,12 @@ object SparkEntry {
          |  SELECT src, dst, w,
          |  row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS k
          |  FROM ($edgesBiSql)) WHERE k <= 3""".stripMargin,
+
+    "gb_sort_perm" ->
+      s"""SELECT src, CAST(k - 1 AS BIGINT) AS dst, CAST(dst AS DOUBLE) AS w FROM (
+         |  SELECT src, dst,
+         |  row_number() OVER (PARTITION BY src ORDER BY w ASC, dst ASC) AS k
+         |  FROM ($edgesBiSql))""".stripMargin,
 
     "algo_tricount" ->
       s"""WITH e AS (SELECT src AS lo, dst AS hi FROM ($edgesSupSql))

@@ -19,6 +19,12 @@ import org.apache.spark.sql.expressions.Window
   * (= the reference's pattern-only operand elision, GB_AxB_meta.c:536-556) and
   * pushes filters; AQE picks broadcast vs shuffle joins (= the dot/saxpy
   * method auto-select, GB_AxB_meta.c:558-649).
+  *
+  * DOMAIN CONTRACT: the value domain is FP64 (the reference's 13 numeric
+  * types collapse onto `w: double` — SURVEY.md §1.2). Integer semantics are
+  * exact for |values| ≤ 2^53 (every count/degree/label here by construction);
+  * full 64-bit bit patterns (hashes) must NOT round-trip through `w` — use
+  * long-typed columns end-to-end with the graft.core.Ops.bitwise registry.
   */
 final case class GBMatrix(df: DataFrame) {
   import GBMatrix._
@@ -340,6 +346,18 @@ final case class GBMatrix(df: DataFrame) {
     val ord = if (ascending) Seq(col("w").asc, col("dst").asc) else Seq(col("w").desc, col("dst").asc)
     val win = Window.partitionBy("src").orderBy(ord: _*)
     df.withColumn("k", row_number().over(win))
+  }
+
+  /** GxB_Matrix_sort's full [C,P] output (GraphBLAS.h:10932-10941): C(i,k)
+    * is the k-th ranked value of row i and P(i,k) its ORIGINAL column index
+    * — the explicit permutation matrix the reference returns next to the
+    * sorted values. Both views are selections over one ranking window.
+    */
+  def sortRowsFull(ascending: Boolean = true): (GBMatrix, GBMatrix) = {
+    val s = sortRows(ascending)
+    (GBMatrix(s.select(col("src"), (col("k") - 1).cast("long").as("dst"), col("w"))),
+     GBMatrix(s.select(col("src"), (col("k") - 1).cast("long").as("dst"),
+       col("dst").cast("double").as("w"))))
   }
 
   // --- multiply family (§2.2): THE kernel ------------------------------------

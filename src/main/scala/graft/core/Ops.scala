@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * on the long reinterpretation, as GrB does on integer types.
   *
   * Not carried over: complex parts (no complex type here by design,
-  * SURVEY.md §1.2) and gamma/lgamma/erf/erfc/frexp (no Spark builtin; a
-  * custom Expression would be the route if ever needed).
+  * SURVEY.md §1.2). The special-function tail (erf/erfc/tgamma/lgamma/
+  * frexpx/frexpe) has no Spark builtin and is carried by the engine's own
+  * codegen'd Catalyst Expressions (graft.functions.SpecialFunctions).
   */
 object Ops {
 
@@ -60,7 +61,15 @@ object Ops {
                             c =!= Double.NegativeInfinity)),
     "bnot"     -> (c => bitwise_not(c.cast("long")).cast("double")),
     "cbrt"     -> (c => cbrt(c)),
-    "pow2"     -> (c => pow(lit(2.0), c)))
+    "pow2"     -> (c => pow(lit(2.0), c)),
+    // special functions: native Catalyst Expressions with doGenCode
+    // (GxB_ERF/ERFC/TGAMMA/LGAMMA/FREXPX/FREXPE, GraphBLAS.h:849-950)
+    "erf"      -> graft.functions.SpecialFunctions.erf,
+    "erfc"     -> graft.functions.SpecialFunctions.erfc,
+    "gamma"    -> graft.functions.SpecialFunctions.gamma,
+    "lgamma"   -> graft.functions.SpecialFunctions.lgamma,
+    "frexpx"   -> graft.functions.SpecialFunctions.frexpx,
+    "frexpe"   -> graft.functions.SpecialFunctions.frexpe)
 
   /** GrB_BinaryOp inventory (GraphBLAS.h:986-1390); positional
     * FIRSTI/SECONDJ live on GBMatrix.apply's (i, j, w) signature instead.

@@ -29,6 +29,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraftSqlInternals {
 
+  /** Column <-> Catalyst Expression bridge for the engine's custom
+    * expressions (graft.functions): Spark 4 hides the Expression-backed
+    * Column constructor behind the classic ExpressionUtils.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   def cutHashPartitioned(df: DataFrame, parts: Int, keys: Seq[String]): DataFrame = {
     val attempt = materialize(df, parts, keys)
     attempt match {

@@ -216,6 +216,37 @@ class Round3Spec extends SparkTestBase {
     assert(log.linesIterator.nonEmpty && log.contains("\"candidates\":"))
   }
 
+  // --- sort permutation output -----------------------------------------------
+
+  test("sortRowsFull: P really permutes — C(i,k) == A(i, P(i,k))") {
+    val a = Seq((0L, 3L, 5.0), (0L, 1L, 2.0), (0L, 7L, 9.0),
+                (1L, 2L, 4.0), (1L, 0L, 4.0)).toDF("src", "dst", "w")
+    val (c, p) = graft.core.GBMatrix(a).sortRowsFull(ascending = true)
+    val cm = c.df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pm = p.df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val am = Map((0L, 1L) -> 2.0, (0L, 3L) -> 5.0, (0L, 7L) -> 9.0,
+                 (1L, 0L) -> 4.0, (1L, 2L) -> 4.0)
+    assert(cm.keySet == pm.keySet)
+    for ((key, v) <- cm) assert(am((key._1, pm(key).toLong)) == v, s"at $key")
+    // ties ranked deterministically by original column
+    assert(pm((1L, 0L)) == 0.0 && pm((1L, 1L)) == 2.0)
+  }
+
+  // --- Iterate.free guard ----------------------------------------------------
+
+  test("Iterate.free releases cut blocks locally, no-ops on uncut frames") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val cut = graft.core.Iterate.cut(Seq((1L, 2.0)).toDF("id", "v"))
+    assert(sc.getPersistentRDDs.size > before, "cut must pin blocks")
+    graft.core.Iterate.free(cut)
+    assert(sc.getPersistentRDDs.values.count(_.getStorageLevel.useMemory) ==
+      sc.getPersistentRDDs.values.count(_.getStorageLevel.useMemory)) // no throw
+    // an uncut frame is left alone (guard matches only LogicalRDD leaves)
+    graft.core.Iterate.free(Seq((1L, 2.0)).toDF("id", "v")) // must not throw
+    assert(sc.isLocal, "tests run local; the free() fast path is local-only by design")
+  }
+
   // --- MatrixMarket symmetry kinds -------------------------------------------
 
   private def writeTmp(lines: Seq[String]): String = {
