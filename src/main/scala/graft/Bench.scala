@@ -41,7 +41,9 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("GRAFT_SHUFFLE_PARTS").filter(_.nonEmpty)
+          .map(m => (m.toInt * cores).toString).getOrElse(cores.toString))
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .config("spark.shuffle.compress", compress.toString)
