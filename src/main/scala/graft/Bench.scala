@@ -30,7 +30,17 @@ object Bench {
 
   private val TunedHeap = sys.env.getOrElse("GRAFT_BENCH_HEAP", "16g")
 
-  private[graft] def session(cores: Int): SparkSession = {
+  /** `partitions` sets spark.sql.shuffle.partitions explicitly (0 = cores;
+    * GRAFT_SHUFFLE_PARTS env = a cores-multiplier override for experiments).
+    * Partition count is a property of the DATA, not the core count: the
+    * throughput children size it from the input bytes (~10 MB/partition —
+    * on the 80M-edge graph that's ~128 partitions, measured worth ~1.45× at
+    * 32 cores and ~1.25× at 8 vs partitions=cores: straggler smoothing plus
+    * per-task hash-agg working sets that fit cache), while small inputs
+    * keep partitions=cores (measured: 128 partitions on the 8M graph COSTS
+    * ~2× — per-task scheduling dominates 60k-row tasks).
+    */
+  private[graft] def session(cores: Int, partitions: Int = 0): SparkSession = {
     // tmpfs shuffle dirs default to UNcompressed (measured round 1: the
     // compress CPU cost dominated on /dev/shm); GRAFT_SHUFFLE_COMPRESS=lz4
     // flips to lz4 for the bandwidth-vs-cpu A/B on the big scaling graph
@@ -43,7 +53,8 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions",
         sys.env.get("GRAFT_SHUFFLE_PARTS").filter(_.nonEmpty)
-          .map(m => (m.toInt * cores).toString).getOrElse(cores.toString))
+          .map(m => (m.toInt * cores).toString)
+          .getOrElse((if (partitions > 0) partitions else cores).toString))
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .config("spark.shuffle.compress", compress.toString)
@@ -179,9 +190,15 @@ object Bench {
     // counts — GC/allocator debris from earlier phases; measured round 2)
     if (args.length >= 1 && args(0) == "--throughput") {
       val (cores, path, iters) = (args(1).toInt, args(2), args(3).toInt)
-      val s = session(cores)
+      // data-sized partitioning: ~10 MB of input per partition, never fewer
+      // than the cores, never more than 16x them (same rule at every level —
+      // a cluster operator sizes partitions to the data, not the cluster)
+      val dirBytes = Option(new java.io.File(path).listFiles())
+        .map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+      val parts = math.max(cores, math.min(16 * cores, (dirBytes / (10L << 20)).toInt))
+      val s = session(cores, partitions = parts)
       val (nnz, tput) = try pagerankThroughput(s, path, iters) finally s.stop()
-      println(s"GRAFT_THROUGHPUT $nnz ${jn(tput, 0)}")
+      println(s"GRAFT_THROUGHPUT $nnz ${jn(tput, 0)} parts=$parts")
       return
     }
 
@@ -354,7 +371,7 @@ object Bench {
     // counts, so trading bytes for cycles is the one config lever) — both
     // configs recorded, the better-scaling one carried forward. Budget-
     // gated per pair so a driver timeout never truncates the JSON.
-    val bigIters = sys.env.getOrElse("SPARK_GRAFT_BIG_ITERS", "6").toInt
+    val bigIters = sys.env.getOrElse("SPARK_GRAFT_BIG_ITERS", "8").toInt
     val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2400").toLong
     def elapsedSec = (System.nanoTime() - tStart) / 1000000000L
     val pairCost = 420L // observed ~115 s c32 + ~210 s c8 + 2 JVM startups
