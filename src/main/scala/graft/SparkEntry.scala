@@ -349,6 +349,16 @@ object SparkEntry {
     // column of row i's k-th ranked value (GraphBLAS.h:10932-10941)
     "gb_sort_perm" -> ((s, d) =>
       GBMatrix(edgesBi(s, d)).sortRowsFull(ascending = true)._2.df),
+    // the special-function unary tail (GxB_TGAMMA/LGAMMA/ERF/ERFC) through
+    // the engine's own codegen'd Catalyst Expressions, oracle'd against
+    // DuckDB's gamma/lgamma; erf+erfc is pinned by its identity (= 1)
+    "gb_apply_special" -> ((s, d) => {
+      val ops = graft.core.Ops.unary
+      GBMatrix(edgesBi(s, d)).df.select(col("src"), col("dst"),
+        round(ops("lgamma")(col("w")), 6).as("lg"),
+        round(ops("gamma")(col("w") / 2.0), 6).as("g"),
+        round(ops("erf")(col("w") / 10.0) + ops("erfc")(col("w") / 10.0), 6).as("erf_id"))
+    }),
 
     // §2.10 triangle count (SandiaDot2 masked wedge join) on co-supplier graph
     "algo_tricount" -> ((s, d) => {
@@ -798,6 +808,10 @@ object SparkEntry {
          |  SELECT src, dst,
          |  row_number() OVER (PARTITION BY src ORDER BY w ASC, dst ASC) AS k
          |  FROM ($edgesBiSql))""".stripMargin,
+
+    "gb_apply_special" ->
+      s"""SELECT src, dst, round(lgamma(w), 6) AS lg, round(gamma(w / 2.0), 6) AS g,
+         |round(1.0, 6) AS erf_id FROM ($edgesBiSql)""".stripMargin,
 
     "algo_tricount" ->
       s"""WITH e AS (SELECT src AS lo, dst AS hi FROM ($edgesSupSql))
