@@ -158,6 +158,14 @@ object Dedup {
     clustersFromBuckets(docs, minhashBuckets(sigs, bands), Seq("band", "bkt"))
   }
 
+  /** SimHash near-dup clusters — clustersFromBuckets over the pigeonhole
+    * blocks: docs whose fingerprints share a block merge transitively
+    * (the superset of the Hamming-radius pairs; the pair path verifies
+    * exact distance, the cluster path favors linear output — pick per use).
+    */
+  def simhashClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    clustersFromBuckets(docs, simhashBlocks(simhash(docs), maxHamming), Seq("blk", "bv"))
+
   /** Exact Jaccard similarity for given candidate pairs (verification step):
     * |A∩B| via a join of the shingle sets restricted to candidates,
     * |A∪B| = |A|+|B|-|A∩B|.
@@ -180,9 +188,9 @@ object Dedup {
     * exact-Jaccard verify. Returns (a, b, jaccard) pairs above threshold.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.7, numPerm: Int = 32,
-                      bands: Int = 8, w: Int = 3): DataFrame = {
+                      bands: Int = 8, w: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sh = shingles(docs, w).cache()
-    val cands = minhashCandidates(minhashSignatures(sh, numPerm), bands)
+    val cands = minhashCandidates(minhashSignatures(sh, numPerm), bands, maxBucket)
     jaccardVerify(sh, cands, threshold)
   }
 

@@ -89,6 +89,12 @@ class Round3Spec extends SparkTestBase {
     for (i <- 2000L to 2002L) assert(c(i) == i, s"unique doc $i -> ${c(i)}")
   }
 
+  test("simhashClusters groups identical fingerprints under the min doc id") {
+    val c = Dedup.simhashClusters(megaDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0L until 1000L) assert(c(i) == 0L, s"doc $i -> ${c(i)}")
+  }
+
   test("exactClusters matches groupBy semantics; clustersFromBuckets merges transitively") {
     val docs = Seq((1L, "aa"), (2L, "aa"), (3L, "bb"), (4L, "cc")).toDF("doc_id", "text")
     val ec = Dedup.exactClusters(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
