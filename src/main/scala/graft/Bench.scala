@@ -421,6 +421,17 @@ object Bench {
         his += h; los += l; extra += 1
         writeOut(render(bigNnz, his.result(), los.result(), abJson))
       }
+      // dispersion guard (symmetric — the extra pair joins the median, it is
+      // never selected over the others): when the per-pair efficiencies
+      // spread >1.4x, at least one pair hit a contention window; one more
+      // sample tightens the median without upward bias
+      val effs = his.result().zip(los.result()).collect { case (h, l) if l > 0 => h / l }
+      if (effs.size >= 3 && effs.max / math.max(effs.min, 1e-9) > 1.4 &&
+          elapsedSec < budget - pairCost) {
+        val (h, l) = runPair(comp = lzWins)
+        his += h; los += l
+        writeOut(render(bigNnz, his.result(), los.result(), abJson))
+      }
     }
 
     val json = render(bigNnz, his.result(), los.result(), abJson)
