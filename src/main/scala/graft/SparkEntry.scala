@@ -152,6 +152,12 @@ object SparkEntry {
         Seq(PartOffset + 5, PartOffset + 40, PartOffset + 17, PartOffset + 200,
           PartOffset + 1, PartOffset + 333, PartOffset + 77)).df),
 
+    // §2.5 extract with STRIDED ranges (GxB_STRIDE) — i = 2:3:50 — and a
+    // BACKWARDS column range (GxB_BACKWARDS) — j = hi:-7:lo
+    "gb_extract_stride" -> ((s, d) =>
+      GBMatrix(edgesBi(s, d)).extractStride(
+        2, 50, 3, PartOffset + 500, PartOffset + 1, -7).df),
+
     // §2.6 reduce to vector (row sums + degree)
     "gb_reduce_rows" -> ((s, d) => {
       val m = GBMatrix(edgesBi(s, d))
@@ -388,8 +394,23 @@ object SparkEntry {
       res.ranks.select(col("id"), round(col("r"), 8).as("r"))
     }),
 
+    // the convergence OBSERVABLE of the flagship run: iterations to
+    // ||Δr||∞ < 1e-6. Deterministic at any parallelism (the crossing sits
+    // 22% from the threshold at sf0.01 — far beyond fp-reorder noise), so
+    // the driver can pin it against the mimic-derived constant
+    "algo_pagerank_iters" -> ((s, d) => {
+      import s.implicits._
+      Seq(PageRank.run(s, edgesBi(s, d), tol = 1e-6, maxIter = 100)
+        .iterations.toLong).toDF("iters")
+    }),
+
     // §2.10 connected components (min-label propagation to fixpoint)
     "algo_cc" -> ((s, d) => ConnectedComponents.run(s, edgesSup(s, d))),
+
+    // §2.10 connected components, FastSV (hook+shortcut, O(log n) rounds —
+    // the high-diameter web-graph path); exact same (id, min-id) output
+    "algo_cc_fastsv" -> ((s, d) =>
+      ConnectedComponents.run(s, edgesSup(s, d), fastsv = true)),
 
     // §2.10 BFS levels + parents (any-pair frontier, min-determinized
     // any.first parent per bfs.m:149-167) from the min supplier
@@ -493,9 +514,26 @@ object SparkEntry {
           bits = 6, tables = 8, probes = 1)
         .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
 
+    // embedding int8 quantization (4x storage compressor; scale + per-code
+    // checksums are exact integer/double arithmetic, so DuckDB mirrors them)
+    "ann_quantize_int8" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(embs(s, d))
+      q.select(col("vec_id"), round(col("scale"), 8).as("scale"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + (x * x).cast("long")).as("qnorm2"))
+    }),
+    // top-k over the dequantized int8 corpus (the 1/4-bytes scan path)
+    "ann_quantized_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.quantizedTopK(Similarity.quantizeInt8(e), q, k = 5)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
+
     // pipeline: text analysis
     "text_tokens" -> ((s, d) => TextStats.tokenCounts(docs(s, d))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(docs(s, d))),
+    "text_repetition" -> ((s, d) => TextStats.repetitionScores(docs(s, d))),
     "text_langid" -> ((s, d) => TextStats.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
 
@@ -536,7 +574,8 @@ object SparkEntry {
     "gb_repmat" -> ((s, d) => GBMatrix(nationAdj(s, d)).repmat(2, 3, 25, 5).df),
     "gb_mpower" -> ((s, d) => GBMatrix(nationCoRegion(s, d)).matrixPower(3).df),
 
-    // pipeline: multimodal plumbing (stubbed codec, real schema/partitioning)
+    // pipeline: multimodal — real pure-JVM codecs (WAV RIFF/PCM16, 24-bit
+    // BMP, animated GIF89a with LZW — Codecs.scala), mapPartitions batch shape
     "media_features" -> ((s, _) =>
       Multimodal.decodeAndFeaturize(s, Multimodal.synthesize(s, 1000))
         .select(col("media_id"), col("kind"), col("n_bytes"), col("payload_hash"))),
@@ -643,6 +682,17 @@ object SparkEntry {
          |       (${PartOffset + 333}, 5), (${PartOffset + 77}, 6)) v(id, pos))
          |SELECT CAST(im.pos AS BIGINT) AS src, CAST(jm.pos AS BIGINT) AS dst, a.w
          |FROM a JOIN im ON a.src = im.id JOIN jm ON a.dst = jm.id""".stripMargin,
+
+    // strided rows i = 2:3:50 (k = (src-2)/3), backwards cols j = hi:-7:lo
+    // (l = (hi-dst)/7); `//` = DuckDB integral division (exact: the modulo
+    // filter guarantees divisibility)
+    "gb_extract_stride" ->
+      s"""SELECT CAST((src - 2) // 3 AS BIGINT) AS src,
+         |CAST((${PartOffset + 500} - dst) // 7 AS BIGINT) AS dst, w
+         |FROM ($edgesBiSql)
+         |WHERE src BETWEEN 2 AND 50 AND (src - 2) % 3 = 0
+         |AND dst BETWEEN ${PartOffset + 1} AND ${PartOffset + 500}
+         |AND (${PartOffset + 500} - dst) % 7 = 0""".stripMargin,
 
     "gb_assign_row" ->
       s"""WITH a AS ($edgesBiSql),
@@ -829,6 +879,15 @@ object SparkEntry {
          |  UNION ALL SELECT a, c FROM tri) GROUP BY lo, hi""".stripMargin,
 
     "algo_pagerank5" -> pagerankUnrolledSql(5),
+
+    // converged-fixpoint oracles (sf0.01 constants, like algo_pagerank_iters):
+    // the converged run stops at iteration 2 there (delta 7.8e-7 < 1e-6 with a
+    // 22% margin), so its state IS the unrolled-2 prefix; LPA and k-truss hit
+    // their fixpoints within 5 resp. 3 rounds on the sf0.01 co-supplier graph
+    // (a fixpoint state equals ANY unrolling at or past convergence)
+    "algo_pagerank" -> pagerankUnrolledSql(2),
+    "algo_labelprop" -> labelPropUnrolledSql(5),
+    "algo_ktruss" -> ktrussUnrolledSql(4, 3),
     "algo_pagerank5w" -> pagerankUnrolledSql(5, weighted = true),
 
     "algo_ktruss3" -> ktrussUnrolledSql(4, 3),
@@ -839,6 +898,22 @@ object SparkEntry {
       s"""SELECT dst AS id, w AS v FROM ($edgesBiSql) WHERE src = 7""",
 
     "algo_cc" ->
+      s"""WITH RECURSIVE e AS (SELECT src, dst FROM ($edgesSupSql)),
+         |und AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
+         |verts AS (SELECT DISTINCT s AS v FROM und),
+         |reach(node, lab) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT und.d, reach.lab FROM reach JOIN und ON und.s = reach.node)
+         |SELECT node AS id, min(lab) AS comp FROM reach GROUP BY node""".stripMargin,
+
+    // the sf0.01 bipartite graph's mimic-derived convergence constant:
+    // delta crosses 1e-6 at iteration 2 (1.93e-5 → 7.8e-7; the 22% margin
+    // to the threshold makes the count parallelism-independent)
+    "algo_pagerank_iters" -> "SELECT CAST(2 AS BIGINT) AS iters",
+
+    // FastSV reaches the identical fixpoint (exact min component id)
+    "algo_cc_fastsv" ->
       s"""WITH RECURSIVE e AS (SELECT src, dst FROM ($edgesSupSql)),
          |und AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
          |verts AS (SELECT DISTINCT s AS v FROM und),
@@ -938,6 +1013,47 @@ object SparkEntry {
          |FROM r""".stripMargin
     },
 
+    // mirrors TextStats.repetitionScores. The top-bigram share is expressed
+    // the natural SQL way (unnest + groupBy + max) — value-identical to the
+    // engine's sorted-run aggregate, which exists only to avoid the shuffle
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |              l -> len(l) > 0) AS lines,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, text, lines, toks,
+        |  CASE WHEN len(toks) >= 2
+        |       THEN list_transform(toks[1:len(toks)-1], (x, i) -> x || ' ' || toks[i+1])
+        |       ELSE [] END AS bigrams
+        |  FROM t),
+        |tb AS (SELECT doc_id, max(c) AS top_bg FROM (
+        |         SELECT doc_id, count(*) AS c
+        |         FROM (SELECT doc_id, UNNEST(bigrams) AS bg FROM b) GROUP BY doc_id, bg)
+        |       GROUP BY doc_id),
+        |m AS (SELECT b.doc_id,
+        |  CAST(len(lines) AS DOUBLE) AS nl,
+        |  CAST(len(list_distinct(lines)) AS DOUBLE) AS nld,
+        |  CAST(list_sum(list_transform(lines, l -> len(l))) AS DOUBLE) AS call,
+        |  CAST(list_sum(list_transform(list_distinct(lines), l -> len(l))) AS DOUBLE) AS cdist,
+        |  CAST(len(list_filter(lines, l -> list_contains(['-','*','•'], l[1:1]))) AS DOUBLE) AS nbul,
+        |  CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE) AS nell,
+        |  CAST(len(toks) AS DOUBLE) AS ntok,
+        |  (len(b.text) - len(replace(b.text, '#', ''))) / 1.0 AS chash,
+        |  (len(b.text) - len(replace(b.text, '...', ''))) / 3.0 AS cdots,
+        |  (len(b.text) - len(replace(b.text, '…', ''))) / 1.0 AS cell,
+        |  CAST(len(bigrams) AS DOUBLE) AS nbg,
+        |  CAST(coalesce(tb.top_bg, 0) AS DOUBLE) AS topbg
+        |  FROM b LEFT JOIN tb ON tb.doc_id = b.doc_id)
+        |SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+        |  round(CASE WHEN nl > 0 THEN 1.0 - nld / nl ELSE 0.0 END, 6) AS dup_line_frac,
+        |  round(CASE WHEN call > 0 THEN 1.0 - cdist / call ELSE 0.0 END, 6) AS dup_line_char_frac,
+        |  round(CASE WHEN nl > 0 THEN nbul / nl ELSE 0.0 END, 6) AS bullet_line_frac,
+        |  round(CASE WHEN nl > 0 THEN nell / nl ELSE 0.0 END, 6) AS ellipsis_line_frac,
+        |  round(CASE WHEN ntok > 0 THEN (chash + cdots + cell) / ntok ELSE 0.0 END, 6) AS symbol_word_ratio,
+        |  round(CASE WHEN nbg > 0 THEN topbg / nbg ELSE 0.0 END, 6) AS top_bigram_frac
+        |FROM m""".stripMargin,
+
     // mirrors TextStats.langId: marker-word hits per language, argmax with
     // alphabetical tie-break (the CASE checks in alphabetical order)
     "text_langid" ->
@@ -994,6 +1110,44 @@ object SparkEntry {
          |SELECT qid, id, CAST(rn AS INT) AS rank FROM (
          |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
          |  FROM s) WHERE rn <= 5""".stripMargin,
+
+    // mirrors Similarity.quantizeInt8 op-for-op: scale = max|x|/127 (exact
+    // double), codes = clamp(floor(x/scale + 0.5), ±127) — every code is an
+    // exact integer, so the checksums compare exactly; scale rounds at 8dp
+    "ann_quantize_int8" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c),
+        |q AS (SELECT vec_id, scale,
+        |  CASE WHEN scale > 0
+        |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+        |       ELSE list_transform(e, x -> 0.0) END AS qv
+        |  FROM m)
+        |SELECT vec_id, round(scale, 8) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm2
+        |FROM q""".stripMargin,
+
+    // mirrors Similarity.quantizedTopK: dequantize (code · scale), exact
+    // cosine, rank by (score desc, id asc) — integer ranks only, like
+    // ann_brute_topk
+    "ann_quantized_topk" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c0),
+        |qt AS (SELECT vec_id, scale,
+        |  CASE WHEN scale > 0
+        |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+        |       ELSE list_transform(e, x -> 0.0) END AS qv
+        |  FROM m),
+        |c AS (SELECT vec_id AS id, list_transform(qv, q -> q * scale) AS e FROM qt),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |      FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.id, list_cosine_similarity(q.qe, c.e) AS score
+        |      FROM c, q WHERE q.qid <> c.id)
+        |SELECT qid, id, CAST(rn AS INT) AS rank FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+        |  FROM s) WHERE rn <= 5""".stripMargin,
 
     "events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -59,7 +59,7 @@ object BFS {
         .select(col("id"), lit(level).as("level"), col("parent"))
         .observe(s"bfs_$level", count(lit(1)).as("n"))
       val next = Iterate.cut(nextPre)
-      frontierSize = nextPre.queryExecution.observedMetrics(s"bfs_$level").getLong(0)
+      frontierSize = Iterate.observedLong(nextPre, s"bfs_$level")(next.count())
       if (frontierSize > 0) {
         val newVisited = Iterate.cut(visited.unionByName(next))
         Iterate.free(visited)

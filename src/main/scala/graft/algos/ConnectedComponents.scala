@@ -17,6 +17,15 @@ import graft.core.Iterate
   * one shuffle join + one hash-agg, both on the same `id` partitioning; the
   * label vector shrinks nothing but converges fast on social-like graphs
   * (small diameter). Lineage cut every 10 rounds.
+  *
+  * For HIGH-diameter graphs (long chains — a real hazard in web link graphs)
+  * set `fastsv = true`: a Shiloach-Vishkin / FastSV-style round (hook each
+  * label-tree root to the min neighbor label seen under it, then shortcut
+  * comp := comp(comp)) converges in O(log n) rounds instead of O(diameter)
+  * — the LAGraph FastSV design point (reference @GrB layer defers CC to
+  * LAGraph; the hook+shortcut recurrence is Shiloach-Vishkin 1982). Same
+  * exact (id, comp = min component id) output, ~4 exchanges/round instead
+  * of 2, so the default stays min-propagation for small-diameter graphs.
   */
 object ConnectedComponents {
 
@@ -25,17 +34,31 @@ object ConnectedComponents {
     *                       the run resumes from the newest complete snapshot
     *                       (graft.core.Checkpoint — the north rule's
     *                       resumable iterations).
+    * @param fastsv        hook+shortcut rounds (O(log n), high-diameter safe)
+    *                      instead of plain min-propagation (O(diameter)).
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 200,
           numPartitions: Int = 0, skewSalts: Int = 8,
-          checkpointDir: Option[String] = None, checkpointEvery: Int = 10): DataFrame =
+          checkpointDir: Option[String] = None, checkpointEvery: Int = 10,
+          fastsv: Boolean = false): DataFrame =
+    runCounted(spark, edges, maxIter, numPartitions, skewSalts,
+      checkpointDir, checkpointEvery, fastsv)._1
+
+  /** run() that also reports the number of rounds taken to converge —
+    * the observable behind the O(log n)-vs-O(diameter) claim.
+    */
+  def runCounted(spark: SparkSession, edges: DataFrame, maxIter: Int = 200,
+          numPartitions: Int = 0, skewSalts: Int = 8,
+          checkpointDir: Option[String] = None, checkpointEvery: Int = 10,
+          fastsv: Boolean = false): (DataFrame, Int) =
     // fixed layout + known partition counts: AQE only adds stage barriers
     Iterate.withoutAQE(spark)(runLoop(spark, edges, maxIter, numPartitions,
-      skewSalts, checkpointDir, checkpointEvery))
+      skewSalts, checkpointDir, checkpointEvery, fastsv))
 
   private def runLoop(spark: SparkSession, edges: DataFrame, maxIter: Int,
           numPartitions: Int, skewSalts: Int,
-          checkpointDir: Option[String], checkpointEvery: Int): DataFrame = {
+          checkpointDir: Option[String], checkpointEvery: Int,
+          fastsv: Boolean): (DataFrame, Int) = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -90,16 +113,43 @@ object ConnectedComponents {
 
       // changed-count observed during the state materialization itself
       // (CollectMetrics) — no separate per-iteration count job
-      val merged = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (col("nmin") < col("comp")).as("chg"))
-        .observe(s"cc_$iter", sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+      val merged = if (!fastsv) {
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+            (col("nmin") < col("comp")).as("chg"))
+          .observe(s"cc_$iter", sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+      } else {
+        // FastSV round. Invariant: every comp value is the id of a vertex in
+        // the same component (initially itself; hook/shortcut only move along
+        // component-internal labels), so the fixpoint is the exact min id.
+        // (1) hook: each label-tree root r takes the min neighbor-label seen
+        //     anywhere under it — min over {u : comp(u)=r} of nmin(u)
+        val hooks = labels.join(neighborMin, Seq("id"))
+          .groupBy(col("comp").as("id")).agg(min(col("nmin")).as("hmin"))
+        // (2) per-vertex propagation folded in (comp := min(comp, own nmin))
+        val l1 = labels
+          .join(neighborMin, Seq("id"), "left")
+          .join(hooks, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp")),
+              coalesce(col("hmin"), col("comp"))).as("c1"),
+            col("comp").as("comp0"))
+        // (3) shortcut: comp := comp(comp) — pointer-chain halving; this is
+        //     what turns a length-d chain into O(log d) rounds
+        val par = l1.select(col("id").as("_p"), col("c1").as("_pc"))
+        l1.join(par, col("c1") === col("_p"), "left")
+          .select(col("id"), coalesce(col("_pc"), col("c1")).as("comp"),
+            col("comp0"))
+          .withColumn("chg", col("comp") < col("comp0"))
+          .select(col("id"), col("comp"), col("chg"))
+          .observe(s"cc_$iter", sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+      }
       // cut the SAME frame whose qe carries the metrics accumulator (a
       // derived select would re-plan and execute a different CollectMetrics)
       val next = Iterate.cutKeyed(merged, parts, "id")
-      val row = merged.queryExecution.observedMetrics(s"cc_$iter")
-      changed = if (row.isNullAt(0)) 0L else row.getLong(0)
+      changed = Iterate.observedLong(merged, s"cc_$iter")(
+        next.filter(col("chg")).count())
       Iterate.free(labels)
       labels = next
       iter += 1
@@ -111,6 +161,6 @@ object ConnectedComponents {
       }
     }
     und.unpersist(false); undHot.foreach(_.unpersist(false))
-    labels.select(col("id"), col("comp"))
+    (labels.select(col("id"), col("comp")), iter - startIter)
   }
 }

@@ -85,8 +85,8 @@ object KTruss {
         support.filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi")
       .observe(s"ktruss_${System.identityHashCode(canon)}", count(lit(1)).as("n"))
     val kept = Iterate.cut(keptPre)
-    val n = keptPre.queryExecution
-      .observedMetrics(s"ktruss_${System.identityHashCode(canon)}").getLong(0)
+    val n = Iterate.observedLong(
+      keptPre, s"ktruss_${System.identityHashCode(canon)}")(kept.count())
     Iterate.free(canon)
     (kept, n)
   }

@@ -70,8 +70,8 @@ object LabelPropagation {
           (coalesce(col("nlabel"), col("label")) =!= col("label")).as("chg"))
         .observe(s"lpa_$iter", sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
       val next = Iterate.cutKeyed(merged, parts, "id")
-      val row = merged.queryExecution.observedMetrics(s"lpa_$iter")
-      changed = if (row.isNullAt(0)) 0L else row.getLong(0)
+      changed = Iterate.observedLong(merged, s"lpa_$iter")(
+        next.filter(col("chg")).count())
       Iterate.free(labels)
       labels = next
       iter += 1

@@ -28,11 +28,23 @@ object MIS {
           numPartitions: Int = 0,
           checkpointDir: Option[String] = None, checkpointEvery: Int = 10): DataFrame =
     Iterate.withoutAQE(spark)(runLoop(spark, edges, maxIter, seed, numPartitions,
-      checkpointDir, checkpointEvery))
+      checkpointDir, checkpointEvery, None))
+
+  /** Test hook: override the per-round score draw. `scoreFn(candState, iter,
+    * salt)` must return (id, score) rows for the candidates. Used by specs to
+    * FORCE adjacent-equal scores and exercise the stall-reseed path, which is
+    * unreachable (p ≈ 2⁻⁶⁴ per pair) under the real hash.
+    */
+  private[graft] def runWithScores(spark: SparkSession, edges: DataFrame,
+          maxIter: Int = 100, seed: Long = 42L, numPartitions: Int = 0,
+          scoreFn: (DataFrame, Int, Long) => DataFrame): DataFrame =
+    Iterate.withoutAQE(spark)(runLoop(spark, edges, maxIter, seed, numPartitions,
+      None, 10, Some(scoreFn)))
 
   private def runLoop(spark: SparkSession, edges: DataFrame, maxIter: Int, seed: Long,
           numPartitions: Int,
-          checkpointDir: Option[String], checkpointEvery: Int): DataFrame = {
+          checkpointDir: Option[String], checkpointEvery: Int,
+          scoreFn: Option[(DataFrame, Int, Long) => DataFrame]): DataFrame = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -57,14 +69,24 @@ object MIS {
     var state = Iterate.cutKeyed(s0, parts, "id")
     var iter = startIter
     var nCand = -1L // unknown until the first observed materialization
+    // stall-reseed salt (mis.m:70-73 redraws scores on a stalled round): a
+    // round that selects NO winner while candidates remain — only possible
+    // when adjacent candidates drew EQUAL scores (strict > on both sides) —
+    // bumps the salt, changing every subsequent draw. salt=0 leaves the
+    // score stream identical to the unsalted one, so normal runs reproduce.
+    var salt = 0L
 
     while (nCand != 0L && iter < maxIter) {
       iter += 1
       val t0 = System.nanoTime()
       // deterministic "random" score; strictly positive, distinct w.h.p.
-      val scored = state.filter(col("cand")).select(col("id"),
-        (((abs(xxhash64(col("id"), lit(iter), lit(seed))) % 1000000007L).cast("double") + 1.0)
-          / (col("deg").cast("double") + 1.0)).as("score"))
+      val scored = scoreFn match {
+        case Some(f) => f(state.filter(col("cand")), iter, salt)
+        case None => state.filter(col("cand")).select(col("id"),
+          (((abs(xxhash64(col("id"), lit(iter), lit(seed + salt * 0x9E3779B97F4A7C15L)))
+            % 1000000007L).cast("double") + 1.0)
+            / (col("deg").cast("double") + 1.0)).as("score"))
+      }
 
       // neighbor max over candidate neighbors only (max.second masked to candidates)
       val nbrMax = und
@@ -87,11 +109,17 @@ object MIS {
         .join(winners, Seq("id"), "left").join(removed, Seq("id"), "left")
         .select(col("id"), col("deg"),
           (col("cand") && col("rm").isNull).as("cand"),
-          (col("inSet") || coalesce(col("won"), lit(false))).as("inSet"))
-        .observe(s"mis_$iter", sum(when(col("cand"), 1L).otherwise(0L)).as("ncand"))
+          (col("inSet") || coalesce(col("won"), lit(false))).as("inSet"),
+          coalesce(col("won"), lit(false)).as("wonNow"))
+        .observe(s"mis_$iter", sum(when(col("cand"), 1L).otherwise(0L)).as("ncand"),
+          sum(when(col("wonNow"), 1L).otherwise(0L)).as("nwon"))
       val next = Iterate.cutKeyed(merged, parts, "id")
-      val row = merged.queryExecution.observedMetrics(s"mis_$iter")
+      val row = Iterate.observedRow(merged, s"mis_$iter")(
+        next.agg(sum(when(col("cand"), 1L).otherwise(0L)),
+          sum(when(col("wonNow"), 1L).otherwise(0L))).head)
       nCand = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val nWon = if (row.isNullAt(1)) 0L else row.getLong(1)
+      if (nWon == 0L && nCand > 0L) salt += 1L // stalled round: reseed draws
       Iterate.free(state)
       state = next
       checkpointDir.foreach { dir =>

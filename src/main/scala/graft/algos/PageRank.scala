@@ -146,7 +146,9 @@ object PageRank {
         .observe(s"pr_$iter", max(abs(col("r") - col("rp"))).as("delta"),
           sum(when(col("isSink"), col("r"))).as("sinkMass"))
       val next = Iterate.cutKeyed(merged, parts, "id")
-      val row = merged.queryExecution.observedMetrics(s"pr_$iter")
+      val row = Iterate.observedRow(merged, s"pr_$iter")(
+        next.agg(max(abs(col("r") - col("rp"))),
+          sum(when(col("isSink"), col("r")))).head)
       delta = getD(row, 0)
       sinkMass = getD(row, 1)
 

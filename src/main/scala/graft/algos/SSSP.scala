@@ -54,7 +54,7 @@ object SSSP {
         .select(col("id"), col("nd").as("dist"))
         .observe(s"sssp_$iter", count(lit(1)).as("n"))
       val improved = Iterate.cut(improvedPre)
-      active = improvedPre.queryExecution.observedMetrics(s"sssp_$iter").getLong(0)
+      active = Iterate.observedLong(improvedPre, s"sssp_$iter")(improved.count())
       if (active > 0) {
         val newDist = Iterate.cut(dist.join(improved.select("id"), Seq("id"), "left_anti")
           .unionByName(improved))

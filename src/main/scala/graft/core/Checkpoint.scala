@@ -61,18 +61,26 @@ object Checkpoint {
     val line = fields.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}") + "\n"
     val bytes = line.getBytes("UTF-8")
-    val out =
-      try { if (hfs.exists(f)) hfs.append(f) else hfs.create(f, false) }
-      catch {
-        case _: UnsupportedOperationException | _: java.io.IOException =>
-          val prior =
-            if (hfs.exists(f)) {
-              val in = hfs.open(f)
-              try in.readAllBytes() finally in.close()
-            } else Array.emptyByteArray
-          val o = hfs.create(f, true); o.write(prior); o
-      }
-    try out.write(bytes) finally out.close()
+    try {
+      val out = if (hfs.exists(f)) hfs.append(f) else hfs.create(f, false)
+      try out.write(bytes) finally out.close()
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        // no-append store: write prior+new to a TEMP file and rename it over
+        // metrics.jsonl, so a crash mid-write can never truncate the history
+        // (rename is atomic on HDFS; object stores make it copy+delete, where
+        // the worst case is a leftover temp file, never a lost log)
+        val prior =
+          if (hfs.exists(f)) {
+            val in = hfs.open(f)
+            try in.readAllBytes() finally in.close()
+          } else Array.emptyByteArray
+        val tmp = new Path(d, s"_metrics.tmp.${System.nanoTime()}")
+        val o = hfs.create(tmp, true)
+        try { o.write(prior); o.write(bytes) } finally o.close()
+        hfs.delete(f, false)
+        hfs.rename(tmp, f)
+    }
   }
 
   /** Newest complete (has _SUCCESS, and the matching run tag when one is

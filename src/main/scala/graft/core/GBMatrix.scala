@@ -112,6 +112,30 @@ final case class GBMatrix(df: DataFrame) {
   def extractRange(i0: Long, i1: Long, j0: Long, j1: Long): GBMatrix =
     GBMatrix(df.filter(col("src").between(i0, i1) && col("dst").between(j0, j1)))
 
+  /** GrB_Matrix_extract with STRIDED ranges (GxB_STRIDE / GxB_BACKWARDS,
+    * GraphBLAS.h:4991, Source/GB_subref.c): I = i0 : iInc : i1, so
+    * C(k,l) = A(i0 + k*iInc, j0 + l*jInc). A negative increment is
+    * GxB_BACKWARDS — the range descends from i0 down to i1 (i0 >= i1) and
+    * k still counts list position, i.e. k = (i0 - src)/|inc|. Like
+    * extractRange this is a pure pushed-down filter (range + modulo) plus
+    * exact integer reindex arithmetic — no join, no shuffle.
+    */
+  def extractStride(i0: Long, i1: Long, iInc: Long,
+                    j0: Long, j1: Long, jInc: Long): GBMatrix = {
+    require(iInc != 0 && jInc != 0, "stride increment must be nonzero")
+    // integral DIV (not fp /): exact reindex for indices beyond 2^53
+    def dim(name: String, b0: Long, b1: Long, inc: Long): (Column, Column) =
+      if (inc > 0)
+        (col(name).between(b0, b1) && (col(name) - b0) % inc === 0,
+          expr(s"($name - ${b0}L) DIV ${inc}L"))
+      else
+        (col(name).between(b1, b0) && (lit(b0) - col(name)) % (-inc) === 0,
+          expr(s"(${b0}L - $name) DIV ${-inc}L"))
+    val (fi, ki) = dim("src", i0, i1, iInc)
+    val (fj, kj) = dim("dst", j0, j1, jInc)
+    GBMatrix(df.filter(fi && fj).select(ki.as("src"), kj.as("dst"), col("w")))
+  }
+
   /** resize keeping entries inside the new bounds (GraphBLAS.h:9010). */
   def resize(m: Long, n: Long): GBMatrix =
     GBMatrix(df.filter(col("src") < m && col("dst") < n))

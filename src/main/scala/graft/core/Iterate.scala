@@ -47,6 +47,29 @@ object Iterate {
   def cutKeyed(df: DataFrame, parts: Int, keys: String*): DataFrame =
     org.apache.spark.sql.graft.GraftSqlInternals.cutHashPartitioned(df, parts, keys)
 
+  /** Read a CollectMetrics observation (`df.observe(name, …)`) as a Long.
+    *
+    * CONTRACT: this works because cutKeyed/cutHashPartitioned executes the
+    * observed frame's OWN QueryExecution (GraftSqlInternals materializes
+    * `qe.toRdd` — a derived `.select` would re-plan and never populate the
+    * accumulator). If a future cutKeyed change breaks that (e.g. a
+    * repartition-first rewrite), the key is simply absent — then this falls
+    * back to `fallback` (one extra count job) instead of throwing
+    * NoSuchElementException mid-loop. A null observation (empty input)
+    * reads as 0.
+    */
+  def observedLong(df: DataFrame, name: String)(fallback: => Long): Long =
+    df.queryExecution.observedMetrics.get(name)
+      .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+      .getOrElse(fallback)
+
+  /** Multi-column variant of [[observedLong]] — same contract, returns the
+    * whole observation Row (callers index columns in declaration order).
+    */
+  def observedRow(df: DataFrame, name: String)(
+      fallback: => org.apache.spark.sql.Row): org.apache.spark.sql.Row =
+    df.queryExecution.observedMetrics.getOrElse(name, fallback)
+
   /** Best-effort release of the cached blocks behind a cut() frame; safe to
     * call only once the successor state has been cut (the truncated lineage
     * cannot recompute). LOCAL MODE ONLY: on a real cluster an executor death

@@ -51,8 +51,10 @@ object Ops {
     "floor"    -> (c => floor(c).cast("double")),
     "round"    -> (c => round(c, 0)),
     // |x| >= 2^63 overflows the long cast, but such doubles have no
-    // fractional part (ulp > 1 past 2^52), so trunc(x) = x there
-    "trunc"    -> (c => when(abs(c) >= 9.223372036854776e18, c)
+    // fractional part (ulp > 1 past 2^52), so trunc(x) = x there; NaN must
+    // also bypass the cast (GxB_TRUNC(NaN) = NaN; the cast would throw
+    // under ANSI mode and yield 0 under legacy)
+    "trunc"    -> (c => when(isnan(c) || abs(c) >= 9.223372036854776e18, c)
                           .otherwise(c.cast("long").cast("double"))),
     "isinf"    -> (c => b2d(c === Double.PositiveInfinity ||
                             c === Double.NegativeInfinity)),
@@ -133,7 +135,13 @@ object Ops {
       "bget"   -> ((a, k) => sr(a, k).bitwiseAND(lit(1L))),
       "bset"   -> ((a, k) => a.bitwiseOR(sl(lit(1L), k))),
       "bclr"   -> ((a, k) => a.bitwiseAND(bitwise_not(sl(lit(1L), k)))),
-      "bshift" -> ((a, k) => when(k >= 0, sl(a, k)).otherwise(sr(a, -k))))
+      // |k| >= 64 must SATURATE (GB_bitshift_int64: left or non-negative
+      // right shifts go to 0, negative right shifts to -1) — Java/Spark
+      // shifts would mask the count mod 64 instead (bshift(x, 64) = x)
+      "bshift" -> ((a, k) =>
+        when(k >= 64, lit(0L))
+          .when(k <= -64, when(a < 0, lit(-1L)).otherwise(lit(0L)))
+          .when(k >= 0, sl(a, k)).otherwise(sr(a, -k))))
   }
 
   /** Exact unary complement over a LONG column (GrB_BNOT). */

@@ -234,7 +234,11 @@ object Codecs {
   def gifDecode(bytes: Array[Byte]): GifInfo = {
     require(bytes.length > 13 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F',
       "not a GIF payload")
-    def u8(p: Int) = bytes(p) & 0xFF
+    def u8(p: Int) = {
+      if (p >= bytes.length)
+        throw new IllegalArgumentException(s"truncated GIF: read past ${bytes.length}")
+      bytes(p) & 0xFF
+    }
     def le16(p: Int) = u8(p) | (u8(p + 1) << 8)
     val w = le16(6); val h = le16(8)
     val packed = u8(10)
@@ -273,7 +277,10 @@ object Codecs {
           val minCode = u8(pos); pos += 1
           val data = new java.io.ByteArrayOutputStream()
           while (u8(pos) != 0) {
-            val n = u8(pos); data.write(bytes, pos + 1, n); pos += 1 + n
+            val n = u8(pos)
+            if (pos + 1 + n > bytes.length)
+              throw new IllegalArgumentException("truncated GIF: short sub-block")
+            data.write(bytes, pos + 1, n); pos += 1 + n
           }
           pos += 1
           val idx = lzwDecompress(data.toByteArray, minCode, fw * fh)

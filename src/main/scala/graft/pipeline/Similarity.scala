@@ -56,24 +56,38 @@ object Similarity {
   /** ANN via SRP-LSH with multiple hash tables: same-bucket candidates in any
     * table, exact cosine on candidates, top-k per query. Recall grows with
     * `tables`; each table contributes one equi-join keyed on (table, bucket).
+    *
+    * Plan shape (same as [[cosineNearDups]]): the bucket join and the
+    * candidate `distinct()` carry only bare (qid, id) — the dim-float
+    * embedding arrays are re-joined AFTER dedup, so each array crosses the
+    * wire once per side, not once per colliding table. Corpus-side buckets
+    * over `maxBucket` members are excluded before the join (an f-vector
+    * duplicate cluster shares every bucket ⇒ f·|queries| candidates per
+    * table otherwise); query buckets are left uncapped — the query side is
+    * small by contract and capping it would silently drop whole queries.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              bits: Int = 12, tables: Int = 4, seed: Long = 99L): DataFrame = {
-    def withBuckets(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), col("embedding").as("e"),
+              bits: Int = 12, tables: Int = 4, seed: Long = 99L,
+              maxBucket: Int = 100000): DataFrame = {
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
           posexplode(array((0 until tables).map(t =>
             srpBucket(col("embedding"), dim, bits, seed + t)): _*)).as(Seq("tbl", "bkt")))
 
-    val c = withBuckets(corpus.select(col("vec_id"), col("embedding")), "vec_id")
-      .select(col("vec_id").as("id"), col("e"), col("tbl"), col("bkt"))
-    val q = withBuckets(queries.select(col("vec_id"), col("embedding")), "vec_id")
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("tbl"), col("bkt"))
+    val c = graft.pipeline.Dedup.capBuckets(
+        buckets(corpus.select(col("vec_id"), col("embedding"))), Seq("tbl", "bkt"), maxBucket)
+      .select(col("vec_id").as("id"), col("tbl"), col("bkt"))
+    val q = buckets(queries.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
 
     val cands = c.join(q, Seq("tbl", "bkt"))
       .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id"), col("qe"), col("e"))
+      .select(col("qid"), col("id"))
       .distinct()
-    val scored = cands.select(col("qid"), col("id"), cosine(col("qe"), col("e")).as("score"))
+    val ce = corpus.select(col("vec_id").as("id"), col("embedding").as("e"))
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = cands.join(qe, Seq("qid")).join(ce, Seq("id"))
+      .select(col("qid"), col("id"), cosine(col("qe"), col("e")).as("score"))
     val win = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }
@@ -147,6 +161,42 @@ object Similarity {
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("id"),
         cosine(col("qe"), col("embedding")).as("score"))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+
+  /** Scalar int8 quantization of the embedding column — the standard 4×
+    * storage/bandwidth compressor in front of ANN at 100 TB (a 100 TB float32
+    * embedding store becomes 25 TB of int8 + one float scale per vector).
+    * Per-vector symmetric scheme: scale = max|x|/127, q_i = floor(x_i/scale
+    * + 0.5) (floor(x+0.5), NOT round(): half-up ties then agree bit-for-bit
+    * with any SQL mirror), clamped to [-127, 127]; all-zero vectors get
+    * scale 0 and zero codes. Pure projection — quantization shuffles nothing.
+    */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val absMax = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double"))))
+    val scale = absMax / 127.0
+    val q = when(scale > 0, transform(col("embedding"), v =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(v.cast("double") / scale + 0.5)))))
+      .otherwise(transform(col("embedding"), _ => lit(0L)))
+    corpus.select(col("vec_id"), scale.as("scale"), q.as("qvec"))
+  }
+
+  /** Brute-force cosine top-k over the int8-quantized corpus: scoring reads
+    * dequantized codes (q_i · scale), so the scan moves ~1/4 the bytes of
+    * the float path for a small, measured recall cost (PipelineSpec pins
+    * recall ≥ 0.9 vs the exact float top-k). Same deterministic ranking
+    * contract as [[bruteForceTopK]].
+    */
+  def quantizedTopK(quantized: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = quantized.select(col("vec_id").as("id"),
+      transform(col("qvec"), q => q * col("scale")).as("e"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), cosine(col("qe"), col("e")).as("score"))
+      .filter(col("qid") =!= col("id"))
     val win = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }

@@ -83,6 +83,75 @@ object TextStats {
       maxHits.cast("long").as("marker_hits"))
   }
 
+  /** Gopher-style repetition + formatting signals (the MassiveText quality
+    * filters' repetition family, plus C4's symbol ratios): duplicate-line
+    * fraction by line and by character, bullet / ellipsis line fractions,
+    * symbol-to-word ratio, and the token share of the single most frequent
+    * bigram. These catch the boilerplate/spam failure modes the length/
+    * stopword scores in [[qualityScores]] miss (repeated nav bars, SEO
+    * keyword stuffing, template pages).
+    *
+    * Plan shape: a pure zero-shuffle projection. The top-bigram share — the
+    * one signal that naively wants explode+groupBy — is computed as a
+    * longest-equal-run `aggregate` over the SORTED per-doc bigram array, so
+    * per-document signals stay what they must be at 100 TB: projections.
+    */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines).cast("double")
+    val distinctLines = array_distinct(lines)
+    def sumLen(a: Column): Column = aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    val charAll = sumLen(lines).cast("double")
+    val dupLineFrac =
+      when(nLines > 0, lit(1.0) - size(distinctLines).cast("double") / nLines)
+        .otherwise(0.0)
+    val dupCharFrac =
+      when(charAll > 0, lit(1.0) - sumLen(distinctLines).cast("double") / charAll)
+        .otherwise(0.0)
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•"))).cast("double")
+        / nLines).otherwise(0.0)
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast("double")
+        / nLines).otherwise(0.0)
+
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val nTok = size(toks).cast("double")
+    def count(needle: String): Column =
+      ((length(col("text")) - length(replace(col("text"), lit(needle), lit("")))) /
+        needle.length).cast("double")
+    val symbolRatio =
+      when(nTok > 0, (count("#") + count("...") + count("…")) / nTok).otherwise(0.0)
+
+    // most-frequent-bigram token share: longest equal run in the sorted
+    // bigram array (equivalent to groupBy-max per doc, without the shuffle)
+    val bigrams = when(size(toks) >= 2,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (t, i) => concat(t, lit(" "), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val best = aggregate(array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val nBg = size(bigrams).cast("double")
+    val topBigramFrac = when(nBg > 0, best.cast("double") / nBg).otherwise(0.0)
+
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      round(dupLineFrac, 6).as("dup_line_frac"),
+      round(dupCharFrac, 6).as("dup_line_char_frac"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(symbolRatio, 6).as("symbol_word_ratio"),
+      round(topBigramFrac, 6).as("top_bigram_frac"))
+  }
+
   /** Document fingerprint: 64-bit rolling hash of the normalized token
     * stream — xxhash64-chained (hash of (acc, token) per step) so it is
     * order-sensitive and whitespace-insensitive without the long-overflow a

@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+import graft.core.{GBMatrix, Iterate, Ops}
+import graft.algos.{ConnectedComponents, MIS}
+import graft.pipeline.{Codecs, Similarity}
+
+/** Round-4 additions: strided/backwards extract, FastSV connected
+  * components, MIS stall-reseed, bshift saturation, trunc(NaN), truncated-GIF
+  * parse errors, the lshTopK candidate-plan fix, and the multi-executor
+  * Iterate.free guard smoke.
+  */
+class Round4Spec extends SparkTestBase {
+
+  // --- extractStride (GxB_STRIDE / GxB_BACKWARDS) ----------------------------
+
+  test("extractStride: forward stride filters by modulo and reindexes") {
+    // A(i,j) = 100i + j on a 10x10 grid
+    val m = toMatrix((for (i <- 0L until 10L; j <- 0L until 10L)
+      yield (i, j) -> (100.0 * i + j)).toMap)
+    // I = 1:3:9 -> rows {1,4,7} -> k {0,1,2}; J = 0:4:8 -> cols {0,4,8} -> l {0,1,2}
+    val got = toMap(m.extractStride(1, 9, 3, 0, 9, 4))
+    val want = (for (k <- 0L until 3L; l <- 0L until 3L)
+      yield (k, l) -> (100.0 * (1 + 3 * k) + 4 * l)).toMap
+    assertMatrixEq(got, want, ctx = "forward stride")
+  }
+
+  test("extractStride: negative increment is GxB_BACKWARDS (descending list)") {
+    val m = toMatrix((for (i <- 0L until 10L; j <- 0L until 10L)
+      yield (i, j) -> (100.0 * i + j)).toMap)
+    // I = 8:-2:0 -> rows {8,6,4,2,0} at positions k = (8-i)/2
+    val got = toMap(m.extractStride(8, 0, -2, 0, 9, 1))
+    val want = (for (k <- 0L until 5L; l <- 0L until 10L)
+      yield (k, l) -> (100.0 * (8 - 2 * k) + l)).toMap
+    assertMatrixEq(got, want, ctx = "backwards stride")
+  }
+
+  test("extractStride law: inc=1 equals extractRange rebased (splitTile)") {
+    val m = toMatrix(sprand(12, 0.4, 41L))
+    assertMatrixEq(
+      toMap(m.extractStride(2, 9, 1, 3, 11, 1)),
+      toMap(m.splitTile(2, 9, 3, 11)), ctx = "stride-1 = range")
+  }
+
+  // --- FastSV connected components ------------------------------------------
+
+  test("FastSV: 1e5-vertex path converges in O(log n) rounds (<= 20)") {
+    val n = 100000L
+    val path = spark.range(1, n).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val (labs, rounds) = ConnectedComponents.runCounted(spark, path, fastsv = true)
+    assert(rounds <= 20, s"FastSV took $rounds rounds on a diameter-$n path")
+    val comps = labs.select("comp").distinct().collect().map(_.getLong(0)).toSeq
+    assert(comps == Seq(1L), s"expected single component 1, got $comps")
+    assert(labs.count() == n)
+  }
+
+  test("FastSV output is EXACTLY the min-label fixpoint on a random graph") {
+    val rnd = new scala.util.Random(77L)
+    val edges = edgesDF((0 until 300).map(_ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)).filter(e => e._1 != e._2).toSet)
+    def m(df: DataFrame) = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = m(ConnectedComponents.run(spark, edges, fastsv = false))
+    val fast = m(ConnectedComponents.run(spark, edges, fastsv = true))
+    assert(fast == slow)
+  }
+
+  test("FastSV handles two components + isolated self-referencing labels") {
+    val (labs, _) = ConnectedComponents.runCounted(spark, edgesDF(twoBlocks), fastsv = true)
+    val got = labs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
+  // --- MIS stall detection ---------------------------------------------------
+
+  test("MIS: forced equal scores on adjacent candidates stall, reseed, terminate") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 1.0)).toDF("src", "dst", "w")
+    // salt 0: every candidate draws the SAME score (ties on both sides of the
+    // edge -> zero winners -> stalled round). The reseed bumps salt; salt>0
+    // draws distinct scores and the run finishes. Without stall detection
+    // this fixture spins to maxIter with both vertices undecided.
+    val scoreFn = (cand: DataFrame, _: Int, salt: Long) =>
+      if (salt == 0L) cand.select(col("id"), lit(1.0).as("score"))
+      else cand.select(col("id"), (col("id") + 1.0).as("score"))
+    val res = MIS.runWithScores(spark, edges, maxIter = 5, scoreFn = scoreFn)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // a valid MIS on a single edge: exactly one endpoint in the set
+    assert(res.size == 2 && res.values.count(identity) == 1, s"not a MIS: $res")
+  }
+
+  // --- bshift saturation (GB_bitshift_int64) ---------------------------------
+
+  test("bshift saturates at |k| >= 64 instead of masking the count") {
+    import spark.implicits._
+    val bs = Ops.bitwise("bshift")
+    val rows = Seq(
+      (5L, 64L), (5L, 100L), (-5L, 64L),   // left/over-left -> 0
+      (5L, -64L), (5L, -100L),             // right shift-out of positive -> 0
+      (-5L, -64L), (-5L, -100L),           // arithmetic right of negative -> -1
+      (5L, 63L), (1L, -63L), (-8L, -2L), (3L, 2L)) // in-range sanity
+    val got = rows.toDF("a", "k").select(bs(col("a"), col("k"))).as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 0L, 0L, 0L, -1L, -1L,
+      5L << 63, 0L, -2L, 12L), s"got $got")
+  }
+
+  test("trunc(NaN) passes NaN through (no long cast)") {
+    import spark.implicits._
+    val t = Ops.unary("trunc")
+    val got = Seq(Double.NaN, 2.7, -2.7, 1.9e19).toDF("x")
+      .select(t(col("x"))).as[Double].collect().toSeq
+    assert(got(0).isNaN && got(1) == 2.0 && got(2) == -2.0 && got(3) == 1.9e19, s"got $got")
+  }
+
+  // --- truncated GIF ---------------------------------------------------------
+
+  test("gifDecode raises a clear parse error on truncated payloads") {
+    val palette = Array.tabulate(4)(i => i * 0x404040)
+    val pixels = Array.tabulate[Byte](16)(i => (i % 4).toByte)
+    val full = Codecs.gifEncode(4, 4, palette, Seq((pixels, 5)))
+    assert(Codecs.gifDecode(full).frames.head.rgb.length == 16) // sanity
+    for (cut <- Seq(14, full.length / 2, full.length - 2)) {
+      val e = intercept[IllegalArgumentException](Codecs.gifDecode(full.take(cut)))
+      assert(e.getMessage.contains("truncated GIF") || e.getMessage.contains("GIF"),
+        s"cut=$cut -> ${e.getMessage}")
+    }
+  }
+
+  // --- lshTopK candidate-plan lock -------------------------------------------
+
+  test("lshTopK: no shuffle exchange carries embedding arrays (bare-id distinct)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 3)
+      val df = Similarity.lshTopK(e, q, k = 3, dim = 64)
+      df.collect()
+      val arrayShuffles = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType.isInstanceOf[ArrayType]) => s
+      }
+      assert(arrayShuffles.isEmpty,
+        s"embedding arrays ride an exchange:\n${arrayShuffles.headOption}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  // --- int8 embedding quantization --------------------------------------------
+
+  test("quantizeInt8: codes clamp to ±127, dequantize within scale/2, zeros stay zero") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4.0f))) :+ (20L, Array.fill(16)(0.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Long](2)))).toMap
+    vecs.foreach { case (id, v) =>
+      val (scale, q) = got(id)
+      if (v.forall(_ == 0.0f)) {
+        assert(scale == 0.0 && q.forall(_ == 0L))
+      } else {
+        assert(math.abs(scale - v.map(x => math.abs(x.toDouble)).max / 127.0) < 1e-12)
+        assert(q.forall(c => c >= -127L && c <= 127L))
+        v.zip(q).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-9,
+            s"vec $id: $x dequantizes to ${c * scale}")
+        }
+      }
+    }
+  }
+
+  test("quantizedTopK recall >= 0.9 vs exact float top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: DataFrame) =
+      df.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, k = 5))
+    val quant = pairs(Similarity.quantizedTopK(Similarity.quantizeInt8(e), q, k = 5))
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall < 0.9")
+  }
+
+  // --- repetition / formatting signals -----------------------------------------
+
+  test("repetitionScores: hand-computed fixture (dup lines, bullets, top bigram)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b\na b\n- c\nend..."),
+      (2L, ""),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.repetitionScores(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // doc 1: lines [a b, a b, - c, end...]; toks 7; bigrams 6 w/ "a b" twice
+    assert(got(1L) == Seq(4L, 0.25, 0.2, 0.25, 0.25, 0.142857, 0.333333), s"${got(1L)}")
+    // doc 2: empty -> all-zero signals
+    assert(got(2L) == Seq(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), s"${got(2L)}")
+    // doc 3: one line, bigrams [x y, y z] all distinct -> top share 1/2
+    assert(got(3L) == Seq(1L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5), s"${got(3L)}")
+  }
+
+  // --- Iterate.free guard on a real multi-executor cluster --------------------
+
+  test("Iterate.free refuses to unpersist on local-cluster; loops still complete") {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-agentlib"))
+    val cmd = Seq(javaBin) ++ inherited ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"), "graft.tools.ClusterSmoke")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val code = p.waitFor()
+    assert(code == 0 && out.contains("CLUSTERSMOKE OK"),
+      s"cluster smoke failed (exit $code):\n${out.takeRight(3000)}")
+  }
+}
