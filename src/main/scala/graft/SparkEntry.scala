@@ -534,6 +534,14 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextStats.tokenCounts(docs(s, d))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(docs(s, d))),
     "text_repetition" -> ((s, d) => TextStats.repetitionScores(docs(s, d))),
+    // rangeSize=100 forces the sf0.01 run through MULTIPLE ranges, so the
+    // driver pins the two-level distributed scan == the naive global window
+    "text_pack_sequences" -> ((s, d) =>
+      TextStats.packSequences(docs(s, d), budget = 512, rangeSize = 100)),
+    "text_sample_strata" -> ((s, d) =>
+      TextStats.stratifiedSample(docs(s, d),
+          Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1))
+        .select(col("doc_id"), col("lang"))),
     "text_langid" -> ((s, d) => TextStats.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
 
@@ -1053,6 +1061,29 @@ object SparkEntry {
         |  round(CASE WHEN ntok > 0 THEN (chash + cdots + cell) / ntok ELSE 0.0 END, 6) AS symbol_word_ratio,
         |  round(CASE WHEN nbg > 0 THEN topbg / nbg ELSE 0.0 END, 6) AS top_bigram_frac
         |FROM m""".stripMargin,
+
+    // the NAIVE global-window spelling of packSequences — the oracle pins
+    // the engine's two-level scan (5 ranges at sf0.01) to exact equality
+    "text_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_tok, start_tok,
+        |  CAST(start_tok // 512 AS BIGINT) AS seq_first,
+        |  CAST(CASE WHEN n_tok > 0 THEN (start_tok + n_tok - 1) // 512
+        |            ELSE start_tok // 512 END AS BIGINT) AS seq_last
+        |FROM c""".stripMargin,
+
+    // exact Lehmer slot arithmetic — reproducible in any engine by design
+    "text_sample_strata" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 48271) % 10000 <
+        |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+        |            WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 0 END""".stripMargin,
 
     // mirrors TextStats.langId: marker-word hits per language, argmax with
     // alphabetical tie-break (the CASE checks in alphabetical order)

@@ -152,6 +152,63 @@ object TextStats {
       round(topBigramFrac, 6).as("top_bigram_frac"))
   }
 
+  /** Token-budget sequence packing — "concatenate and chunk", the standard
+    * way training batches are cut from a document stream: documents in
+    * doc_id order are laid head-to-tail into one global token stream, which
+    * is split every `budget` tokens into training sequences. Emits each
+    * document's token count, absolute start offset, and the first/last
+    * sequence it lands in (a document may span sequences).
+    *
+    * Plan shape — the global prefix sum is the textbook two-level scan, NOT
+    * one global window: docs are grouped into doc_id ranges (`rangeSize` ids
+    * per range) and the running sum is a per-range window (parallel tasks);
+    * range totals — |docs|/rangeSize rows, ~10⁶ at 10¹² docs — are
+    * prefix-summed in one tiny window and broadcast back. A no-partition
+    * window would collapse 100 TB into ONE task; this does it in
+    * |docs|/rangeSize parallel windows + a broadcast join, and is
+    * value-identical to the naive global window (the driver oracle pins
+    * exactly that equality).
+    */
+  def packSequences(docs: DataFrame, budget: Long, rangeSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(rangeSize > 0, "rangeSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long")
+    val base = docs.select(col("doc_id"), nTok.as("n_tok"),
+      expr(s"doc_id DIV ${rangeSize}L").as("rng"))
+    val w = Window.partitionBy("rng").orderBy("doc_id")
+    val local = base.withColumn("lcum", sum(col("n_tok")).over(w) - col("n_tok"))
+    val w2 = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy("rng").agg(sum("n_tok").as("rtot"))
+      .withColumn("roff", coalesce(sum(col("rtot")).over(w2), lit(0L)))
+      .select("rng", "roff")
+    local.join(broadcast(offs), Seq("rng"))
+      .withColumn("start_tok", col("roff") + col("lcum"))
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok DIV ${budget}L").as("seq_first"),
+        when(col("n_tok") > 0, expr(s"(start_tok + n_tok - 1) DIV ${budget}L"))
+          .otherwise(expr(s"start_tok DIV ${budget}L")).as("seq_last"))
+  }
+
+  /** Deterministic per-stratum sampling: each doc draws a stable slot in
+    * [0, 10000) from an exact multiplicative hash of doc_id (Lehmer 48271 —
+    * exact in 64-bit for doc_id < 1.9e14, far past the 10¹² design point,
+    * and reproducible in ANY engine — the point: a training-data sample
+    * must be re-derivable bit-for-bit years later) and is kept iff
+    * slot < 10000·rate(stratum). Unknown strata default to rate 0. A pure
+    * pushed-down filter: no shuffle, no RNG state, rerun-stable under any
+    * partitioning — everything `df.sample()` is not.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       strataCol: String = "lang"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    val slot = (col("doc_id") * 48271L) % 10000L
+    val keepBelow = rates.foldLeft(lit(0L)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(math.round(r * 10000).toLong)).otherwise(acc)
+    }
+    docs.filter(slot < keepBelow)
+  }
+
   /** Document fingerprint: 64-bit rolling hash of the normalized token
     * stream — xxhash64-chained (hash of (acc, token) per step) so it is
     * order-sensitive and whitespace-insensitive without the long-overflow a

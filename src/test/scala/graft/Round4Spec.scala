@@ -201,6 +201,52 @@ class Round4Spec extends SparkTestBase {
     assert(got(3L) == Seq(1L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5), s"${got(3L)}")
   }
 
+  // --- sequence packing / stratified sampling ----------------------------------
+
+  test("packSequences: two-level scan == naive global prefix sum; spans + empties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    // sparse doc_ids (gaps!), some empty docs, sizes larger than the budget
+    val docs = (0 until 400).map { i =>
+      val id = i.toLong * 3 + (i % 2)
+      val n = rnd.nextInt(40)
+      (id, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.packSequences(docs, budget = 64, rangeSize = 100)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // naive reference: running offset in doc_id order
+    var off = 0L
+    docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).foreach {
+      case (id, text) =>
+        val n = text.split("\\s+").count(_.nonEmpty).toLong
+        val first = off / 64
+        val last = if (n > 0) (off + n - 1) / 64 else first
+        assert(got(id) == ((n, off, first, last)), s"doc $id: ${got(id)} != ($n,$off,$first,$last)")
+        off += n
+    }
+  }
+
+  test("stratifiedSample: deterministic, repartition-stable, rate-accurate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextStats.stratifiedSample(df, rates)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(17)) // stable under any partitioning
+    assert(a == b && a.nonEmpty)
+    val byLang = graft.pipeline.TextStats.stratifiedSample(docs, rates)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == totals("de"))            // rate 1.0 keeps all
+    assert(!byLang.contains("fr"))                  // rate 0.0 drops all
+    assert(!byLang.contains("es") && !byLang.contains("zh")) // unlisted -> 0
+    val enFrac = byLang("en").toDouble / totals("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en keep fraction $enFrac far from 0.5")
+  }
+
   // --- Iterate.free guard on a real multi-executor cluster --------------------
 
   test("Iterate.free refuses to unpersist on local-cluster; loops still complete") {
