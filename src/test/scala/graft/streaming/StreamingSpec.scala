@@ -70,6 +70,29 @@ class StreamingSpec extends SparkTestBase {
       toMap(GBMatrix.fromTuples(tuples.toDF("src", "dst", "w"))))
   }
 
+  test("DocStream.dedupExact drops in-horizon duplicates across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val dir = Files.createTempDirectory("graft-docs").toString
+    val ckpt = Files.createTempDirectory("graft-docs-ckpt").toString
+    val q = DocStream.ingest(
+      mem.toDS().toDF("doc_id", "text", "ts"), dir, ckpt, lateness = "10 minutes")
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // batch 1: two distinct docs + an in-batch duplicate
+    mem.addData(Seq((1L, "alpha", ts(0)), (2L, "beta", ts(1)), (3L, "alpha", ts(2))))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate (in horizon) + one new doc
+    mem.addData(Seq((4L, "beta", ts(3)), (5L, "gamma", ts(4))))
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // first-arriving copy per content survives; duplicates 3 and 4 are gone
+    assert(landed == Map(1L -> "alpha", 2L -> "beta", 5L -> "gamma"), s"$landed")
+  }
+
   test("runningDegrees stateful counts converge to the batch rowDegrees") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
