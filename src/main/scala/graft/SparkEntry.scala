@@ -355,6 +355,11 @@ object SparkEntry {
     // column of row i's k-th ranked value (GraphBLAS.h:10932-10941)
     "gb_sort_perm" -> ((s, d) =>
       GBMatrix(edgesBi(s, d)).sortRowsFull(ascending = true)._2.df),
+    // §2.7 sort by an ARBITRARY key (GxB sort's user lt-op): rank by
+    // distance from 50 — an order no asc/desc value sort produces
+    "gb_sort_by" -> ((s, d) =>
+      GBMatrix(edgesBi(s, d)).sortRowsBy(w => abs(w - 50.0))
+        .select(col("src"), col("dst"), col("k").cast("int").as("k"))),
     // the special-function unary tail (GxB_TGAMMA/LGAMMA/ERF/ERFC) through
     // the engine's own codegen'd Catalyst Expressions, oracle'd against
     // DuckDB's gamma/lgamma; erf+erfc is pinned by its identity (= 1)
@@ -865,6 +870,12 @@ object SparkEntry {
       s"""SELECT src, CAST(k - 1 AS BIGINT) AS dst, CAST(dst AS DOUBLE) AS w FROM (
          |  SELECT src, dst,
          |  row_number() OVER (PARTITION BY src ORDER BY w ASC, dst ASC) AS k
+         |  FROM ($edgesBiSql))""".stripMargin,
+
+    "gb_sort_by" ->
+      s"""SELECT src, dst, CAST(k AS INT) AS k FROM (
+         |  SELECT src, dst,
+         |  row_number() OVER (PARTITION BY src ORDER BY abs(w - 50.0) ASC, dst ASC) AS k
          |  FROM ($edgesBiSql))""".stripMargin,
 
     "gb_apply_special" ->

@@ -372,6 +372,21 @@ final case class GBMatrix(df: DataFrame) {
     df.withColumn("k", row_number().over(win))
   }
 
+  /** GxB_Matrix_sort with an arbitrary sort KEY (GraphBLAS.h:10932 accepts
+    * any binary lt-op): rank within rows by `key(w)`. This is the
+    * distributed-sort form of a comparator — a shuffle sort always orders by
+    * key, so a pairwise lt-op is admissible exactly when it is induced by a
+    * key transform (abs for magnitude order, negation for descending,
+    * struct(k1, k2) for lexicographic ties). Same deterministic dst
+    * tie-break as [[sortRows]].
+    */
+  def sortRowsBy(key: Column => Column, ascending: Boolean = true): DataFrame = {
+    val k0 = key(col("w"))
+    val ord = if (ascending) Seq(k0.asc, col("dst").asc) else Seq(k0.desc, col("dst").asc)
+    val win = Window.partitionBy("src").orderBy(ord: _*)
+    df.withColumn("k", row_number().over(win))
+  }
+
   /** GxB_Matrix_sort's full [C,P] output (GraphBLAS.h:10932-10941): C(i,k)
     * is the k-th ranked value of row i and P(i,k) its ORIGINAL column index
     * — the explicit permutation matrix the reference returns next to the

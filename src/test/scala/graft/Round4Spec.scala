@@ -44,6 +44,20 @@ class Round4Spec extends SparkTestBase {
       toMap(m.splitTile(2, 9, 3, 11)), ctx = "stride-1 = range")
   }
 
+  test("sortRowsBy: identity key == sortRows; negation key == descending") {
+    val m = toMatrix(sprand(15, 0.5, 7L))
+    def ranks(df: DataFrame) = df.select("src", "dst", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(ranks(m.sortRowsBy(identity)) == ranks(m.sortRows(ascending = true)))
+    // a DIFFERENT comparator (descending via key negation, GxB user lt-op
+    // style); dst tie-break keeps determinism, so only true reorderings move
+    val desc = ranks(m.sortRows(ascending = false))
+    val negKey = ranks(m.sortRowsBy(w => -w))
+    assert(negKey.keySet == desc.keySet &&
+      negKey.groupBy(_._1._1).forall { case (_, g) => g.values.toSeq.sorted ==
+        desc.filter(kv => kv._1._1 == g.head._1._1).values.toSeq.sorted })
+  }
+
   // --- FastSV connected components ------------------------------------------
 
   test("FastSV: 1e5-vertex path converges in O(log n) rounds (<= 20)") {
