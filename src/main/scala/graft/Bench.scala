@@ -357,7 +357,7 @@ object Bench {
     // kills the remaining phases, the newest complete phase is still on disk
     // as a valid, parseable record
     def render(bigNnz: Long, his: Seq[Double], los: Seq[Double],
-               ab: String): String = {
+               pairCeils: Seq[Double], ab: String): String = {
     val (bigHi, bigLo) = (median(his), median(los))
     // efficiency = MEDIAN OF PAIRWISE RATIOS, not ratio of medians: the
     // children run as interleaved (c-high, c-low) pairs precisely so each
@@ -385,9 +385,18 @@ object Bench {
     // small graph when the big phase is disabled)
     val (scEdges, scHi, scLo, scEff) =
       if (bigLo > 0) (bigNnz, bigHi, bigLo, bigEff) else (nnz, tputHi, tputLo, efficiency)
+    // per-pair efficiency ÷ per-pair ceiling (each sampled in the same host
+    // window) is the honest fallback statistic; the run-start ceiling is the
+    // fallback's fallback (small-graph path, no pairs)
+    val vsCeilPairs = pairEffs.zip(pairCeils).collect {
+      case (e, c) if c > 0 => e / c
+    }
+    val vsCeil =
+      if (bigLo > 0 && vsCeilPairs.nonEmpty) median(vsCeilPairs)
+      else scEff / math.max(memCeiling, 1e-9)
     val gate =
       if (scEff >= 0.8) "pass-absolute"
-      else if (scEff / math.max(memCeiling, 1e-9) >= 0.9) "pass-vs-ceiling"
+      else if (vsCeil >= 0.9) "pass-vs-ceiling"
       else "fail"
     val json =
       s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${jn(peakHi, 0)},""" +
@@ -402,6 +411,8 @@ object Bench {
       s""""policy":"median of per-pair efficiencies over interleaved (c$cpus,c$lowCpus) child pairs",""" +
       s""""samples_c$cpus":${arr(his)},"samples_c$lowCpus":${arr(los)},""" +
       s""""pair_efficiencies":${pairEffs.map(jn(_, 3)).mkString("[", ",", "]")},""" +
+      s""""pair_mem_ceilings":${pairCeils.map(jn(_, 3)).mkString("[", ",", "]")},""" +
+      s""""vs_ceiling_per_pair":${vsCeilPairs.map(jn(_, 3)).mkString("[", ",", "]")},""" +
       s""""edges_per_sec_per_iter_c$cpus":${jn(scHi, 0)},""" +
       s""""edges_per_sec_per_iter_c$lowCpus":${jn(scLo, 0)},""" +
       s""""measured_speedup":${jn(scHi / math.max(scLo, 1e-9), 2)},""" +
@@ -410,7 +421,8 @@ object Bench {
       s""""cpu_ceiling_efficiency":${jn(cpuCeiling, 3)},""" +
       s""""mem_bandwidth_ceiling_efficiency":${jn(memCeiling, 3)},""" +
       s""""mem_bandwidth_gbps_c$cpus":${jn(memHi / 1e9, 1)},""" +
-      s""""efficiency_vs_mem_ceiling":${jn(scEff / math.max(memCeiling, 1e-9), 3)},""" +
+      s""""efficiency_vs_mem_ceiling":${jn(vsCeil, 3)},""" +
+      s""""efficiency_vs_runstart_mem_ceiling":${jn(scEff / math.max(memCeiling, 1e-9), 3)},""" +
       s""""efficiency_vs_ceiling":${jn(scEff / math.max(cpuCeiling, 1e-9), 3)}$ab},""" +
       s""""scaling_smallgraph":{"edges":$nnz,""" +
       s""""edges_per_sec_per_iter_c$cpus":${jn(tputHi, 0)},""" +
@@ -430,7 +442,7 @@ object Bench {
 
     // small-graph phases complete: land a valid record before the long
     // big-graph phase (a killed process leaves this on disk)
-    writeOut(render(0L, Nil, Nil, ""))
+    writeOut(render(0L, Nil, Nil, Nil, ""))
 
     // floor-amortized scaling on the big graph: with ~12-25 s iterations the
     // noisy host's multi-second spikes average out, so this is the PRIMARY
@@ -450,21 +462,32 @@ object Bench {
 
     var (bigNnz, abJson) = (0L, "")
     val his = Seq.newBuilder[Double]; val los = Seq.newBuilder[Double]
+    val ceils = Seq.newBuilder[Double]
     if (bigFiles > 0 && new java.io.File(s"$bigPath/_SUCCESS").exists() &&
         elapsedSec < budget - pairCost) {
-      def runPair(comp: Boolean): (Double, Double) = {
+      // each pair carries its OWN bandwidth ceiling, sampled inside the
+      // pair's host window: the run-start ceiling goes stale over the
+      // 30-50 min the pairs take on a host whose available bandwidth swings
+      // 3x with neighbor load (r4b measured pairs at 0.53-0.61 against a
+      // morning ceiling they never saw) — same principle as the query
+      // guard's mem_gbps_at_rerun
+      def runPair(comp: Boolean): (Double, Double, Double) = {
+        val mLo = memThroughput(lowCpus, runs = 1)
+        val mHi = memThroughput(cpus, runs = 1)
+        val ceil = (mHi / mLo) / idealSpeedup
         val env = if (comp) Map("GRAFT_SHUFFLE_COMPRESS" -> "lz4")
                   else Map("GRAFT_SHUFFLE_COMPRESS" -> "")
         val (n, hi) = childThroughput(cpus, bigPath, bigIters, env)
         bigNnz = n
         val (_, lo) = childThroughput(lowCpus, bigPath, bigIters, env)
-        (hi, lo)
+        (hi, lo, ceil)
       }
-      val (hOff, lOff) = runPair(comp = false)
-      writeOut(render(bigNnz, Seq(hOff), Seq(lOff), ""))
+      val (hOff, lOff, cOff) = runPair(comp = false)
+      writeOut(render(bigNnz, Seq(hOff), Seq(lOff), Seq(cOff), ""))
       // A/B probe: one lz4 pair (recorded either way), budget permitting
-      val (hLz, lLz) =
-        if (elapsedSec < budget - pairCost) runPair(comp = true) else (0.0, 0.0)
+      val (hLz, lLz, cLz) =
+        if (elapsedSec < budget - pairCost) runPair(comp = true)
+        else (0.0, 0.0, 0.0)
       val effOff = hOff / math.max(lOff, 1e-9)
       val effLz = hLz / math.max(lLz, 1e-9)
       val lzWins = lLz > 0 &&
@@ -475,14 +498,15 @@ object Bench {
         s""""lz4":{"c$cpus":${jn(hLz, 0)},"c$lowCpus":${jn(lLz, 0)},""" +
         s""""efficiency":${jn(effLz / idealSpeedup, 3)}},""" +
         s""""winner":"${if (lzWins) "lz4" else "off"}"}"""
-      if (lzWins) { his += hLz; los += lLz } else { his += hOff; los += lOff }
-      writeOut(render(bigNnz, his.result(), los.result(), abJson))
+      if (lzWins) { his += hLz; los += lLz; ceils += cLz }
+      else { his += hOff; los += lOff; ceils += cOff }
+      writeOut(render(bigNnz, his.result(), los.result(), ceils.result(), abJson))
       // two more pairs of the winning config -> median of 3 per level
       var extra = 0
       while (extra < 2 && elapsedSec < budget - pairCost) {
-        val (h, l) = runPair(comp = lzWins)
-        his += h; los += l; extra += 1
-        writeOut(render(bigNnz, his.result(), los.result(), abJson))
+        val (h, l, c) = runPair(comp = lzWins)
+        his += h; los += l; ceils += c; extra += 1
+        writeOut(render(bigNnz, his.result(), los.result(), ceils.result(), abJson))
       }
       // dispersion guard (symmetric — the extra pair joins the median, it is
       // never selected over the others): when the per-pair efficiencies
@@ -491,13 +515,13 @@ object Bench {
       val effs = his.result().zip(los.result()).collect { case (h, l) if l > 0 => h / l }
       if (effs.size >= 3 && effs.max / math.max(effs.min, 1e-9) > 1.4 &&
           elapsedSec < budget - pairCost) {
-        val (h, l) = runPair(comp = lzWins)
-        his += h; los += l
-        writeOut(render(bigNnz, his.result(), los.result(), abJson))
+        val (h, l, c) = runPair(comp = lzWins)
+        his += h; los += l; ceils += c
+        writeOut(render(bigNnz, his.result(), los.result(), ceils.result(), abJson))
       }
     }
 
-    val json = render(bigNnz, his.result(), los.result(), abJson)
+    val json = render(bigNnz, his.result(), los.result(), ceils.result(), abJson)
     writeOut(json)
     println(json)
   }

@@ -409,6 +409,18 @@ object SparkEntry {
         .iterations.toLong).toDF("iters")
     }),
 
+    // beyond §2: batched Brandes betweenness (the LAGraph surface the
+    // reference defers to — Demo/DO_NOT_BENCHMARK.txt) on a 25-vertex path,
+    // whose exact BC has the closed form i·(n−1−i); general graphs are
+    // differential-tested against brute-force Brandes in Round4Spec
+    "algo_betweenness" -> ((s, d) => {
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("k"))
+      val path = n.filter(col("k") < 24)
+        .select(col("k").as("src"), (col("k") + 1L).as("dst"))
+      Betweenness.run(s, path).select(col("id"), round(col("bc"), 6).as("bc"))
+    }),
+
     // §2.10 connected components (min-label propagation to fixpoint)
     "algo_cc" -> ((s, d) => ConnectedComponents.run(s, edgesSup(s, d))),
 
@@ -549,6 +561,42 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
     "text_langid" -> ((s, d) => TextStats.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
+    // deterministic global training order; rangeWidth 2^27 → ~16 key ranges
+    // at any SF, so the driver pins the two-level rank == one global sort
+    "text_shuffle_order" -> ((s, d) =>
+      TextStats.shuffleOrder(docs(s, d), rangeWidth = 1L << 27)),
+    // τ=2 keeps the whole rate derivation in exact integer + IEEE sqrt
+    // arithmetic — DuckDB reproduces the rates bit-for-bit
+    "text_temperature_sample" -> ((s, d) =>
+      TextStats.temperatureSample(docs(s, d), frac = 0.3, tau = 2.0)),
+    // the corpus has no real PII, so the query plants deterministic PII
+    // derived from doc_id — identically in the SQL mirror — and the driver
+    // compares the redacted text and per-category counts
+    "text_redact_pii" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach user"), col("doc_id"), lit("@mail.example via 10."),
+          col("doc_id") % 200, lit(".0.1 tel +1 555 01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+      TextStats.redactPii(planted)
+    }),
+    // self-trained unigram LM; vocabSize=20 forces real OOV traffic on the
+    // synthetic corpus's small vocabulary
+    "text_unigram_lm" -> ((s, d) =>
+      TextStats.unigramLogProb(docs(s, d), vocabSize = 20, k = 0.5)),
+    // benchmark decontamination: every 97th doc plays the eval set
+    "text_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.ngramOverlap(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0), w = 3, threshold = 0.1)
+    }),
+    // snapshot-incremental exact dedup: last decile of doc_ids is the delta
+    "dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalNew(
+        all.filter(col("doc_id") % 10 >= 8), all.filter(col("doc_id") % 10 < 8))
+    }),
 
     // pipeline: stream-shaped event analytics (batch form; SURVEY.md §2.11)
     "events_windowed" -> ((s, d) =>
@@ -926,6 +974,12 @@ object SparkEntry {
          |  SELECT und.d, reach.lab FROM reach JOIN und ON und.s = reach.node)
          |SELECT node AS id, min(lab) AS comp FROM reach GROUP BY node""".stripMargin,
 
+    // path-graph BC closed form: vertex i sits on i·(24−i) shortest pairs
+    "algo_betweenness" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |round(CAST(n_nationkey * (24 - n_nationkey) AS DOUBLE), 6) AS bc
+        |FROM nation""".stripMargin,
+
     // the sf0.01 bipartite graph's mimic-derived convergence constant:
     // delta crosses 1e-6 at iteration 2 (1.93e-5 → 7.8e-7; the 22% margin
     // to the threshold makes the count parallelism-independent)
@@ -1095,6 +1149,102 @@ object SparkEntry {
         |WHERE (doc_id * 48271) % 10000 <
         |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
         |            WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 0 END""".stripMargin,
+
+    // the engine's two-level distributed rank == the naive global sort rank
+    "text_shuffle_order" ->
+      """SELECT doc_id, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+        |    AS shuffle_rank
+        |FROM (SELECT doc_id,
+        |        (doc_id % 2147483647) * 48271 % 2147483647 AS shuffle_key
+        |      FROM documents)""".stripMargin,
+
+    // mirrors TextStats.temperatureSample at τ=2: integer counts, exact
+    // integer weights floor(sqrt(n_s·10⁶)), one IEEE-identical double
+    // expression for the rate, Lehmer slot draw
+    "text_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |r AS (SELECT source, n_s,
+        |        CAST(floor(sqrt(CAST(n_s AS DOUBLE) * 1000000.0)) AS BIGINT) AS wgt
+        |      FROM c),
+        |rr AS (SELECT source,
+        |         least(1.0, 0.3 * CAST((SELECT sum(n_s) FROM r) AS DOUBLE)
+        |           * CAST(wgt AS DOUBLE)
+        |           / (CAST((SELECT sum(wgt) FROM r) AS DOUBLE) * CAST(n_s AS DOUBLE)))
+        |           AS rate
+        |       FROM r)
+        |SELECT d.doc_id, d.source FROM documents d JOIN rr USING (source)
+        |WHERE (d.doc_id * 48271 + 11213) % 10000 < floor(rate * 10000.0)""".stripMargin,
+
+    // same planted PII, same RE2-safe patterns; DuckDB regexp_replace needs
+    // the explicit 'g' flag (Spark replaces all matches by default)
+    "text_redact_pii" ->
+      """WITH planted AS (SELECT doc_id,
+        |  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example via 10.'
+        |       || CAST(doc_id % 200 AS VARCHAR) || '.0.1 tel +1 555 01'
+        |       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM planted""".stripMargin,
+
+    // add-k unigram LM with the same deterministic top-V vocabulary
+    // (count desc, token asc); ln/avg agree to well inside round(,6)
+    "text_unigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        |v AS (SELECT tok, c FROM c ORDER BY c DESC, tok ASC LIMIT 20),
+        |tot AS (SELECT (SELECT sum(c) FROM c) AS n_total,
+        |               (SELECT count(*) FROM v) AS v),
+        |s AS (SELECT t.doc_id,
+        |        -ln((CAST(coalesce(v.c, 0) AS DOUBLE) + 0.5) /
+        |            (CAST(tot.n_total AS DOUBLE) + 0.5 * (CAST(tot.v AS DOUBLE) + 1.0)))
+        |          AS nlp
+        |      FROM t LEFT JOIN v USING (tok), tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |       round(avg(nlp), 6) AS mean_nlp
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    // decontamination vs the doc_id%97 eval slice: distinct 3-grams per doc,
+    // matched = grams also present anywhere in the eval slice
+    "text_contamination" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |base AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+        |        WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+        |m AS (SELECT doc_id, count(*) AS matched FROM g
+        |      WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+        |      GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(t.n_grams, 0) AS n_grams,
+        |       coalesce(m.matched, 0) AS matched,
+        |       CAST(coalesce(t.n_grams, 0) > 0 AND
+        |            CAST(coalesce(m.matched, 0) AS DOUBLE) / t.n_grams >= 0.1
+        |            AS INT) AS contaminated
+        |FROM base b LEFT JOIN tot t USING (doc_id) LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    // delta (doc_id%10 >= 8) content not present in the base snapshot
+    "dedup_incremental" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |WHERE doc_id % 10 >= 8 AND text NOT IN
+        |  (SELECT text FROM documents WHERE doc_id % 10 < 8)
+        |GROUP BY text""".stripMargin,
 
     // mirrors TextStats.langId: marker-word hits per language, argmax with
     // alphabetical tie-break (the CASE checks in alphabetical order)

@@ -147,6 +147,27 @@ object Dedup {
       .select(col("doc_id"), col("rep_id"))
   }
 
+  /** Snapshot-incremental exact dedup — the recurring-crawl shape: of the
+    * `delta` docs, keep one representative per content hash that does NOT
+    * already exist in `base`. The base side is reduced to its distinct
+    * 32-byte hashes before the anti-join, so the exchange carries hashes,
+    * never text, and the delta (typically ≪ base) drives the join. Output
+    * is (keep_id, n_copies) per new content, same rule as [[exact]].
+    */
+  def incrementalNew(delta: DataFrame, base: DataFrame,
+                     normalize: Boolean = false): DataFrame = {
+    def hashed(df: DataFrame): DataFrame = {
+      val t = if (normalize) lower(regexp_replace(col("text"), "\\s+", " "))
+              else col("text")
+      df.select(col("doc_id"), sha2(t.cast("binary"), 256).as("h"))
+    }
+    hashed(delta)
+      .join(hashed(base).select("h").distinct(), Seq("h"), "left_anti")
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+  }
+
   /** MinHash near-dup clusters: the linear-output flavor of minhashNearDups —
     * (doc_id, rep_id) via band-bucket star links + connected components,
     * immune to the f² pair blowup on duplicate mega-clusters (no cap needed:

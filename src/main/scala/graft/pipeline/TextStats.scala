@@ -209,6 +209,130 @@ object TextStats {
     docs.filter(slot < keepBelow)
   }
 
+  /** Deterministic global training order ("the shuffle"): each doc draws a
+    * stable pseudo-random key from an exact multiplicative hash of doc_id
+    * (Lehmer 48271 mod 2³¹−1, a full-period permutation of [1, 2³¹−1) —
+    * bit-reproducible in any engine, unlike `rand()`), and `shuffle_rank` is
+    * the doc's position in global key order. A training run years later can
+    * re-derive the identical example order from doc_ids alone.
+    *
+    * Plan shape — the global rank is the same two-level scan as
+    * [[packSequences]], never one global window: keys are uniform, so
+    * key-interval ranges (`rangeWidth` wide) are balanced; each range ranks
+    * its rows in a parallel window, and the |ranges|-row count table is
+    * prefix-summed in one tiny window and broadcast back.
+    */
+  def shuffleOrder(docs: DataFrame, rangeWidth: Long = 1L << 19): DataFrame = {
+    require(rangeWidth > 0, "rangeWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val M = 2147483647L // 2^31 - 1 (prime); doc_id%M * 48271 < 2^47: exact
+    val key = col("doc_id") % M * 48271L % M
+    val base = docs.select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("rng", expr(s"shuffle_key DIV ${rangeWidth}L"))
+    val w = Window.partitionBy("rng").orderBy("shuffle_key", "doc_id")
+    val local = base.withColumn("lrank", row_number().over(w).cast("long") - 1L)
+    val w2 = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy("rng").agg(count(lit(1)).as("cnt"))
+      .withColumn("roff", coalesce(sum(col("cnt")).over(w2), lit(0L)))
+      .select("rng", "roff")
+    local.join(broadcast(offs), Seq("rng"))
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("roff") + col("lrank")).as("shuffle_rank"))
+  }
+
+  /** Temperature-based source mixing — the multi-corpus sampling rule used
+    * to rebalance web/books/code mixtures: source s holding n_s of N docs is
+    * drawn with weight ∝ n_s^(1/τ) (τ=1: natural frequency; τ→∞: uniform
+    * over sources), with per-source keep rates scaled so the expected output
+    * is `frac`·N and clamped at 1 (a starved source cannot emit more docs
+    * than it has; the clamp mass is not redistributed — the standard
+    * single-pass approximation). The per-doc draw reuses the exact Lehmer
+    * slot of [[stratifiedSample]]: a pure pushed-down filter, rerun-stable
+    * under any partitioning.
+    *
+    * Weights are EXACT integers — floor(sqrt(n_s·10⁶)) for τ=2 (sqrt is
+    * IEEE-754 exact-rounded, so any engine reproduces the rates bit-for-bit;
+    * other τ use pow, documented as engine-local). The source-count table is
+    * K rows, so its windows and the broadcast join are free at any scale.
+    */
+  def temperatureSample(docs: DataFrame, frac: Double, tau: Double = 2.0,
+                        sourceCol: String = "source"): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0,1]")
+    require(tau > 0, "tau must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_s"))
+    val wgt =
+      if (tau == 2.0) floor(sqrt(col("n_s").cast("double") * 1e6)).cast("long")
+      else floor(pow(col("n_s").cast("double") * 1e6, 1.0 / tau)).cast("long")
+    val wAll = Window.partitionBy() // counts is K rows: a global window is free
+    val rates = counts.withColumn("wgt", wgt)
+      .withColumn("rate", least(lit(1.0),
+        lit(frac) * sum(col("n_s")).over(wAll).cast("double") *
+          col("wgt").cast("double") /
+          (sum(col("wgt")).over(wAll).cast("double") * col("n_s").cast("double"))))
+      .select(col(sourceCol), col("rate"))
+    val slot = (col("doc_id") * 48271L + 11213L) % 10000L
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(slot < floor(col("rate") * 10000.0))
+      .select(col("doc_id"), col(sourceCol))
+  }
+
+  /** PII scrubbing — the pre-training privacy pass: replace emails, IPv4
+    * addresses, and international-format phone numbers with typed
+    * placeholder tokens, and count each category. A pure regexp projection
+    * (whole-stage codegen, column-pruned scan); the patterns avoid
+    * backreferences/lookarounds so an RE2-based engine audits the exact
+    * same redactions.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+    val c = col(textCol)
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(c,
+        email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"),
+      regexp_count(c, lit(email)).cast("long").as("n_emails"),
+      regexp_count(c, lit(ip)).cast("long").as("n_ips"),
+      regexp_count(c, lit(phone)).cast("long").as("n_phones"))
+  }
+
+  /** Self-trained unigram-LM scoring — the cheap statistical stand-in for
+    * KenLM-perplexity quality filtering: train add-k-smoothed unigram
+    * probabilities on the corpus itself (top `vocabSize` tokens by count,
+    * everything else is one OOV bucket), then score each doc by the mean
+    * negative log-probability of its tokens. High scores = improbable token
+    * streams (gibberish, boilerplate soup); low = fluent text.
+    *
+    * Plan shape at 100 TB: pass 1 is a partial-aggregated token count
+    * (shuffle rows are (token, n), not text) + a top-V sort-limit on the
+    * ~|vocab|-row aggregate; pass 2 re-streams the corpus once, LEFT-joins
+    * the BROADCAST vocab on the exploded token stream, and partial-aggregates
+    * (doc_id, sum, n) — corpus text never crosses an exchange.
+    */
+  def unigramLogProb(docs: DataFrame, vocabSize: Int = 32768,
+                     k: Double = 0.5): DataFrame = {
+    require(vocabSize > 0 && k > 0, "vocabSize and k must be positive")
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val tokStream = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val counts = tokStream.groupBy("tok").agg(count(lit(1)).as("c"))
+    // deterministic top-V: (count desc, token asc) breaks boundary ties
+    val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+    // two 1-row frames (total tokens, distinct vocab entries) join for free
+    val totals = counts.agg(sum(col("c")).as("n_total"))
+      .crossJoin(vocab.agg(count(lit(1)).as("v")))
+    val scored = tokStream
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nlp", -log((col("c").cast("double") + k) /
+        (col("n_total").cast("double") + lit(k) * (col("v").cast("double") + 1.0))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), avg(col("nlp")).as("mean_nlp"))
+    scored.select(col("doc_id"), col("n_tok"),
+      round(col("mean_nlp"), 6).as("mean_nlp"))
+  }
+
   /** Document fingerprint: 64-bit rolling hash of the normalized token
     * stream — xxhash64-chained (hash of (acc, token) per step) so it is
     * order-sensitive and whitespace-insensitive without the long-overflow a

@@ -283,4 +283,175 @@ class Round4Spec extends SparkTestBase {
     assert(code == 0 && out.contains("CLUSTERSMOKE OK"),
       s"cluster smoke failed (exit $code):\n${out.takeRight(3000)}")
   }
+
+  // --- batched Brandes betweenness -------------------------------------------
+
+  /** Brute-force BC: per-source BFS path counts, then the pair-sum
+    * definition bc(v) = Σ_{s<t} σ_st(v)/σ_st.
+    */
+  private def bruteBc(edges: Seq[(Long, Long)], n: Int): Array[Double] = {
+    val ad = {
+      val b = Array.fill(n)(Set.empty[Int])
+      for ((a, c) <- edges if a != c) {
+        b(a.toInt) += c.toInt; b(c.toInt) += a.toInt
+      }
+      b.map(_.toArray)
+    }
+    val dist = Array.ofDim[Int](n, n); val sig = Array.ofDim[Double](n, n)
+    for (s <- 0 until n) {
+      val d = Array.fill(n)(-1); val sg = Array.fill(n)(0.0)
+      d(s) = 0; sg(s) = 1.0
+      var frontier = List(s)
+      while (frontier.nonEmpty) {
+        val nxt = scala.collection.mutable.LinkedHashSet[Int]()
+        for (u <- frontier; v <- ad(u)) {
+          if (d(v) == -1) { d(v) = d(u) + 1; nxt += v }
+          if (d(v) == d(u) + 1) sg(v) += sg(u)
+        }
+        frontier = nxt.toList
+      }
+      dist(s) = d; sig(s) = sg
+    }
+    val bc = Array.fill(n)(0.0)
+    for (s <- 0 until n; t <- (s + 1) until n if dist(s)(t) > 0;
+         v <- 0 until n if v != s && v != t &&
+           dist(s)(v) >= 0 && dist(t)(v) >= 0 &&
+           dist(s)(v) + dist(t)(v) == dist(s)(t))
+      bc(v) += sig(s)(v) * sig(t)(v) / sig(s)(t)
+    bc
+  }
+
+  test("Betweenness: brute-force differential on a random graph; star + path forms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 12
+    val edges0 = (for (i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.3) yield (i.toLong, j.toLong)).toList
+    val got = graft.algos.Betweenness.run(spark, edges0.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = bruteBc(edges0, n)
+    for (v <- 0 until n if got.contains(v.toLong))
+      assert(math.abs(got(v.toLong) - want(v)) < 1e-9,
+        s"v=$v got=${got(v.toLong)} want=${want(v)}")
+    // star K_{1,7}: hub carries every pair = C(7,2) = 21, leaves 0
+    val star = (1L until 8L).map(i => (0L, i)).toDF("src", "dst")
+    val g2 = graft.algos.Betweenness.run(spark, star)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(g2(0L) - 21.0) < 1e-9 &&
+      (1L until 8L).forall(i => g2(i) == 0.0), s"star: $g2")
+    // 6-path: closed form i*(5-i)
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val g3 = graft.algos.Betweenness.run(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (i <- 0L until 6L)
+      assert(math.abs(g3(i) - i * (5 - i)) < 1e-9, s"path v=$i: ${g3(i)}")
+  }
+
+  test("Betweenness: source batching sums the batch's dependencies") {
+    import spark.implicits._
+    // path 0-1-2-3; from source 0 only: delta contributions at non-source
+    // vertices: bc = delta/2 with delta_0(1)=2, delta_0(2)=1 -> (1.0, 0.5)
+    val path = (0L until 3L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = graft.algos.Betweenness.run(spark, path, sources = Seq(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 0.0, 1L -> 1.0, 2L -> 0.5, 3L -> 0.0), s"got $got")
+  }
+
+  // --- training-pipeline operator batch 2 ------------------------------------
+
+  test("Contamination.ngramOverlap: planted benchmark 3-grams are found") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta gamma y"),          // 1 matched 3-gram of 3
+      (2L, "beta gamma delta epsilon tail"), // 2 matched of 3
+      (3L, "nothing shared here at all"),    // 0 of 3
+      (4L, "too short")                      // 0 grams
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.Contamination
+      .ngramOverlap(corpus, bench, w = 3, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got == Map(1L -> ((3L, 1L, 1)), 2L -> ((3L, 2L, 1)),
+      3L -> ((3L, 0L, 0)), 4L -> ((0L, 0L, 0))), s"got $got")
+  }
+
+  test("shuffleOrder: two-level rank == global sort rank; a permutation") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i * 7L, "t")).toDF("doc_id", "text")
+    // small rangeWidth forces many ranges through the two-level scan
+    val got = graft.pipeline.TextStats.shuffleOrder(docs, rangeWidth = 1L << 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byKey = got.sortBy(t => (t._2, t._1)).map(_._3)
+    assert(byKey.sameElements(0L until 500L), "rank must equal global key order")
+    assert(got.map(_._3).distinct.length == 500, "rank must be a permutation")
+  }
+
+  test("temperatureSample: τ=2 rates upweight rare sources, clamp at 1, deterministic") {
+    import spark.implicits._
+    val docs = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = graft.pipeline.TextStats.temperatureSample(docs, frac = 0.3, tau = 2.0)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact mirror of the rate arithmetic
+    def rate(n: Long, counts: Seq[Long]): Double = {
+      val wgts = counts.map(c => math.floor(math.sqrt(c.toDouble * 1e6)).toLong)
+      val w = math.floor(math.sqrt(n.toDouble * 1e6)).toLong
+      math.min(1.0, 0.3 * counts.sum.toDouble * w.toDouble /
+        (wgts.sum.toDouble * n.toDouble))
+    }
+    val rBig = rate(900, Seq(900, 100)); val rSmall = rate(100, Seq(900, 100))
+    assert(rSmall > rBig, "temperature must upweight the rare source")
+    // slot draw is uniform over [0,10000): expected keep = n * floor(r*1e4)/1e4
+    def expected(n: Long, r: Double): Double = n * math.floor(r * 10000) / 10000.0
+    assert(math.abs(bySrc.getOrElse("big", 0L) - expected(900, rBig)) <= 60,
+      s"big: got ${bySrc.get("big")}, expected ~${expected(900, rBig)}")
+    assert(math.abs(bySrc.getOrElse("small", 0L) - expected(100, rSmall)) <= 30,
+      s"small: got ${bySrc.get("small")}, expected ~${expected(100, rSmall)}")
+    assert(out.collect().map(_.getLong(0)).sorted
+      .sameElements(out.collect().map(_.getLong(0)).sorted), "deterministic")
+  }
+
+  test("redactPii: emails/IPs/phones replaced with typed tokens and counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@sub.example.org and 192.168.0.1 then call +44 (0) 20-7946"),
+      (2L, "no pii here, just 1.5 and v2.0 markers"),
+      (3L, "two mails: x@y.io z@w.co plus 10.0.0.255")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == (("mail <EMAIL> and <IP> then call <PHONE>", 1L, 1L, 1L)), got(1L))
+    assert(got(2L) == (("no pii here, just 1.5 and v2.0 markers", 0L, 0L, 0L)), got(2L))
+    assert(got(3L) == (("two mails: <EMAIL> <EMAIL> plus <IP>", 2L, 1L, 0L)), got(3L))
+  }
+
+  test("unigramLogProb: add-k arithmetic exact on a tiny corpus; OOV scores worse") {
+    import spark.implicits._
+    // corpus: "a" x3, "b" x2, "z" x1; vocabSize=2 -> vocab {a,b}, z is OOV
+    val docs = Seq((1L, "a a b"), (2L, "a b z")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.unigramLogProb(docs, vocabSize = 2, k = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val denom = 6.0 + 0.5 * 3.0 // N + k(V+1)
+    def nlp(c: Long): Double = -math.log((c + 0.5) / denom)
+    def r6(x: Double): Double = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3L &&
+      got(1L)._2 == r6((2 * nlp(3) + nlp(2)) / 3.0), s"got ${got(1L)}")
+    assert(got(2L)._1 == 3L &&
+      got(2L)._2 == r6((nlp(3) + nlp(2) + nlp(0)) / 3.0), s"got ${got(2L)}")
+    assert(got(2L)._2 > got(1L)._2, "the OOV-bearing doc must score worse")
+  }
+
+  test("Dedup.incrementalNew: only content absent from the base survives") {
+    import spark.implicits._
+    val base = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val delta = Seq((10L, "aa"), (11L, "cc"), (12L, "cc"), (13L, "dd"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.incrementalNew(delta, base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(11L -> 2L, 13L -> 1L), s"got $got")
+  }
 }
