@@ -81,6 +81,51 @@ object SparkEntry {
       |CAST(b.n_nationkey AS BIGINT) AS dst, 1.0 AS w
       |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey""".stripMargin
 
+  /** Deterministic SPARSE undirected fixture graph over the 0-based
+    * supplier ids (the co-supplier graph is near-complete at small SFs —
+    * degenerate for neighborhood-overlap ops like LCC / link prediction):
+    * each vertex i gets edges to (2i+1)%N, (3i+7)%N, (7i+11)%N, canonical
+    * lo<hi, distinct, no self-loops. 264 edges / 100 vertices / degrees
+    * 3-7 / 11 triangles at sf0.01 — non-degenerate and engine-independent.
+    */
+  def edgesArith(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").cast("long").as("i"))
+    val n = s.count()
+    val e0 = s.select(col("i").as("u"), ((col("i") * 2 + 1) % n).as("v"))
+      .unionByName(s.select(col("i").as("u"), ((col("i") * 3 + 7) % n).as("v")))
+      .unionByName(s.select(col("i").as("u"), ((col("i") * 7 + 11) % n).as("v")))
+    e0.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("src"),
+        greatest(col("u"), col("v")).as("dst")).distinct()
+      .withColumn("w", lit(1.0))
+  }
+
+  /** Disconnected 5-clique on ids 1e6..1e6+4 (every vertex degree exactly
+    * 4): unioned into the k-core fixtures so the 4-core is non-empty at
+    * every SF (the sf0.001 arith graph's 3-core is already empty).
+    */
+  private def plantedClique(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (for { a <- 0 until 5; b <- a + 1 until 5 }
+      yield (1000000L + a, 1000000L + b, 1.0)).toDF("src", "dst", "w")
+  }
+
+  private val plantedCliqueSql = {
+    val rows = (for { a <- 0 until 5; b <- a + 1 until 5 }
+      yield s"(${1000000 + a}, ${1000000 + b})").mkString(", ")
+    s"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, 1.0 AS w FROM (VALUES $rows) t(src, dst)"
+  }
+
+  private val edgesArithSql =
+    """SELECT DISTINCT least(u,v) AS src, greatest(u,v) AS dst, 1.0 AS w FROM (
+      |  WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS i FROM supplier),
+      |  nn AS (SELECT count(*) AS n FROM s)
+      |  SELECT i AS u, (2*i+1) % nn.n AS v FROM s, nn
+      |  UNION ALL SELECT i, (3*i+7) % nn.n FROM s, nn
+      |  UNION ALL SELECT i, (7*i+11) % nn.n FROM s, nn
+      |) WHERE u <> v""".stripMargin
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def embs(spark: SparkSession, dir: String): DataFrame =
@@ -459,6 +504,63 @@ object SparkEntry {
 
     // §2.10 maximal independent set (Luby, deterministic hash scores)
     "algo_mis" -> ((s, d) => MIS.run(s, edgesSup(s, d))),
+
+    // LAGraph layer: per-vertex local clustering coefficient on the sparse
+    // arithmetic fixture (the co-supplier graph is near-complete — lcc≡1)
+    "algo_lcc" -> ((s, d) =>
+      ClusteringCoefficient.run(s, edgesArith(s, d))
+        .select(col("id"), col("deg"), col("tri"), round(col("lcc"), 8).as("lcc"))),
+
+    // LAGraph layer: neighborhood-overlap link prediction (common
+    // neighbors / Jaccard / Adamic-Adar over non-adjacent pairs)
+    "algo_linkpred" -> ((s, d) =>
+      LinkPrediction.run(s, edgesArith(s, d))
+        .select(col("a"), col("b"), col("common"),
+          round(col("jaccard"), 8).as("jaccard"),
+          round(col("adamic_adar"), 8).as("adamic_adar"))),
+
+    // LAGraph layer: k-core (k=4) peel to fixpoint; a disconnected planted
+    // 5-clique (every vertex degree exactly 4) keeps the 4-core non-empty
+    // at every SF while the arith part exercises real peeling at sf0.01
+    "algo_kcore4" -> ((s, d) =>
+      KCore.run(s, edgesArith(s, d).unionByName(plantedClique(s)), k = 4)),
+
+    // LAGraph layer: full coreness decomposition (peel levels)
+    "algo_coreness" -> ((s, d) =>
+      KCore.coreness(s, edgesArith(s, d).unionByName(plantedClique(s)))),
+
+    // LAGraph layer: HITS hubs/authorities, 5 fixed L1-normalized
+    // iterations on the directed bipartite graph (SQL-unrollable form)
+    "algo_hits5" -> ((s, d) =>
+      HITS.runFixed(s, edgesBi(s, d), k = 5)
+        .select(col("id"), round(col("hub"), 8).as("hub"),
+          round(col("auth"), 8).as("auth"))),
+
+    // §2.10 PERSONALIZED PageRank: teleport + sink mass concentrated on a
+    // 3-seed watchlist, 5 fixed iterations (SQL-unrollable form)
+    "algo_ppr5" -> ((s, d) =>
+      PageRank.runFixed(s, edgesBi(s, d), k = 5, seeds = Seq(1L, 3L, 7L))
+        .select(col("id"), round(col("r"), 8).as("r"))),
+
+    // training-pipeline sampling: deterministic Lehmer-slot random walks
+    // (DeepWalk-style corpus generation, bit-reproducible in any engine)
+    "algo_randomwalk" -> ((s, d) => {
+      val starts = edgesArith(s, d)
+      val verts = starts.select(col("src").as("id"))
+        .unionByName(starts.select(col("dst").as("id"))).distinct()
+        .filter(col("id") % 10 === 0)
+      RandomWalk.run(s, starts, verts, steps = 4)
+    }),
+
+    // one-row structural graph profile (n, m, degree stats, wedges,
+    // triangles, global clustering coefficient)
+    "gb_graph_stats" -> ((s, d) =>
+      GraphStats.run(s, edgesArith(s, d))
+        .select(col("n"), col("m"), col("min_deg"), col("max_deg"),
+          round(col("avg_deg"), 8).as("avg_deg"),
+          round(col("density"), 8).as("density"),
+          col("wedges"), col("triangles"),
+          round(col("global_cc"), 8).as("global_cc"))),
 
     // north rule: corpus synthesis → edge derivation → PageRank; provenance
     "corpus_edges" -> ((s, _) => {
@@ -958,6 +1060,16 @@ object SparkEntry {
     "algo_pagerank5w" -> pagerankUnrolledSql(5, weighted = true),
 
     "algo_ktruss3" -> ktrussUnrolledSql(4, 3),
+
+    // link-analysis layer over the sparse arithmetic fixture
+    "algo_lcc" -> lccSql,
+    "algo_linkpred" -> linkpredSql,
+    "algo_kcore4" -> kcoreUnrolledSql(4, 3),
+    "algo_coreness" -> corenessUnrolledSql(5, 4),
+    "algo_hits5" -> hitsUnrolledSql(5),
+    "algo_ppr5" -> pagerankUnrolledSql(5, seeds = Seq(1L, 3L, 7L)),
+    "algo_randomwalk" -> randomWalkSql(4),
+    "gb_graph_stats" -> graphStatsSql,
 
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
@@ -1461,27 +1573,174 @@ object SparkEntry {
     * weighted multiplies each contribution by the edge weight — +.* semiring,
     * pagerank.m:74-85 — while d stays the out-degree count).
     */
-  private def pagerankUnrolledSql(k: Int, weighted: Boolean = false): String = {
+  private def pagerankUnrolledSql(k: Int, weighted: Boolean = false,
+                                  seeds: Seq[Long] = Nil): String = {
     val term = if (weighted) "r%d.r / deg.d * e.w" else "r%d.r / deg.d"
+    // personalized: teleport + sink mass land on the seed set only
+    val ns = seeds.size
+    val seedList = seeds.mkString(", ")
+    val r0Expr = if (seeds.isEmpty) "1.0 / n.n"
+      else s"CASE WHEN id IN ($seedList) THEN 1.0 / $ns ELSE 0.0 END"
+    def baseExpr(i: Int) = if (seeds.isEmpty)
+      s"0.15 / n.n + 0.85 * COALESCE(s$i.m, 0) / n.n"
+    else
+      s"""CASE WHEN verts.id IN ($seedList)
+         |THEN 0.15 / $ns + 0.85 * COALESCE(s$i.m, 0) / $ns ELSE 0.0 END""".stripMargin
     val prelude =
-      s"""WITH e AS (SELECT src, dst, w FROM ($edgesBiSql)),
-         |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      s"""WITH e AS MATERIALIZED (SELECT src, dst, w FROM ($edgesBiSql)),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
-         |deg AS (SELECT verts.id, COALESCE(o.d, 1.0) AS d, o.d IS NULL AS sink
+         |deg AS MATERIALIZED (SELECT verts.id, COALESCE(o.d, 1.0) AS d, o.d IS NULL AS sink
          |        FROM verts LEFT JOIN (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d
          |                              FROM e GROUP BY src) o ON verts.id = o.id),
-         |r0 AS (SELECT id, 1.0 / n.n AS r FROM verts, n)""".stripMargin
+         |r0 AS MATERIALIZED (SELECT id, $r0Expr AS r FROM verts, n)""".stripMargin
     val iters = (1 to k).map { i =>
       s"""s$i AS (SELECT sum(r${i - 1}.r) AS m FROM r${i - 1}
          |        JOIN deg ON deg.id = r${i - 1}.id AND deg.sink),
-         |c$i AS (SELECT e.dst AS id, sum(${term.format(i - 1)}) AS c
+         |c$i AS MATERIALIZED (SELECT e.dst AS id, sum(${term.format(i - 1)}) AS c
          |        FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src
          |        JOIN deg ON deg.id = e.src GROUP BY e.dst),
-         |r$i AS (SELECT verts.id,
-         |        0.15 / n.n + 0.85 * COALESCE(s$i.m, 0) / n.n + 0.85 * COALESCE(c$i.c, 0) AS r
+         |r$i AS MATERIALIZED (SELECT verts.id,
+         |        ${baseExpr(i)} + 0.85 * COALESCE(c$i.c, 0) AS r
          |        FROM verts CROSS JOIN n CROSS JOIN s$i
          |        LEFT JOIN c$i ON c$i.id = verts.id)""".stripMargin
     }.mkString(",\n")
     s"$prelude,\n$iters\nSELECT id, round(r, 8) AS r FROM r$k"
   }
+
+  // --- link-analysis oracle SQL over the sparse arithmetic fixture -------
+
+  private val arithCanonCte =
+    s"canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql))"
+
+  private def lccSql: String =
+    s"""WITH $arithCanonCte,
+       |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+       |deg AS MATERIALIZED (SELECT a AS vid, count(*) AS deg FROM und GROUP BY a),
+       |tri AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c
+       |     FROM canon x JOIN canon y ON x.dst = y.src
+       |     JOIN canon z ON z.src = x.src AND z.dst = y.dst),
+       |pv AS (SELECT tid, count(*) AS tri FROM (
+       |       SELECT a AS tid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |     GROUP BY tid)
+       |SELECT deg.vid AS id, deg.deg, COALESCE(pv.tri, 0) AS tri,
+       |  round(CASE WHEN deg.deg >= 2
+       |    THEN CAST(COALESCE(pv.tri, 0) AS DOUBLE) * 2.0
+       |         / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+       |    ELSE 0.0 END, 8) AS lcc
+       |FROM deg LEFT JOIN pv ON deg.vid = pv.tid""".stripMargin
+
+  private def linkpredSql: String =
+    s"""WITH $arithCanonCte,
+       |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+       |deg AS MATERIALIZED (SELECT a AS vid, count(*) AS deg FROM und GROUP BY a),
+       |nbrs AS MATERIALIZED (SELECT und.a AS z, und.b AS u, 1.0 / ln(CAST(deg.deg AS DOUBLE)) AS zw
+       |     FROM und JOIN deg ON deg.vid = und.a),
+       |pairs AS MATERIALIZED (SELECT l.u AS a, r.u AS b, count(*) AS common, sum(l.zw) AS aa
+       |     FROM nbrs l JOIN nbrs r ON l.z = r.z AND l.u < r.u GROUP BY 1, 2),
+       |np AS (SELECT p.* FROM pairs p ANTI JOIN canon c ON p.a = c.src AND p.b = c.dst)
+       |SELECT np.a, np.b, np.common,
+       |  round(CAST(np.common AS DOUBLE) / CAST(da.deg + db.deg - np.common AS DOUBLE), 8) AS jaccard,
+       |  round(np.aa, 8) AS adamic_adar
+       |FROM np JOIN deg da ON da.vid = np.a JOIN deg db ON db.vid = np.b""".stripMargin
+
+  private def kcoreUnrolledSql(k: Int, rounds: Int): String = {
+    val rs = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT nid, count(*) AS deg FROM (
+         |  SELECT src AS nid FROM c$i UNION ALL SELECT dst FROM c$i) GROUP BY nid),
+         |k$i AS (SELECT nid FROM d$i WHERE deg >= $k),
+         |c${i + 1} AS MATERIALIZED (SELECT c$i.src, c$i.dst FROM c$i
+         |  JOIN k$i ka ON ka.nid = c$i.src JOIN k$i kb ON kb.nid = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)
+       |  UNION ALL SELECT src, dst FROM ($plantedCliqueSql)),
+       |$rs
+       |SELECT nid AS id, count(*) AS core_deg FROM (
+       |  SELECT src AS nid FROM c$rounds UNION ALL SELECT dst FROM c$rounds) GROUP BY nid
+       |HAVING count(*) >= $k""".stripMargin
+  }
+
+  private def corenessUnrolledSql(maxK: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH c1_0 AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)
+      |  UNION ALL SELECT src, dst FROM ($plantedCliqueSql))""".stripMargin)
+    for (k <- 1 to maxK) {
+      if (k > 1) sb.append(s",\nc${k}_0 AS (SELECT src, dst FROM c${k - 1}_$rounds)")
+      for (r <- 0 until rounds) {
+        sb.append(s""",
+d${k}_$r AS MATERIALIZED (SELECT nid, count(*) AS deg FROM (
+  SELECT src AS nid FROM c${k}_$r UNION ALL SELECT dst FROM c${k}_$r) GROUP BY nid),
+q${k}_$r AS (SELECT nid FROM d${k}_$r WHERE deg >= $k),
+c${k}_${r + 1} AS MATERIALIZED (SELECT c.src, c.dst FROM c${k}_$r c
+  JOIN q${k}_$r ka ON ka.nid = c.src JOIN q${k}_$r kb ON kb.nid = c.dst)""")
+      }
+      sb.append(s""",
+surv$k AS (SELECT DISTINCT nid FROM (
+  SELECT src AS nid FROM c${k}_$rounds UNION ALL SELECT dst FROM c${k}_$rounds))""")
+    }
+    val unions = (1 to maxK).map(k => s"SELECT nid, $k AS k FROM surv$k").mkString(" UNION ALL ")
+    sb.append(s""",
+univ AS (SELECT DISTINCT nid FROM (SELECT src AS nid FROM c1_0 UNION ALL SELECT dst FROM c1_0)),
+mk AS (SELECT nid, max(k) AS mk FROM ($unions) GROUP BY nid)
+SELECT univ.nid AS id, CAST(COALESCE(mk.mk, 0) AS BIGINT) AS coreness
+FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
+    sb.toString
+  }
+
+  private def hitsUnrolledSql(k: Int): String = {
+    val prelude =
+      s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesBiSql)),
+         |verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |hs0 AS MATERIALIZED (SELECT vid, 1.0 / nn.n AS h, 1.0 / nn.n AS a FROM verts, nn)""".stripMargin
+    val its = (1 to k).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS vid, sum(p.h) AS r FROM e JOIN hs${i - 1} p ON p.vid = e.src GROUP BY e.dst),
+         |asum$i AS (SELECT sum(r) AS s FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT v.vid, COALESCE(ar$i.r, 0) / asum$i.s AS a, p.h
+         |  FROM verts v CROSS JOIN asum$i LEFT JOIN ar$i ON ar$i.vid = v.vid
+         |  JOIN hs${i - 1} p ON p.vid = v.vid),
+         |hr$i AS MATERIALIZED (SELECT e.src AS vid, sum(q.a) AS r FROM e JOIN a$i q ON q.vid = e.dst GROUP BY e.src),
+         |hsum$i AS (SELECT sum(r) AS s FROM hr$i),
+         |hs$i AS MATERIALIZED (SELECT v.vid, COALESCE(hr$i.r, 0) / hsum$i.s AS h, q.a
+         |  FROM verts v CROSS JOIN hsum$i LEFT JOIN hr$i ON hr$i.vid = v.vid
+         |  JOIN a$i q ON q.vid = v.vid)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$its\nSELECT vid AS id, round(h, 8) AS hub, round(a, 8) AS auth FROM hs$k"
+  }
+
+  private def randomWalkSql(steps: Int): String = {
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |ranked AS MATERIALIZED (SELECT a AS v, b AS nxt,
+         |    CAST(row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS deg
+         |  FROM und),
+         |w0 AS (SELECT DISTINCT v AS walk, v FROM ranked WHERE v % 10 = 0)""".stripMargin
+    val hops = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT w.walk, r.nxt AS v FROM w${t - 1} w JOIN ranked r ON r.v = w.v
+         |  AND r.rk = (w.walk * 48271 + $t * 11213 + w.v * 7919) % r.deg)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to steps)
+      .map(t => s"SELECT walk, CAST($t AS BIGINT) AS step, v FROM w$t")
+      .mkString(" UNION ALL ")
+    s"$prelude,\n$hops\nSELECT walk, step, v FROM ($sel)"
+  }
+
+  private def graphStatsSql: String =
+    s"""WITH $arithCanonCte,
+       |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+       |deg AS MATERIALIZED (SELECT a AS vid, count(*) AS deg FROM und GROUP BY a),
+       |ds AS (SELECT count(*) AS n, min(deg) AS min_deg, max(deg) AS max_deg,
+       |         sum(deg) AS deg_sum,
+       |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges FROM deg),
+       |tri AS (SELECT count(*) AS triangles FROM (
+       |  SELECT x.src AS a FROM canon x JOIN canon y ON x.dst = y.src
+       |  JOIN canon z ON z.src = x.src AND z.dst = y.dst))
+       |SELECT n, CAST(deg_sum // 2 AS BIGINT) AS m, min_deg, max_deg,
+       |  round(CAST(deg_sum AS DOUBLE) / n, 8) AS avg_deg,
+       |  round(CAST(deg_sum AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 8) AS density,
+       |  wedges, triangles,
+       |  round(CASE WHEN wedges > 0 THEN 3.0 * triangles / wedges ELSE 0.0 END, 8) AS global_cc
+       |FROM ds, tri""".stripMargin
 }

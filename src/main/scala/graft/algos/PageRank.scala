@@ -47,21 +47,28 @@ object PageRank {
     *                      of +.2nd); d stays the out-degree COUNT either way
     *                      (pagerank.m:97, GrB.entries 'degree'). Weighted
     *                      input must have unique (src,dst) entries.
+    * @param seeds         non-empty = PERSONALIZED PageRank: the teleport
+    *                      distribution (and the sink-mass redistribution)
+    *                      concentrates uniformly on the seed set instead of
+    *                      1/n everywhere, and r starts as that distribution.
+    *                      Same iteration algebra otherwise; the seed set is
+    *                      query-sized (a watchlist, a topic), so it rides the
+    *                      plan as an isin literal, never a join.
     */
   def run(spark: SparkSession, edges: DataFrame, damp: Double = 0.85,
           tol: Double = 1e-6, maxIter: Int = 100,
           checkpointDir: Option[String] = None, checkpointEvery: Int = 10,
           numPartitions: Int = 0, skewSalts: Int = 8,
-          weighted: Boolean = false): Result =
+          weighted: Boolean = false, seeds: Seq[Long] = Nil): Result =
     // fixed layout + known partition counts: AQE only adds stage barriers
     Iterate.withoutAQE(spark)(runLoop(spark, edges, damp, tol, maxIter,
-      checkpointDir, checkpointEvery, numPartitions, skewSalts, weighted))
+      checkpointDir, checkpointEvery, numPartitions, skewSalts, weighted, seeds))
 
   private def runLoop(spark: SparkSession, edges: DataFrame, damp: Double,
           tol: Double, maxIter: Int,
           checkpointDir: Option[String], checkpointEvery: Int,
           numPartitions: Int, skewSalts: Int,
-          weighted: Boolean): Result = {
+          weighted: Boolean, seeds: Seq[Long]): Result = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -84,7 +91,12 @@ object PageRank {
         col("od").isNull.as("isSink"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = degrees.count()
-    val teleport = (1.0 - damp) / n
+    val nSeeds = seeds.size
+    // personalized: teleport mass (and sink redistribution) lands on the
+    // seed set only — the per-row base is a tiny isin literal, not a join
+    val isSeed = if (seeds.isEmpty) lit(true) else col("id").isin(seeds: _*)
+    val tag = f"damp=$damp%.4f" +
+      (if (seeds.isEmpty) "" else s";seeds=${seeds.sorted.mkString("_")}")
 
     // hub-src skew (graft.core.Skew hot-key isolation): cold edges keep the
     // src partitioning (co-partitioned with the state, zero exchange); the
@@ -103,10 +115,14 @@ object PageRank {
       (cold, Some(hotE))
     }
 
-    // resume from newest complete checkpoint if present
+    // resume from newest complete checkpoint if present; PPR starts from the
+    // seed distribution itself (pagerank.m:60 starts uniform; with a seeded
+    // teleport the analogous start is the teleport distribution)
+    val initR = if (seeds.isEmpty) lit(1.0 / n)
+                else when(isSeed, lit(1.0 / nSeeds)).otherwise(lit(0.0))
     val (startIter, r0) = checkpointDir
-      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "r"), f"damp=$damp%.4f"))
-      .getOrElse((0, degrees.select(col("id"), lit(1.0 / n).as("r"))))
+      .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "r"), tag))
+      .getOrElse((0, degrees.select(col("id"), initR.as("r"))))
 
     // state = (id, r, d, isSink), dense over the vertex universe; cut() so
     // each iteration's plan is leaf-sized (state is referenced twice per
@@ -122,7 +138,12 @@ object PageRank {
     import spark.implicits._
     while (iter < maxIter && delta >= tol) {
       val t0 = System.nanoTime()
-      val base = teleport + damp * sinkMass / n
+      // uniform: every vertex gets (1-d)/n + d*sinkMass/n; personalized:
+      // only seeds get (1-d)/|S| + d*sinkMass/|S|, everyone else 0
+      val base = if (seeds.isEmpty) (1.0 - damp) / n + damp * sinkMass / n
+                 else (1.0 - damp) / nSeeds + damp * sinkMass / nSeeds
+      val baseExpr = if (seeds.isEmpty) lit(base)
+                     else when(isSeed, lit(base)).otherwise(lit(0.0))
 
       // gather r(src)/d(src) along edges, scatter-add into dst
       // (semiring +.2nd over the structural adjacency); hot-src edges join a
@@ -141,7 +162,7 @@ object PageRank {
       // (CollectMetrics accumulators) — no separate per-iteration stats job
       val merged = state.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + lit(damp) * coalesce(col("s"), lit(0.0))).as("r"),
+          (baseExpr + lit(damp) * coalesce(col("s"), lit(0.0))).as("r"),
           col("r").as("rp"), col("d"), col("isSink"))
         .observe(s"pr_$iter", max(abs(col("r") - col("rp"))).as("delta"),
           sum(when(col("isSink"), col("r"))).as("sinkMass"))
@@ -161,7 +182,7 @@ object PageRank {
         graft.core.Checkpoint.logMetric(spark, dir, "iter" -> iter.toLong,
           "delta_e9" -> (delta * 1e9).toLong, "millis" -> metrics.last.millis)
         if (iter % checkpointEvery == 0 || delta < tol || iter == maxIter)
-          graft.core.Checkpoint.write(state.select(col("id"), col("r")), dir, iter, f"damp=$damp%.4f")
+          graft.core.Checkpoint.write(state.select(col("id"), col("r")), dir, iter, tag)
       }
     }
 
@@ -177,6 +198,7 @@ object PageRank {
     * SQL oracle (same math, k iterations exactly).
     */
   def runFixed(spark: SparkSession, edges: DataFrame, k: Int, damp: Double = 0.85,
-               weighted: Boolean = false): DataFrame =
-    run(spark, edges, damp = damp, tol = 0.0, maxIter = k, weighted = weighted).ranks
+               weighted: Boolean = false, seeds: Seq[Long] = Nil): DataFrame =
+    run(spark, edges, damp = damp, tol = 0.0, maxIter = k, weighted = weighted,
+      seeds = seeds).ranks
 }

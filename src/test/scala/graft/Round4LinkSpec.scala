@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algos.{ClusteringCoefficient, GraphStats, HITS, KCore, LinkPrediction, PageRank, RandomWalk}
+
+/** Round-4 link-analysis batch: LCC, link prediction, k-core/coreness,
+  * HITS, personalized PageRank, deterministic random walks, graph stats —
+  * each differential-tested against an in-memory brute-force reference on
+  * seeded random graphs.
+  */
+class Round4LinkSpec extends SparkTestBase {
+  import scala.collection.mutable
+
+  /** Seeded Erdős–Rényi-ish undirected graph as canonical lo<hi pairs. */
+  private def randGraph(n: Int, p: Double, seed: Long): Set[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (for { a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < p }
+      yield (a.toLong, b.toLong)).toSet
+  }
+
+  private def toEdgeDf(es: Set[(Long, Long)]) = {
+    import spark.implicits._
+    es.toSeq.toDF("src", "dst").withColumn("w", lit(1.0))
+  }
+
+  private def adjOf(es: Set[(Long, Long)]): Map[Long, Set[Long]] = {
+    val m = mutable.Map[Long, mutable.Set[Long]]()
+    es.foreach { case (a, b) =>
+      m.getOrElseUpdate(a, mutable.Set()) += b
+      m.getOrElseUpdate(b, mutable.Set()) += a
+    }
+    m.map { case (k, v) => k -> v.toSet }.toMap
+  }
+
+  test("ClusteringCoefficient matches brute force on a seeded random graph") {
+    val es = randGraph(40, 0.15, 11L)
+    val adj = adjOf(es)
+    val got = ClusteringCoefficient.run(spark, toEdgeDf(es)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == adj.keySet)
+    adj.foreach { case (v, nb) =>
+      val deg = nb.size
+      val tri = nb.toSeq.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }
+      val lcc = if (deg >= 2) 2.0 * tri / (deg.toDouble * (deg - 1)) else 0.0
+      val (gd, gt, gl) = got(v)
+      assert(gd == deg && gt == tri && math.abs(gl - lcc) < 1e-12,
+        s"v=$v got=${got(v)} want=($deg,$tri,$lcc)")
+    }
+  }
+
+  test("LinkPrediction matches brute force; maxDegree drops only wedge centers") {
+    val es = randGraph(35, 0.12, 23L)
+    val adj = adjOf(es)
+    val want = (for {
+      a <- adj.keySet.toSeq; b <- adj.keySet.toSeq
+      if a < b && !es.contains((a, b))
+      common = adj(a) & adj(b) if common.nonEmpty
+    } yield (a, b) -> ((common.size.toLong,
+      common.size.toDouble / (adj(a).size + adj(b).size - common.size),
+      common.toSeq.map(z => 1.0 / math.log(adj(z).size.toDouble)).sum))).toMap
+    val got = LinkPrediction.run(spark, toEdgeDf(es)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet, s"pair sets differ: ${got.keySet.size} vs ${want.keySet.size}")
+    want.foreach { case (k, (c, j, aa)) =>
+      val (gc, gj, gaa) = got(k)
+      assert(gc == c && math.abs(gj - j) < 1e-12 && math.abs(gaa - aa) < 1e-10,
+        s"pair $k got=${got(k)} want=($c,$j,$aa)")
+    }
+    // capped: centers above maxDegree contribute no wedges
+    val cap = 4L
+    val gotCap = LinkPrediction.run(spark, toEdgeDf(es), maxDegree = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wantCap = (for {
+      a <- adj.keySet.toSeq; b <- adj.keySet.toSeq
+      if a < b && !es.contains((a, b))
+      common = (adj(a) & adj(b)).filter(z => adj(z).size <= cap) if common.nonEmpty
+    } yield (a, b) -> common.size.toLong).toMap
+    assert(gotCap == wantCap)
+  }
+
+  test("KCore.run matches brute-force peel, incl. a cascading chain fixture") {
+    // clique {0..4} + chain 4-5-6-7: chain peels in cascade at k=2
+    val clique = (for { a <- 0 until 5; b <- a + 1 until 5 } yield (a.toLong, b.toLong)).toSet
+    val chain = Set((4L, 5L), (5L, 6L), (6L, 7L))
+    def brutePeel(es: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+      var cur = es
+      var stable = false
+      while (!stable) {
+        val deg = mutable.Map[Long, Int]().withDefaultValue(0)
+        cur.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+        val next = cur.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+        stable = next == cur
+        cur = next
+      }
+      val deg = mutable.Map[Long, Int]().withDefaultValue(0)
+      cur.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+      deg.toMap
+    }
+    for ((es, k) <- Seq((clique ++ chain, 2), (clique ++ chain, 4),
+                        (randGraph(40, 0.1, 7L), 3))) {
+      val want = brutePeel(es, k).filter(_._2 >= k)
+      val got = KCore.run(spark, toEdgeDf(es), k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == want, s"k=$k got=$got want=$want")
+    }
+  }
+
+  test("KCore.coreness matches brute force") {
+    val es = randGraph(40, 0.12, 31L)
+    def bruteCoreness(es0: Set[(Long, Long)]): Map[Long, Int] = {
+      var es = es0; var k = 1
+      val core = mutable.Map[Long, Int]()
+      var alive = es.flatMap(e => Seq(e._1, e._2))
+      alive.foreach(v => core(v) = 0)
+      while (es.nonEmpty) {
+        var stable = false
+        while (!stable) {
+          val deg = mutable.Map[Long, Int]().withDefaultValue(0)
+          es.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+          val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+          stable = next == es
+          es = next
+        }
+        val surv = es.flatMap(e => Seq(e._1, e._2))
+        (alive -- surv).foreach(v => core(v) = k - 1)
+        alive = surv
+        k += 1
+      }
+      alive.foreach(v => core(v) = k - 1)
+      core.toMap
+    }
+    val want = bruteCoreness(es)
+    val got = KCore.coreness(spark, toEdgeDf(es)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("HITS: L1 sums are 1 and values match brute-force power iteration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val es = (for { a <- 0 until 20; b <- 0 until 20
+                    if a != b && rnd.nextDouble() < 0.1 }
+      yield (a.toLong, b.toLong)).distinct
+    val df = es.toDF("src", "dst").withColumn("w", lit(1.0))
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = verts.size
+    var h = verts.map(_ -> 1.0 / n).toMap
+    var a = verts.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val ar = mutable.Map[Long, Double]().withDefaultValue(0.0)
+      es.foreach { case (s, d) => ar(d) += h(s) }
+      val at = ar.values.sum
+      a = verts.map(v => v -> ar(v) / at).toMap
+      val hr = mutable.Map[Long, Double]().withDefaultValue(0.0)
+      es.foreach { case (s, d) => hr(s) += a(d) }
+      val ht = hr.values.sum
+      h = verts.map(v => v -> hr(v) / ht).toMap
+    }
+    val got = HITS.runFixed(spark, df, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == verts.toSet)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9, "hub L1 sum")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9, "auth L1 sum")
+    verts.foreach { v =>
+      assert(math.abs(got(v)._1 - h(v)) < 1e-10 && math.abs(got(v)._2 - a(v)) < 1e-10,
+        s"v=$v got=${got(v)} want=(${h(v)},${a(v)})")
+    }
+  }
+
+  test("personalized PageRank: mass 1, zero off-reachable, all-seeds == uniform") {
+    import spark.implicits._
+    // two components: 0->1->2 and 10->11; seeds in the first only
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst").withColumn("w", lit(1.0))
+    val ppr = PageRank.runFixed(spark, es, k = 20, seeds = Seq(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9, s"mass ${ppr.values.sum}")
+    assert(ppr(10L) == 0.0 && ppr(11L) == 0.0, "unreachable component must stay 0")
+    assert(ppr(0L) > ppr(2L), "seed outranks its far neighbor")
+    // seeds = ALL vertices reduces exactly to uniform PageRank
+    val all = Seq(0L, 1L, 2L, 10L, 11L)
+    val a = PageRank.runFixed(spark, es, k = 5, seeds = all)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val u = PageRank.runFixed(spark, es, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    all.foreach(v => assert(math.abs(a(v) - u(v)) < 1e-12, s"v=$v ${a(v)} vs ${u(v)}"))
+  }
+
+  test("RandomWalk: edges real, walks continuous, partitioning-independent") {
+    val es = randGraph(30, 0.15, 13L)
+    val adj = adjOf(es)
+    import spark.implicits._
+    val starts = adj.keySet.toSeq.sorted.take(5).toDF("id")
+    def runWith(parts: Int) =
+      RandomWalk.run(spark, toEdgeDf(es).repartition(parts), starts, steps = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w1 = runWith(2)
+    val w2 = runWith(7)
+    assert(w1 == w2, "walks must be partitioning-independent")
+    w1.foreach { case ((walk, step), v) =>
+      if (step > 0) {
+        val prev = w1((walk, step - 1))
+        assert(adj(prev).contains(v), s"hop $prev->$v (walk $walk step $step) is not an edge")
+      } else assert(v == walk, "step 0 is the start vertex")
+    }
+    // replays the documented slot formula exactly
+    w1.foreach { case ((walk, step), v) =>
+      if (step > 0) {
+        val prev = w1((walk, step - 1))
+        val nbrs = adj(prev).toSeq.sorted
+        val slot = ((walk * 48271L + step * 11213L + prev * 7919L) % nbrs.size).toInt
+        assert(v == nbrs(slot), s"slot mismatch walk=$walk step=$step")
+      }
+    }
+  }
+
+  test("GraphStats matches closed-form on a clique plus isolated edge") {
+    import spark.implicits._
+    // K5 + disjoint edge: n=7, m=11, wedges=5*C(4,2)+2*0... degrees: K5 all 4, edge both 1
+    val k5 = for { a <- 0 until 5; b <- a + 1 until 5 } yield (a.toLong, b.toLong)
+    val es = (k5 :+ (10L, 11L)).toDF("src", "dst").withColumn("w", lit(1.0))
+    val r = GraphStats.run(spark, es).collect()(0)
+    assert(r.getAs[Long]("n") == 7L)
+    assert(r.getAs[Long]("m") == 11L)
+    assert(r.getAs[Long]("min_deg") == 1L && r.getAs[Long]("max_deg") == 4L)
+    assert(r.getAs[Long]("wedges") == 5 * 6L) // 5 vertices with C(4,2)=6
+    assert(r.getAs[Long]("triangles") == 10L) // C(5,3)
+    assert(math.abs(r.getAs[Double]("global_cc") - 1.0) < 1e-12) // K5 part closes all wedges
+  }
+}
