@@ -117,6 +117,30 @@ object SparkEntry {
     s"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, 1.0 AS w FROM (VALUES $rows) t(src, dst)"
   }
 
+  /** Directed variant of the arithmetic fixture (no canonicalization): the
+    * three residue maps give out-degree ≤3 per vertex and long cycles, so
+    * the graph has a non-trivial SCC structure (sf0.01: one 80-vertex giant
+    * SCC + one of 20 — verified against the transitive-closure oracle).
+    */
+  def edgesArithDirected(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").cast("long").as("i"))
+    val n = s.count()
+    val e0 = s.select(col("i").as("src"), ((col("i") * 2 + 1) % n).as("dst"))
+      .unionByName(s.select(col("i").as("src"), ((col("i") * 3 + 7) % n).as("dst")))
+      .unionByName(s.select(col("i").as("src"), ((col("i") * 7 + 11) % n).as("dst")))
+    e0.filter(col("src") =!= col("dst")).distinct()
+  }
+
+  private val edgesArithDirSql =
+    """SELECT DISTINCT u AS src, v AS dst FROM (
+      |  WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS i FROM supplier),
+      |  nn AS (SELECT count(*) AS n FROM s)
+      |  SELECT i AS u, (2*i+1) % nn.n AS v FROM s, nn
+      |  UNION ALL SELECT i, (3*i+7) % nn.n FROM s, nn
+      |  UNION ALL SELECT i, (7*i+11) % nn.n FROM s, nn
+      |) WHERE u <> v""".stripMargin
+
   private val edgesArithSql =
     """SELECT DISTINCT least(u,v) AS src, greatest(u,v) AS dst, 1.0 AS w FROM (
       |  WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS i FROM supplier),
@@ -561,6 +585,28 @@ object SparkEntry {
           round(col("density"), 8).as("density"),
           col("wedges"), col("triangles"),
           round(col("global_cc"), 8).as("global_cc"))),
+
+    // web-graph bowtie: strongly connected components of the DIRECTED
+    // arithmetic fixture (trim + forward-max coloring + backward sweep;
+    // exact min-member labels vs a transitive-closure oracle)
+    "algo_scc" -> ((s, d) => SCC.run(s, edgesArithDirected(s, d))),
+
+    // Newman modularity of the (id % 5) labeling — integer-exact aggregates,
+    // one mirrored float expression
+    "gb_modularity" -> ((s, d) => {
+      val e = edgesArith(s, d)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      GraphStats.modularity(s, e, verts.select(col("id"), (col("id") % 5).as("label")))
+        .select(col("m"), col("communities"), col("intra_edges"),
+          round(col("modularity"), 8).as("modularity"))
+    }),
+
+    // degree assortativity (Pearson r over the directed pair list) —
+    // decimal-exact moment sums, mirrored final expression
+    "gb_assortativity" -> ((s, d) =>
+      GraphStats.assortativity(s, edgesArith(s, d))
+        .select(col("pairs"), round(col("assortativity"), 8).as("assortativity"))),
 
     // north rule: corpus synthesis → edge derivation → PageRank; provenance
     "corpus_edges" -> ((s, _) => {
@@ -1070,6 +1116,9 @@ object SparkEntry {
     "algo_ppr5" -> pagerankUnrolledSql(5, seeds = Seq(1L, 3L, 7L)),
     "algo_randomwalk" -> randomWalkSql(4),
     "gb_graph_stats" -> graphStatsSql,
+    "algo_scc" -> sccSql,
+    "gb_modularity" -> modularitySql,
+    "gb_assortativity" -> assortativitySql,
 
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
@@ -1726,6 +1775,53 @@ FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
       .mkString(" UNION ALL ")
     s"$prelude,\n$hops\nSELECT walk, step, v FROM ($sel)"
   }
+
+  /** SCC by brute transitive closure — viable because the oracle runs at
+    * sf0.01 (100 vertices); the engine side is the scalable trim+color+sweep.
+    */
+  private def sccSql: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+       |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |reach AS (
+       |  SELECT src AS a, dst AS b FROM e
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+       |),
+       |mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+       |           JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+       |SELECT verts.id AS id,
+       |  CAST(LEAST(verts.id, COALESCE(MIN(m.u), verts.id)) AS BIGINT) AS scc
+       |FROM verts LEFT JOIN mutual m ON m.v = verts.id
+       |GROUP BY verts.id""".stripMargin
+
+  private def modularitySql: String =
+    s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
+       |tagged AS (SELECT src % 5 AS la, dst % 5 AS lb FROM canon),
+       |und AS (SELECT la AS l FROM tagged UNION ALL SELECT lb FROM tagged),
+       |perc AS (SELECT l, count(*) AS dc FROM und GROUP BY l),
+       |agg AS (SELECT count(*) AS communities, sum(dc * dc) AS sum_dc2 FROM perc),
+       |intra AS (SELECT count(*) AS m,
+       |          sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS intra_edges FROM tagged)
+       |SELECT CAST(m AS BIGINT) AS m, CAST(communities AS BIGINT) AS communities,
+       |  CAST(intra_edges AS BIGINT) AS intra_edges,
+       |  round(CAST(intra_edges AS DOUBLE)/m
+       |    - CAST(sum_dc2 AS DOUBLE)/(4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 8) AS modularity
+       |FROM intra, agg""".stripMargin
+
+  private def assortativitySql: String =
+    s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
+       |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+       |deg AS MATERIALIZED (SELECT a AS vid, count(*) AS deg FROM und GROUP BY a),
+       |pairs AS (SELECT da.deg AS x, db.deg AS y FROM und
+       |          JOIN deg da ON da.vid = und.a JOIN deg db ON db.vid = und.b),
+       |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |      sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM pairs)
+       |SELECT CAST(n AS BIGINT) AS pairs,
+       |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+       |    sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+       |         (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 8)
+       |    AS assortativity
+       |FROM s""".stripMargin
 
   private def graphStatsSql: String =
     s"""WITH $arithCanonCte,

@@ -53,4 +53,92 @@ object GraphStats {
         lit(3.0) * col("triangles") / col("wedges")).otherwise(0.0)
         .as("global_cc"))
   }
+
+  /** Newman modularity Q of a vertex labeling over an undirected graph:
+    * Q = Σ_c [ e_c/m − (D_c/2m)² ] with e_c = intra-community edge count and
+    * D_c = total degree of community c. One row:
+    * (m, communities, intra_edges, modularity).
+    *
+    * Every aggregate is an INTEGER sum (edge counts, degree sums, ΣD_c² —
+    * decimal-exact at any m), so the only floating-point step is the final
+    * two-term expression — bit-identical at any partitioning and in any
+    * engine that mirrors the expression (the SQL oracle does). Plan: one
+    * canonical distinct, two label joins on the edge endpoints, one degree
+    * agg — all equi-key, nothing quadratic.
+    *
+    * @param labels (id, label) — a community assignment (e.g. from
+    *               [[LabelPropagation]] or [[ConnectedComponents]]); every
+    *               edge endpoint must be labeled.
+    */
+  def modularity(spark: SparkSession, edges: DataFrame, labels: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val la = labels.select(col("id").as("a"), col("label").as("la"))
+    val lb = labels.select(col("id").as("b"), col("label").as("lb"))
+    val tagged = canon.join(la, Seq("a")).join(lb, Seq("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val und = tagged.select(col("la").as("l"))
+      .unionByName(tagged.select(col("lb").as("l")))
+    // D_c as exact longs; ΣD_c² in decimal so 100 TB degree sums can't wrap
+    val perC = und.groupBy("l").agg(count(lit(1)).as("dc"))
+    val agg = perC.agg(
+      count(lit(1)).as("communities"),
+      sum(col("dc").cast("decimal(38,0)") * col("dc")).as("sum_dc2"))
+    val intra = tagged.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra_edges"))
+
+    val out = intra.crossJoin(agg).select(
+      col("m"), col("communities"), col("intra_edges"),
+      (col("intra_edges").cast("double") / col("m") -
+        col("sum_dc2").cast("double") /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+        .as("modularity"))
+    out.cache(); out.count(); tagged.unpersist(false)
+    out
+  }
+
+  /** Degree assortativity r of an undirected graph: the Pearson correlation
+    * of (deg(u), deg(v)) over the DIRECTED pair list (each edge both ways —
+    * Newman 2002's definition; r∈[-1,1], −1 for a star, +1 for
+    * degree-homogeneous unions of cliques). One row: (pairs, assortativity).
+    *
+    * All five moment sums (Σx, Σy, Σxy, Σx², Σy²) are sums of integer
+    * products taken in decimal(38,0) — EXACT and order-independent at any
+    * parallelism (a double Σx² over 10¹² hub pairs is neither), so the
+    * result is engine-identical down to the final double division. Degrees
+    * come from one agg; the pair list is two co-keyed joins.
+    */
+  def assortativity(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val pairs = und
+      .join(deg.select(col("id").as("a"), col("deg").as("x")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("y")), Seq("b"))
+
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    pairs.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+      .select(col("n").as("pairs"), {
+        val num = col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val den = sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double")))
+        // a degree-regular graph has zero variance: r is 0/0 — report NaN
+        // explicitly (ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+        when(den =!= 0.0, num / den).otherwise(lit(Double.NaN))
+          .as("assortativity")
+      })
+  }
 }

@@ -228,4 +228,118 @@ class Round4LinkSpec extends SparkTestBase {
     assert(r.getAs[Long]("triangles") == 10L) // C(5,3)
     assert(math.abs(r.getAs[Double]("global_cc") - 1.0) < 1e-12) // K5 part closes all wedges
   }
+
+  /** Brute-force SCC labels (min member id) via transitive closure. */
+  private def bruteScc(es: Set[(Long, Long)]): Map[Long, Long] = {
+    val verts = es.flatMap(e => Seq(e._1, e._2))
+    var reach = es
+    var grown = true
+    while (grown) {
+      val more = for { (a, b) <- reach; (b2, c) <- reach if b == b2 } yield (a, c)
+      val next = reach ++ more
+      grown = next.size != reach.size
+      reach = next
+    }
+    verts.map { v =>
+      val mutual = verts.filter(u => reach((v, u)) && reach((u, v))) + v
+      v -> mutual.min
+    }.toMap
+  }
+
+  private def toDirDf(es: Set[(Long, Long)]) = {
+    import spark.implicits._
+    es.toSeq.toDF("src", "dst")
+  }
+
+  test("SCC: two cycles joined one-way, plus a tendril — exact labels") {
+    // cycle A {0,1,2} -> cycle B {10,11,12} -> tendril 20 -> 21 (all DAG edges)
+    val es = Set[(Long, Long)]((0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 10L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (12L, 20L), (20L, 21L))
+    val got = graft.algos.SCC.run(spark, toDirDf(es)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteScc(es))
+    assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L)
+    assert(got(10L) == 10L && got(12L) == 10L)
+    assert(got(20L) == 20L && got(21L) == 21L) // tendril = singletons (trim path)
+  }
+
+  test("SCC: pure DAG chain trims away entirely; descending-id cycle chain converges") {
+    // descending ids force the worst case for max-coloring (one pivot/round)
+    val chain = (0 until 12).map(i => (100L - i, 100L - i - 1)).toSet[(Long, Long)]
+    val gotChain = graft.algos.SCC.run(spark, toDirDf(chain)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain.forall { case (v, c) => v == c }, "DAG = all singletons")
+
+    // three 3-cycles linked head-to-tail with DESCENDING max ids
+    val cyc = (base: Long) => Set((base, base + 1), (base + 1, base + 2), (base + 2, base))
+    val es = cyc(30L) ++ cyc(20L) ++ cyc(10L) + ((32L, 20L)) + ((22L, 10L))
+    val (got, rounds) = graft.algos.SCC.runCounted(spark, toDirDf(es))
+    val gm = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gm == bruteScc(es), s"scc labels wrong: $gm")
+    assert(rounds <= 10, s"outer rounds $rounds unexpectedly high for 3 SCC layers")
+  }
+
+  test("SCC matches brute force on a seeded random directed graph at any parallelism") {
+    val rnd = new scala.util.Random(77L)
+    val es = (for { a <- 0 until 30; b <- 0 until 30
+                    if a != b && rnd.nextDouble() < 0.08 }
+      yield (a.toLong, b.toLong)).toSet
+    val want = bruteScc(es)
+    def runWith(parts: Int) = graft.algos.SCC.run(spark, toDirDf(es).repartition(parts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(runWith(3) == want)
+    assert(runWith(8) == want, "labels must be partitioning-independent")
+  }
+
+  test("modularity matches hand computation on two triangles + bridge") {
+    import spark.implicits._
+    // triangles {0,1,2} and {10,11,12}, bridge 2-10; labels = triangle id
+    val es = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (2L, 10L)).toDF("src", "dst").withColumn("w", lit(1.0))
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L), (12L, 1L))
+      .toDF("id", "label")
+    val r = GraphStats.modularity(spark, es, labels).collect()(0)
+    // m=7, intra=6, D_a=D_b=7: Q = 6/7 - (49+49)/(4*49) = 6/7 - 1/2
+    assert(r.getAs[Long]("m") == 7L)
+    assert(r.getAs[Long]("communities") == 2L)
+    assert(r.getAs[Long]("intra_edges") == 6L)
+    assert(math.abs(r.getAs[Double]("modularity") - (6.0 / 7.0 - 0.5)) < 1e-12)
+    // perfect split of two disjoint triangles: Q = 1/2 exactly
+    val es2 = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst").withColumn("w", lit(1.0))
+    val r2 = GraphStats.modularity(spark, es2, labels).collect()(0)
+    assert(math.abs(r2.getAs[Double]("modularity") - 0.5) < 1e-12)
+  }
+
+  test("assortativity: star is exactly -1; regular clique has zero variance (NaN)") {
+    import spark.implicits._
+    val star = (1 to 5).map(i => (0L, i.toLong)).toDF("src", "dst")
+      .withColumn("w", lit(1.0))
+    val r = GraphStats.assortativity(spark, star).collect()(0)
+    assert(r.getAs[Long]("pairs") == 10L)
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-12)
+
+    val k4 = (for { a <- 0 until 4; b <- a + 1 until 4 } yield (a.toLong, b.toLong))
+      .toDF("src", "dst").withColumn("w", lit(1.0))
+    val r2 = GraphStats.assortativity(spark, k4).collect()(0)
+    assert(r2.getAs[Double]("assortativity").isNaN, "regular graph: 0/0 by definition")
+  }
+
+  test("assortativity matches brute-force Pearson on a seeded random graph") {
+    val es = randGraph(40, 0.1, 31L)
+    val adj = adjOf(es)
+    val xs = es.toSeq.flatMap { case (a, b) =>
+      Seq((adj(a).size.toDouble, adj(b).size.toDouble),
+        (adj(b).size.toDouble, adj(a).size.toDouble))
+    }
+    val n = xs.size.toDouble
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum; val syy = xs.map(p => p._2 * p._2).sum
+    val want = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val r = GraphStats.assortativity(spark, toEdgeDf(es)).collect()(0)
+    assert(r.getAs[Long]("pairs") == 2L * es.size)
+    assert(math.abs(r.getAs[Double]("assortativity") - want) < 1e-9)
+  }
 }
