@@ -608,6 +608,24 @@ object SparkEntry {
       GraphStats.assortativity(s, edgesArith(s, d))
         .select(col("pairs"), round(col("assortativity"), 8).as("assortativity"))),
 
+    // batched multi-source BFS: 64 traversals share one frontier via a
+    // 64-bit mask + bit_or semiring (exact hop counts from 3 seeds)
+    "algo_msbfs" -> ((s, d) =>
+      MSBFS.run(s, edgesArithDirected(s, d), Seq(1L, 3L, 7L))),
+
+    // exact distance centralities (harmonic/closeness/eccentricity) with
+    // ALL vertices as landmarks — ceil(n/64) MSBFS waves, never all-pairs
+    "algo_centrality" -> ((s, d) => {
+      val e = edgesArith(s, d)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id")))
+        .distinct().orderBy("id").collect().map(_.getLong(0)).toSeq
+      GraphStats.distanceStats(s, e, verts)
+        .select(col("id"), col("reached"), col("sum_dist"),
+          round(col("harmonic"), 8).as("harmonic"),
+          round(col("closeness"), 8).as("closeness"), col("ecc"))
+    }),
+
     // north rule: corpus synthesis → edge derivation → PageRank; provenance
     "corpus_edges" -> ((s, _) => {
       val c = Corpus.synthesize(s, 2000)
@@ -1119,6 +1137,8 @@ object SparkEntry {
     "algo_scc" -> sccSql,
     "gb_modularity" -> modularitySql,
     "gb_assortativity" -> assortativitySql,
+    "algo_msbfs" -> msbfsSql,
+    "algo_centrality" -> centralitySql,
 
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
@@ -1822,6 +1842,41 @@ FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
        |         (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 8)
        |    AS assortativity
        |FROM s""".stripMargin
+
+  /** Multi-source BFS oracle: min hop count per (seed, reachable vertex) by
+    * bounded-depth recursive walk enumeration (the 300 cap ≫ any test-SF
+    * diameter; UNION dedups (s,v,d) triples so the recursion terminates).
+    */
+  private def msbfsSql: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+       |seeds(s) AS (SELECT CAST(x AS BIGINT) FROM (VALUES (1), (3), (7)) t(x)),
+       |r AS (
+       |  SELECT s, s AS v, 0 AS d FROM seeds
+       |  UNION
+       |  SELECT r.s, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 300
+       |)
+       |SELECT v AS id, s AS src, CAST(MIN(d) AS BIGINT) AS dist
+       |FROM r GROUP BY v, s""".stripMargin
+
+  private def centralitySql: String =
+    s"""WITH RECURSIVE $arithCanonCte,
+       |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+       |verts AS (SELECT DISTINCT a AS id FROM und),
+       |r AS (
+       |  SELECT id AS s, id AS v, 0 AS d FROM verts
+       |  UNION
+       |  SELECT r.s, und.b, r.d + 1 FROM r JOIN und ON und.a = r.v WHERE r.d < 300
+       |),
+       |md AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v)
+       |SELECT v AS id,
+       |  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS reached,
+       |  CAST(sum(d) AS BIGINT) AS sum_dist,
+       |  round(sum(CASE WHEN d > 0 THEN 1.0/d ELSE 0 END), 8) AS harmonic,
+       |  round(CASE WHEN sum(d) > 0
+       |    THEN CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS DOUBLE) / sum(d)
+       |    ELSE 0 END, 8) AS closeness,
+       |  CAST(MAX(d) AS BIGINT) AS ecc
+       |FROM md GROUP BY v""".stripMargin
 
   private def graphStatsSql: String =
     s"""WITH $arithCanonCte,

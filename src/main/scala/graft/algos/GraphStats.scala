@@ -141,4 +141,46 @@ object GraphStats {
           .as("assortativity")
       })
   }
+
+  /** Per-vertex distance statistics over an UNDIRECTED graph from a set of
+    * landmark sources, batched through [[MSBFS]] (64 traversals per wave):
+    * (id, reached, sum_dist, harmonic, closeness, ecc) where, over the
+    * sources that reach v (excluding v itself),
+    *
+    *   - reached    = how many sources reach v
+    *   - sum_dist   = Σ d(s,v)                      (exact integer)
+    *   - harmonic   = Σ 1/d(s,v)     — harmonic centrality (Boldi-Vigna's
+    *                  recommended centrality for disconnected web graphs)
+    *   - closeness  = reached/sum_dist — classic closeness (0 if isolated)
+    *   - ecc        = max d(s,v)     — eccentricity within the landmark set
+    *
+    * With sources = ALL vertices these are the exact textbook centralities
+    * (what the oracle mirrors at test scale); at 100 TB you pass k sampled
+    * landmarks and these become the standard Eppstein-Wang estimators with
+    * the same code path — ceil(k/64) MSBFS waves, never an all-pairs join.
+    * Every aggregate except harmonic/closeness is integer-exact; those two
+    * are one float expression over integer-derived terms, mirrored by the
+    * SQL oracle and rounded on both sides.
+    */
+  def distanceStats(spark: SparkSession, edges: DataFrame,
+                    sources: Seq[Long]): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+    val d = MSBFS.run(spark, und, sources)
+    d.groupBy("id").agg(
+        sum(when(col("dist") > 0, 1L).otherwise(0L)).as("reached"),
+        sum(col("dist")).as("sum_dist"),
+        sum(when(col("dist") > 0, lit(1.0) / col("dist")).otherwise(0.0))
+          .as("harmonic"),
+        max(col("dist")).as("ecc"))
+      .select(col("id"), col("reached"), col("sum_dist"),
+        col("harmonic"),
+        when(col("sum_dist") > 0,
+          col("reached").cast("double") / col("sum_dist")).otherwise(0.0)
+          .as("closeness"),
+        col("ecc"))
+  }
 }

@@ -342,4 +342,79 @@ class Round4LinkSpec extends SparkTestBase {
     assert(r.getAs[Long]("pairs") == 2L * es.size)
     assert(math.abs(r.getAs[Double]("assortativity") - want) < 1e-9)
   }
+
+  /** Brute single-source hop counts over a DIRECTED edge set. */
+  private def bruteBfs(es: Set[(Long, Long)], s0: Long): Map[Long, Long] = {
+    val out = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val dist = mutable.Map(s0 -> 0L)
+    var frontier = Set(s0)
+    var lvl = 0L
+    while (frontier.nonEmpty) {
+      lvl += 1
+      val next = frontier.flatMap(v => out.getOrElse(v, Set()))
+        .filterNot(dist.contains)
+      next.foreach(dist(_) = lvl)
+      frontier = next
+    }
+    dist.toMap
+  }
+
+  test("MSBFS matches per-source brute BFS on a seeded directed graph (incl >64 sources)") {
+    val rnd = new scala.util.Random(5L)
+    val es = (for { a <- 0 until 70; b <- 0 until 70
+                    if a != b && rnd.nextDouble() < 0.04 }
+      yield (a.toLong, b.toLong)).toSet
+    import spark.implicits._
+    val df = es.toSeq.toDF("src", "dst")
+    val sources = (0L until 70L).filter(v => es.exists(e => e._1 == v || e._2 == v))
+    val got = graft.algos.MSBFS.run(spark, df, sources) // 2 waves of <=64
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val want = sources.flatMap(s => bruteBfs(es, s).map { case (v, d) => (s, v) -> d }).toMap
+    assert(got == want, s"msbfs mismatch: extra=${(got.keySet -- want.keySet).take(5)} " +
+      s"missing=${(want.keySet -- got.keySet).take(5)}")
+  }
+
+  test("MSBFS: one wave is exact on a diamond + unreachable island") {
+    import spark.implicits._
+    // 0->1, 0->2, 1->3, 2->3, 3->4; island 9->10
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (9L, 10L))
+    val got = graft.algos.MSBFS.run(spark, es.toDF("src", "dst"), Seq(0L, 9L))
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 0L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (0L, 3L) -> 2L, (0L, 4L) -> 3L,
+      (9L, 9L) -> 0L, (9L, 10L) -> 1L))
+  }
+
+  test("distanceStats matches brute harmonic/closeness/eccentricity") {
+    val es = randGraph(40, 0.08, 13L) // sparse enough to be disconnected-ish
+    val adj = adjOf(es)
+    val verts = adj.keySet.toSeq.sorted
+    // brute all-pairs hop counts over the undirected graph
+    def bfsU(s0: Long): Map[Long, Long] = {
+      val dist = mutable.Map(s0 -> 0L)
+      var frontier = Set(s0)
+      var lvl = 0L
+      while (frontier.nonEmpty) {
+        lvl += 1
+        val next = frontier.flatMap(adj(_)).filterNot(dist.contains)
+        next.foreach(dist(_) = lvl)
+        frontier = next
+      }
+      dist.toMap
+    }
+    val all = verts.map(v => v -> bfsU(v)).toMap
+    val got = GraphStats.distanceStats(spark, toEdgeDf(es), verts).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == adj.keySet)
+    verts.foreach { v =>
+      val ds = all(v).filter(_._1 != v).values.toSeq
+      val r = got(v)
+      assert(r.getAs[Long]("reached") == ds.size)
+      assert(r.getAs[Long]("sum_dist") == ds.sum)
+      assert(math.abs(r.getAs[Double]("harmonic") - ds.map(1.0 / _).sum) < 1e-9, s"v=$v")
+      val want_cl = if (ds.nonEmpty) ds.size.toDouble / ds.sum else 0.0
+      assert(math.abs(r.getAs[Double]("closeness") - want_cl) < 1e-9)
+      assert(r.getAs[Long]("ecc") == (if (ds.isEmpty) 0L else ds.max))
+    }
+  }
 }
