@@ -613,6 +613,14 @@ object SparkEntry {
     "algo_msbfs" -> ((s, d) =>
       MSBFS.run(s, edgesArithDirected(s, d), Seq(1L, 3L, 7L))),
 
+    // Jones-Plassmann greedy coloring (LCG priorities → deterministic AND
+    // SQL-mirrorable; run-to-convergence = the unrolled oracle's fixpoint)
+    "algo_coloring" -> ((s, d) =>
+      Coloring.run(s, edgesArith(s, d)).select(col("id"), col("color"))),
+
+    // Luby-style maximal matching (unique packed edge priorities)
+    "algo_matching" -> ((s, d) => Matching.run(s, edgesArith(s, d))),
+
     // exact distance centralities (harmonic/closeness/eccentricity) with
     // ALL vertices as landmarks — ceil(n/64) MSBFS waves, never all-pairs
     "algo_centrality" -> ((s, d) => {
@@ -1139,6 +1147,8 @@ object SparkEntry {
     "gb_assortativity" -> assortativitySql,
     "algo_msbfs" -> msbfsSql,
     "algo_centrality" -> centralitySql,
+    "algo_coloring" -> coloringUnrolledSql(32),
+    "algo_matching" -> matchingUnrolledSql(32),
 
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
@@ -1842,6 +1852,67 @@ FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
        |         (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 8)
        |    AS assortativity
        |FROM s""".stripMargin
+
+  /** Jones-Plassmann coloring, unrolled: round i selects the uncolored
+    * vertices whose LCG priority beats every uncolored neighbor and assigns
+    * each the mex of its colored neighborhood. `rounds` only needs to be ≥
+    * the convergence round — later rounds see an empty uncolored set and
+    * add nothing, so over-provisioning is harmless (the engine runs the
+    * same schedule to convergence).
+    */
+  private def coloringUnrolledSql(rounds: Int): String = {
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |pr AS MATERIALIZED (SELECT DISTINCT a AS id, (a*48271 + 11213) % 1000000007 AS p FROM und),
+         |ser AS MATERIALIZED (SELECT CAST(x AS BIGINT) AS c FROM generate_series(0, 40) t(x)),
+         |u0 AS (SELECT id FROM pr),
+         |acc0 AS (SELECT id, CAST(0 AS BIGINT) AS color FROM pr WHERE 1=0)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      val j = i - 1
+      s"""nm$i AS (SELECT und.a AS id, MAX(pr.p) AS mp FROM und
+         |  JOIN u$j uu ON uu.id = und.b JOIN pr ON pr.id = und.b GROUP BY und.a),
+         |sel$i AS MATERIALIZED (SELECT uu.id FROM u$j uu JOIN pr ON pr.id = uu.id
+         |  LEFT JOIN nm$i ON nm$i.id = uu.id WHERE pr.p > COALESCE(nm$i.mp, -1)),
+         |used$i AS (SELECT s.id, c.color FROM sel$i s
+         |  JOIN und ON und.a = s.id JOIN acc$j c ON c.id = und.b),
+         |newc$i AS (SELECT av.id, MIN(av.c) AS color FROM (
+         |    SELECT s.id, ser.c FROM sel$i s CROSS JOIN ser
+         |    ANTI JOIN used$i ux ON ux.id = s.id AND ux.color = ser.c) av
+         |  GROUP BY av.id),
+         |acc$i AS MATERIALIZED (SELECT * FROM acc$j UNION ALL SELECT id, color FROM newc$i),
+         |u$i AS MATERIALIZED (SELECT uu.id FROM u$j uu ANTI JOIN sel$i s ON s.id = uu.id)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$rs\nSELECT id, color FROM acc$rounds"
+  }
+
+  /** Luby maximal matching, unrolled: round i keeps the candidate edges
+    * whose packed priority is the max at BOTH endpoints, adds them to the
+    * matching, and drops every edge touching a matched vertex. Same
+    * over-provisioning contract as the coloring oracle.
+    */
+  private def matchingUnrolledSql(rounds: Int): String = {
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |c0 AS MATERIALIZED (SELECT a, b,
+         |    ((((a*2000003 + b)*48271) % 1000000007) % 1048576) * 4398046511104
+         |      + a * 2097152 + b AS q
+         |  FROM (SELECT src AS a, dst AS b FROM canon)),
+         |m0 AS (SELECT a, b FROM c0 WHERE 1=0)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      val j = i - 1
+      s"""vmax$i AS (SELECT v, MAX(q) AS vq FROM (
+         |    SELECT a AS v, q FROM c$j UNION ALL SELECT b, q FROM c$j) GROUP BY v),
+         |sel$i AS MATERIALIZED (SELECT c.a, c.b FROM c$j c
+         |  JOIN vmax$i va ON va.v = c.a JOIN vmax$i vb ON vb.v = c.b
+         |  WHERE c.q = va.vq AND c.q = vb.vq),
+         |m$i AS MATERIALIZED (SELECT * FROM m$j UNION ALL SELECT * FROM sel$i),
+         |mv$i AS (SELECT DISTINCT v FROM (SELECT a AS v FROM m$i UNION ALL SELECT b FROM m$i)),
+         |c$i AS MATERIALIZED (SELECT c.a, c.b, c.q FROM c$j c
+         |  ANTI JOIN mv$i x ON x.v = c.a ANTI JOIN mv$i y ON y.v = c.b)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$rs\nSELECT a AS src, b AS dst FROM m$rounds"
+  }
 
   /** Multi-source BFS oracle: min hop count per (seed, reachable vertex) by
     * bounded-depth recursive walk enumeration (the 300 cap ≫ any test-SF

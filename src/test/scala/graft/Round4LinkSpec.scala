@@ -417,4 +417,80 @@ class Round4LinkSpec extends SparkTestBase {
       assert(r.getAs[Long]("ecc") == (if (ds.isEmpty) 0L else ds.max))
     }
   }
+
+  private def pri(v: Long): Long = (v * 48271L + 11213L) % 1000000007L
+
+  /** Brute Jones-Plassmann with the engine's LCG priorities. */
+  private def bruteColoring(es: Set[(Long, Long)]): Map[Long, Long] = {
+    val adj = adjOf(es)
+    val color = mutable.Map[Long, Long]()
+    var uncolored = adj.keySet
+    while (uncolored.nonEmpty) {
+      val sel = uncolored.filter(v =>
+        (adj(v) & uncolored).forall(u => pri(v) > pri(u)))
+      sel.foreach { v =>
+        val used = adj(v).flatMap(color.get)
+        color(v) = Iterator.from(0).map(_.toLong).find(!used.contains(_)).get
+      }
+      uncolored --= sel
+    }
+    color.toMap
+  }
+
+  test("Coloring matches brute Jones-Plassmann; proper; partitioning-independent") {
+    val es = randGraph(45, 0.12, 41L)
+    val adj = adjOf(es)
+    val want = bruteColoring(es)
+    val got = graft.algos.Coloring.run(spark, toEdgeDf(es)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    es.foreach { case (a, b) => assert(got(a) != got(b), s"edge $a-$b same color") }
+    assert(got.values.max <= adj.values.map(_.size).max.toLong, "> maxdeg+1 colors")
+    val got8 = graft.algos.Coloring.run(spark, toEdgeDf(es).repartition(8)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got8 == want, "coloring must be partitioning-independent")
+  }
+
+  private def matchPri(a: Long, b: Long): Long =
+    ((((a * 2000003L + b) * 48271L) % 1000000007L) % 1048576L) * 4398046511104L +
+      a * 2097152L + b
+
+  /** Brute Luby maximal matching with the engine's packed priorities. */
+  private def bruteMatching(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+    var cand = es
+    val out = mutable.Set[(Long, Long)]()
+    while (cand.nonEmpty) {
+      val vmax = mutable.Map[Long, Long]()
+      cand.foreach { case (a, b) =>
+        val q = matchPri(a, b)
+        vmax(a) = math.max(vmax.getOrElse(a, Long.MinValue), q)
+        vmax(b) = math.max(vmax.getOrElse(b, Long.MinValue), q)
+      }
+      val sel = cand.filter { case (a, b) =>
+        val q = matchPri(a, b); q == vmax(a) && q == vmax(b)
+      }
+      out ++= sel
+      val mv = out.flatMap(e => Seq(e._1, e._2))
+      cand = cand.filterNot(e => mv(e._1) || mv(e._2))
+    }
+    out.toSet
+  }
+
+  test("Matching matches brute Luby; is a maximal matching; partitioning-independent") {
+    val es = randGraph(45, 0.1, 53L)
+    val want = bruteMatching(es)
+    val got = graft.algos.Matching.run(spark, toEdgeDf(es)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // matching: no two edges share a vertex
+    val mv = got.toSeq.flatMap(e => Seq(e._1, e._2))
+    assert(mv.distinct.size == mv.size, "shared vertex in matching")
+    // maximal: every input edge touches a matched vertex
+    val mvs = mv.toSet
+    es.foreach { case (a, b) =>
+      assert(mvs(a) || mvs(b), s"edge $a-$b unmatched and addable") }
+    val got8 = graft.algos.Matching.run(spark, toEdgeDf(es).repartition(8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got8 == want, "matching must be partitioning-independent")
+  }
 }
