@@ -613,6 +613,19 @@ object SparkEntry {
     "algo_msbfs" -> ((s, d) =>
       MSBFS.run(s, edgesArithDirected(s, d), Seq(1L, 3L, 7L))),
 
+    // ANF neighborhood function + effective diameter (FM sketches, bit_or
+    // semiring; deterministic decimal sums). No SQL oracle — xxhash64
+    // sketches are engine-internal; differential-tested against exact N(h)
+    // in Round4LinkSpec
+    "algo_anf" -> ((s, d) => {
+      val e = edgesArith(s, d)
+      val both = e.select(col("src"), col("dst"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val (df, eff) = ANF.runWithDiameter(s, both, k = 64)
+      df.select(col("h"), round(col("nf"), 4).as("nf"),
+        round(col("ratio"), 6).as("ratio"), lit(eff.toLong).as("eff_diameter"))
+    }),
+
     // Jones-Plassmann greedy coloring (LCG priorities → deterministic AND
     // SQL-mirrorable; run-to-convergence = the unrolled oracle's fixpoint)
     "algo_coloring" -> ((s, d) =>

@@ -493,4 +493,48 @@ class Round4LinkSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got8 == want, "matching must be partitioning-independent")
   }
+
+  test("ANF: deterministic, monotone, tracks exact N(h), eff-diameter within 1") {
+    // two communities bridged by one edge: non-trivial distance spectrum
+    val esA = randGraph(30, 0.15, 61L)
+    val esB = randGraph(30, 0.15, 67L).map { case (a, b) => (a + 100L, b + 100L) }
+    val es = esA ++ esB + ((5L, 105L))
+    val adj = adjOf(es)
+    // exact neighborhood function over the undirected view
+    def ballSizes(v: Long): Map[Long, Long] = {
+      val dist = mutable.Map(v -> 0L); var frontier = Set(v); var lvl = 0L
+      while (frontier.nonEmpty) {
+        lvl += 1
+        val next = frontier.flatMap(adj(_)).filterNot(dist.contains)
+        next.foreach(dist(_) = lvl); frontier = next
+      }
+      dist.toMap.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    }
+    val perV = adj.keySet.toSeq.map(ballSizes)
+    val maxD = perV.map(_.keys.max).max
+    val exactN = (0L to maxD).map(h =>
+      perV.map(_.filter(_._1 <= h).values.sum).sum.toDouble)
+    val effExact = exactN.indexWhere(_ >= 0.9 * exactN.last)
+
+    import spark.implicits._
+    val und = es.toSeq.toDF("src", "dst")
+    val undBoth = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+    val (df, eff) = graft.algos.ANF.runWithDiameter(spark, undBoth, k = 64)
+    val series = df.orderBy("h").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(series.length == maxD + 1, s"series ${series.length} vs diameter $maxD")
+    // monotone non-decreasing by construction (sketches grow under OR)
+    series.sliding(2).foreach { case Array((_, a), (_, b)) => assert(b >= a - 1e-9) }
+    // FM accuracy: small-count bias is real at h=0; from h>=1 balls are big
+    // enough for the 0.77 constant to hold within sketch noise
+    (1 to maxD.toInt).foreach { h =>
+      val rel = math.abs(series(h)._2 - exactN(h)) / exactN(h)
+      assert(rel < 0.35, s"h=$h est=${series(h)._2} exact=${exactN(h)} rel=$rel")
+    }
+    assert(math.abs(eff - effExact) <= 1, s"effDiam $eff vs exact $effExact")
+    // determinism at any parallelism (decimal sums -> bit-identical doubles)
+    val (df8, eff8) = graft.algos.ANF.runWithDiameter(spark, undBoth.repartition(8), k = 64)
+    assert(eff8 == eff)
+    assert(df8.orderBy("h").collect().map(r => r.getDouble(1)).toSeq ==
+      series.map(_._2).toSeq)
+  }
 }
