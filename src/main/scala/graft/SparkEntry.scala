@@ -613,6 +613,23 @@ object SparkEntry {
     "algo_msbfs" -> ((s, d) =>
       MSBFS.run(s, edgesArithDirected(s, d), Seq(1L, 3L, 7L))),
 
+    // Katz centrality, truncated power series (PageRank-shaped loop)
+    "algo_katz5" -> ((s, d) =>
+      Katz.runFixed(s, edgesArith(s, d), k = 5)
+        .select(col("id"), round(col("katz"), 8).as("katz"))),
+
+    // directed-edge mutuality (web/social reciprocity scalar)
+    "gb_reciprocity" -> ((s, d) =>
+      GraphStats.reciprocity(s, edgesArithDirected(s, d))
+        .select(col("m"), col("reciprocal"),
+          round(col("reciprocity"), 8).as("reciprocity"))),
+
+    // neighborhood Jaccard per EXISTING edge (LAGraph SimilarityJaccard)
+    "algo_edge_jaccard" -> ((s, d) =>
+      LinkPrediction.edgeSimilarity(s, edgesArith(s, d))
+        .select(col("src"), col("dst"), col("common"),
+          round(col("jaccard"), 8).as("jaccard"))),
+
     // ANF neighborhood function + effective diameter (FM sketches, bit_or
     // semiring; deterministic decimal sums). No SQL oracle — xxhash64
     // sketches are engine-internal; differential-tested against exact N(h)
@@ -1162,6 +1179,9 @@ object SparkEntry {
     "algo_centrality" -> centralitySql,
     "algo_coloring" -> coloringUnrolledSql(32),
     "algo_matching" -> matchingUnrolledSql(32),
+    "algo_katz5" -> katzUnrolledSql(5),
+    "gb_reciprocity" -> reciprocitySql,
+    "algo_edge_jaccard" -> edgeJaccardSql,
 
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
@@ -1926,6 +1946,45 @@ FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
     }.mkString(",\n")
     s"$prelude,\n$rs\nSELECT a AS src, b AS dst FROM m$rounds"
   }
+
+  private def katzUnrolledSql(k: Int): String = {
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+         |x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM verts)""".stripMargin
+    val rs = (1 to k).map { i =>
+      val j = i - 1
+      s"""x$i AS MATERIALIZED (SELECT v.id, 1.0 + 0.0625 * COALESCE(s.s, 0) AS x
+         |  FROM verts v LEFT JOIN (
+         |    SELECT und.b AS id, sum(xp.x) AS s FROM und
+         |    JOIN x$j xp ON xp.id = und.a GROUP BY und.b) s ON s.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$rs\nSELECT id, round(x, 8) AS katz FROM x$k"
+  }
+
+  private def reciprocitySql: String =
+    s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+       |r AS (SELECT count(*) AS reciprocal FROM e
+       |      SEMI JOIN e rv ON rv.src = e.dst AND rv.dst = e.src),
+       |mm AS (SELECT count(*) AS m FROM e)
+       |SELECT CAST(mm.m AS BIGINT) AS m, CAST(r.reciprocal AS BIGINT) AS reciprocal,
+       |  round(CAST(r.reciprocal AS DOUBLE) / mm.m, 8) AS reciprocity
+       |FROM mm, r""".stripMargin
+
+  private def edgeJaccardSql: String =
+    s"""WITH $arithCanonCte,
+       |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+       |deg AS MATERIALIZED (SELECT a AS vid, count(*) AS deg FROM und GROUP BY a),
+       |com AS (SELECT l.b AS a, r.b AS b, count(*) AS common
+       |  FROM und l JOIN und r ON l.a = r.a AND l.b < r.b
+       |  SEMI JOIN canon c ON c.src = l.b AND c.dst = r.b
+       |  GROUP BY 1, 2)
+       |SELECT c.src, c.dst, CAST(COALESCE(com.common, 0) AS BIGINT) AS common,
+       |  round(CAST(COALESCE(com.common, 0) AS DOUBLE)
+       |    / (da.deg + db.deg - COALESCE(com.common, 0)), 8) AS jaccard
+       |FROM canon c LEFT JOIN com ON com.a = c.src AND com.b = c.dst
+       |JOIN deg da ON da.vid = c.src JOIN deg db ON db.vid = c.dst""".stripMargin
 
   /** Multi-source BFS oracle: min hop count per (seed, reachable vertex) by
     * bounded-depth recursive walk enumeration (the 300 cap ≫ any test-SF

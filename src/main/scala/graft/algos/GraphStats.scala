@@ -183,4 +183,24 @@ object GraphStats {
           .as("closeness"),
         col("ecc"))
   }
+
+  /** Reciprocity of a DIRECTED graph: the fraction of directed edges whose
+    * reverse edge also exists (the standard web/social-graph mutuality
+    * scalar). One row: (m, reciprocal, reciprocity). One self-semi-join on
+    * the reversed key — integer-exact counts, one mirrored division.
+    */
+  def reciprocity(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rec = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"),
+        "left_semi")
+      .agg(count(lit(1)).as("reciprocal"))
+    val out = e.agg(count(lit(1)).as("m")).crossJoin(rec)
+      .select(col("m"), col("reciprocal"),
+        (col("reciprocal").cast("double") / col("m")).as("reciprocity"))
+    out.cache(); out.count(); e.unpersist(false)
+    out
+  }
 }

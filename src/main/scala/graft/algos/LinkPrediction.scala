@@ -63,4 +63,35 @@ object LinkPrediction {
           (col("da") + col("db") - col("common")).cast("double")).as("jaccard"),
         col("aa").as("adamic_adar"))
   }
+
+  /** Neighborhood Jaccard similarity for EXISTING edges (LAGraph's
+    * SimilarityJaccard shape): (src, dst, common, jaccard) per canonical
+    * edge, jaccard = |N(a)∩N(b)| / |N(a)∪N(b)| with the union counted as
+    * deg(a)+deg(b)−common (endpoints included — the plain set formula).
+    * Same one-wedge-join plan as [[run]], semi-joined TO the edge list
+    * instead of anti-joined away from it; edges with zero common neighbors
+    * report 0.
+    */
+  def edgeSimilarity(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+
+    val nbrs = und.select(col("a").as("z"), col("b").as("u"))
+    val common = nbrs.alias("l")
+      .join(nbrs.alias("r"), col("l.z") === col("r.z") && col("l.u") < col("r.u"))
+      .select(col("l.u").as("a"), col("r.u").as("b"))
+      .join(canon, Seq("a", "b"), "left_semi")
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+
+    canon.join(common, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("common"), lit(0L)).as("common"))
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a").as("src"), col("b").as("dst"), col("common"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double")).as("jaccard"))
+  }
 }

@@ -537,4 +537,43 @@ class Round4LinkSpec extends SparkTestBase {
     assert(df8.orderBy("h").collect().map(r => r.getDouble(1)).toSeq ==
       series.map(_._2).toSeq)
   }
+
+  test("Katz matches brute truncated power series") {
+    val es = randGraph(35, 0.12, 71L)
+    val adj = adjOf(es)
+    var x = adj.keySet.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5)
+      x = adj.keySet.map(v => v -> (1.0 + 0.0625 * adj(v).toSeq.map(x).sum)).toMap
+    val got = graft.algos.Katz.runFixed(spark, toEdgeDf(es), k = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == adj.keySet)
+    adj.keySet.foreach(v => assert(math.abs(got(v) - x(v)) < 1e-10, s"v=$v"))
+  }
+
+  test("reciprocity: DAG is 0, symmetric digraph is 1, mixed counts exactly") {
+    import spark.implicits._
+    val dag = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+    val r0 = GraphStats.reciprocity(spark, dag).collect()(0)
+    assert(r0.getAs[Long]("m") == 3L && r0.getAs[Long]("reciprocal") == 0L)
+    // 0<->1 mutual, 2->0 one-way
+    val mixed = Seq((0L, 1L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val r1 = GraphStats.reciprocity(spark, mixed).collect()(0)
+    assert(r1.getAs[Long]("reciprocal") == 2L)
+    assert(math.abs(r1.getAs[Double]("reciprocity") - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("edgeSimilarity matches brute per-edge neighborhood Jaccard") {
+    val es = randGraph(35, 0.15, 83L)
+    val adj = adjOf(es)
+    val got = graft.algos.LinkPrediction.edgeSimilarity(spark, toEdgeDf(es))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == es)
+    es.foreach { case (a, b) =>
+      val common = (adj(a) & adj(b)).size.toLong
+      val want = common.toDouble / (adj(a).size + adj(b).size - common)
+      val (gc, gj) = got((a, b))
+      assert(gc == common && math.abs(gj - want) < 1e-12, s"edge ($a,$b)")
+    }
+  }
 }
