@@ -613,6 +613,14 @@ object SparkEntry {
     "algo_msbfs" -> ((s, d) =>
       MSBFS.run(s, edgesArithDirected(s, d), Seq(1L, 3L, 7L))),
 
+    // multi-level Louvain communities (integer-exact ΔQ, deterministic).
+    // No SQL oracle — a two-level data-dependent fixpoint; differential-
+    // tested on ring-of-cliques/known-Q fixtures in Round4LinkSpec. Small
+    // partition count: the fixture is 100 vertices (the algorithm takes
+    // numPartitions for real graphs)
+    "algo_louvain" -> ((s, d) =>
+      Louvain.run(s, edgesArith(s, d), numPartitions = 8)),
+
     // Katz centrality, truncated power series (PageRank-shaped loop)
     "algo_katz5" -> ((s, d) =>
       Katz.runFixed(s, edgesArith(s, d), k = 5)
