@@ -613,6 +613,11 @@ object SparkEntry {
     "algo_msbfs" -> ((s, d) =>
       MSBFS.run(s, edgesArithDirected(s, d), Seq(1L, 3L, 7L))),
 
+    // bowtie skeleton: SCC condensation DAG + longest-path topological
+    // level per component (max-plus fixpoint, rounds = DAG depth)
+    "algo_condensation" -> ((s, d) =>
+      SCC.condense(s, edgesArithDirected(s, d))),
+
     // multi-level Louvain communities (integer-exact ΔQ, deterministic).
     // No SQL oracle — a two-level data-dependent fixpoint; differential-
     // tested on ring-of-cliques/known-Q fixtures in Round4LinkSpec. Small
@@ -1190,6 +1195,7 @@ object SparkEntry {
     "algo_katz5" -> katzUnrolledSql(5),
     "gb_reciprocity" -> reciprocitySql,
     "algo_edge_jaccard" -> edgeJaccardSql,
+    "algo_condensation" -> condensationSql,
 
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
@@ -1864,6 +1870,39 @@ FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
        |  CAST(LEAST(verts.id, COALESCE(MIN(m.u), verts.id)) AS BIGINT) AS scc
        |FROM verts LEFT JOIN mutual m ON m.v = verts.id
        |GROUP BY verts.id""".stripMargin
+
+  /** Condensation DAG levels: reuse the transitive-closure SCC labeling,
+    * contract, then longest-path-from-anywhere per component (recursion
+    * seeded at EVERY dag vertex — a path from a true source dominates any
+    * suffix, so MAX(d) is the topological level). Isolated components
+    * level 0 via the left join.
+    */
+  private def condensationSql: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+       |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |reach AS (
+       |  SELECT src AS a, dst AS b FROM e
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+       |),
+       |mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+       |           JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+       |sccm AS MATERIALIZED (SELECT verts.id AS id,
+       |    CAST(LEAST(verts.id, COALESCE(MIN(m.u), verts.id)) AS BIGINT) AS scc
+       |  FROM verts LEFT JOIN mutual m ON m.v = verts.id GROUP BY verts.id),
+       |dag AS MATERIALIZED (SELECT DISTINCT sa.scc AS a, sb.scc AS b FROM e
+       |  JOIN sccm sa ON sa.id = e.src JOIN sccm sb ON sb.id = e.dst
+       |  WHERE sa.scc <> sb.scc),
+       |dv AS (SELECT DISTINCT a AS v FROM dag UNION SELECT DISTINCT b FROM dag),
+       |lp AS (
+       |  SELECT v, 0 AS d FROM dv
+       |  UNION
+       |  SELECT dag.b, lp.d + 1 FROM lp JOIN dag ON dag.a = lp.v WHERE lp.d < 300
+       |),
+       |ml AS (SELECT v AS scc, MAX(d) AS level FROM lp GROUP BY v),
+       |sccs AS (SELECT DISTINCT scc FROM sccm)
+       |SELECT sccs.scc, CAST(COALESCE(ml.level, 0) AS BIGINT) AS level
+       |FROM sccs LEFT JOIN ml ON ml.scc = sccs.scc""".stripMargin
 
   private def modularitySql: String =
     s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),

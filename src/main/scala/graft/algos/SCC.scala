@@ -203,4 +203,87 @@ object SCC {
     e0.unpersist(false)
     (out, outer)
   }
+
+  /** Condensation of the directed graph: contract every SCC to one vertex
+    * (label = min member id, as [[run]] emits) and keep the distinct
+    * between-component edges — a DAG by construction (the web-graph
+    * "bowtie" skeleton). Adds the longest-path-from-a-source level of every
+    * component ("topological level": sources are 0, level(v) = 1 + max over
+    * predecessors), computed as a max-plus fixpoint whose round count is the
+    * DAG depth. Output: (scc, level) one row per component, plus the DAG
+    * edges from [[condenseEdges]].
+    */
+  def condense(spark: SparkSession, edges: DataFrame,
+               numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scc = run(spark, edges, numPartitions = parts)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dag = dagEdges(scc, edges).persist(StorageLevel.MEMORY_AND_DISK)
+    dag.count()
+    val lvls = Iterate.withoutAQE(spark)(topoLevels(spark, dag, parts))
+    // components touched by no inter-component edge are sources at level 0
+    val out = scc.select(col("scc")).distinct()
+      .join(lvls, Seq("scc"), "left")
+      .select(col("scc"), coalesce(col("level"), lit(0L)).as("level"))
+    out.cache(); out.count()
+    scc.unpersist(false); dag.unpersist(false)
+    out
+  }
+
+  /** The distinct inter-component edges (scc_src, scc_dst), scc = min
+    * member id per [[run]]'s contract.
+    */
+  def condenseEdges(spark: SparkSession, edges: DataFrame,
+                    numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scc = run(spark, edges, numPartitions = parts)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = dagEdges(scc, edges).cache()
+    out.count()
+    scc.unpersist(false)
+    out
+  }
+
+  private def dagEdges(scc: DataFrame, edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst")).distinct()
+      .join(scc.select(col("id").as("src"), col("scc").as("scc_src")), Seq("src"))
+      .join(scc.select(col("id").as("dst"), col("scc").as("scc_dst")), Seq("dst"))
+      .select(col("scc_src"), col("scc_dst"))
+      .filter(col("scc_src") =!= col("scc_dst")).distinct()
+
+  /** Longest-path-from-source levels over a DAG (max-plus fixpoint; rounds
+    * = depth). Also returns isolated components at level 0 when the caller
+    * unions them in. (scc, level).
+    */
+  private def topoLevels(spark: SparkSession, dag: DataFrame,
+                         parts: Int): DataFrame = {
+    val verts = dag.select(col("scc_src").as("scc"))
+      .unionByName(dag.select(col("scc_dst").as("scc"))).distinct()
+    var lvl = Iterate.cutKeyed(verts.select(col("scc"), lit(0L).as("level")),
+      parts, "scc")
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      val push = dag
+        .join(lvl.select(col("scc").as("scc_src"), col("level").as("ls")),
+          Seq("scc_src"))
+        .groupBy(col("scc_dst").as("scc"))
+        .agg((max(col("ls")) + 1L).as("cand"))
+      val merged = lvl.join(push, Seq("scc"), "left")
+        .select(col("scc"),
+          greatest(col("level"), coalesce(col("cand"), col("level"))).as("level"),
+          (coalesce(col("cand"), lit(-1L)) > col("level")).as("chg"))
+        .observe(s"topo_$round", sum(when(col("chg"), 1L).otherwise(0L)).as("n"))
+      val next = Iterate.cutKeyed(merged, parts, "scc")
+      changed = Iterate.observedLong(merged, s"topo_$round")(
+        next.filter(col("chg")).count())
+      Iterate.free(lvl)
+      lvl = next
+      require(round <= 100000, "not a DAG?")
+    }
+    lvl.select(col("scc"), col("level"))
+  }
 }

@@ -653,4 +653,19 @@ class Round4LinkSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == local, s"dist=$dist local=$local")
   }
+
+  test("condensation: bowtie chain gets exact DAG levels; isolated cycle is level 0") {
+    import spark.implicits._
+    // cycleA{0,1,2} -> cycleB{10,11,12} -> 20 -> 21, plus isolated cycle {30,31}
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 10L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (12L, 20L), (20L, 21L), (30L, 31L), (31L, 30L))
+    val got = graft.algos.SCC.condense(spark, es.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 10L -> 1L, 20L -> 2L, 21L -> 3L, 30L -> 0L),
+      s"got $got")
+    val dag = graft.algos.SCC.condenseEdges(spark, es.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dag == Set((0L, 10L), (10L, 20L), (20L, 21L)))
+  }
 }
