@@ -626,6 +626,15 @@ object SparkEntry {
     "algo_louvain" -> ((s, d) =>
       Louvain.run(s, edgesArith(s, d), numPartitions = 8)),
 
+    // eigenvector centrality — fixed-k power iteration, L1-renormalized
+    "algo_eigen5" -> ((s, d) =>
+      Eigenvector.runFixed(s, edgesArith(s, d), k = 5)
+        .select(col("id"), round(col("eig"), 8).as("eig"))),
+
+    // in/out degree distribution of the directed fixture (power-law view)
+    "gb_degree_hist" -> ((s, d) =>
+      GraphStats.degreeHistogram(s, edgesArithDirected(s, d))),
+
     // Katz centrality, truncated power series (PageRank-shaped loop)
     "algo_katz5" -> ((s, d) =>
       Katz.runFixed(s, edgesArith(s, d), k = 5)
@@ -1196,6 +1205,8 @@ object SparkEntry {
     "gb_reciprocity" -> reciprocitySql,
     "algo_edge_jaccard" -> edgeJaccardSql,
     "algo_condensation" -> condensationSql,
+    "algo_eigen5" -> eigenUnrolledSql(5),
+    "gb_degree_hist" -> degreeHistSql,
 
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
@@ -2009,6 +2020,33 @@ FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
     }.mkString(",\n")
     s"$prelude,\n$rs\nSELECT id, round(x, 8) AS katz FROM x$k"
   }
+
+  private def eigenUnrolledSql(k: Int): String = {
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |x0 AS (SELECT id, 1.0 / nn.n AS x FROM verts, nn)""".stripMargin
+    val rs = (1 to k).map { i =>
+      val j = i - 1
+      s"""s$i AS MATERIALIZED (SELECT v.id, COALESCE(g.s, 0) AS s FROM verts v
+         |  LEFT JOIN (SELECT und.b AS id, sum(xp.x) AS s FROM und
+         |    JOIN x$j xp ON xp.id = und.a GROUP BY und.b) g ON g.id = v.id),
+         |l$i AS (SELECT sum(s) AS l1 FROM s$i),
+         |x$i AS MATERIALIZED (SELECT id, s / l$i.l1 AS x FROM s$i, l$i)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$rs\nSELECT id, round(x, 8) AS eig FROM x$k"
+  }
+
+  private def degreeHistSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+       |outs AS (SELECT deg, CAST(count(*) AS BIGINT) AS vertices FROM (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src) GROUP BY deg),
+       |ins AS (SELECT deg, CAST(count(*) AS BIGINT) AS vertices FROM (
+       |  SELECT dst, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY dst) GROUP BY deg)
+       |SELECT 'out' AS side, deg, vertices FROM outs
+       |UNION ALL SELECT 'in', deg, vertices FROM ins""".stripMargin
 
   private def reciprocitySql: String =
     s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),

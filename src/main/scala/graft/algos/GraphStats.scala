@@ -203,4 +203,20 @@ object GraphStats {
     out.cache(); out.count(); e.unpersist(false)
     out
   }
+
+  /** Degree distribution of a DIRECTED graph: one row per (side, degree)
+    * with the vertex count — side ∈ {in, out}. The web-graph power-law
+    * diagnostic; exact integers, two aggregations, output bounded by the
+    * number of DISTINCT degrees (≈ thousands even at 10¹² edges under a
+    * power law — never a per-vertex table).
+    */
+  def degreeHistogram(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    def side(key: String, name: String) =
+      e.groupBy(col(key).as("id")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("vertices"))
+        .select(lit(name).as("side"), col("deg"), col("vertices"))
+    side("src", "out").unionByName(side("dst", "in"))
+  }
 }

@@ -668,4 +668,31 @@ class Round4LinkSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dag == Set((0L, 10L), (10L, 20L), (20L, 21L)))
   }
+
+  test("Eigenvector matches brute L1-normalized power iteration") {
+    val es = randGraph(35, 0.15, 91L)
+    val adj = adjOf(es)
+    val n = adj.size
+    var x = adj.keySet.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val s = adj.keySet.map(v => v -> adj(v).toSeq.map(x).sum).toMap
+      val l1 = s.values.sum
+      x = s.map { case (v, sv) => v -> sv / l1 }
+    }
+    val got = graft.algos.Eigenvector.runFixed(spark, toEdgeDf(es), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == adj.keySet)
+    adj.keySet.foreach(v => assert(math.abs(got(v) - x(v)) < 1e-10, s"v=$v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "L1 normalized")
+  }
+
+  test("degreeHistogram counts exactly on a directed fixture") {
+    import spark.implicits._
+    // out-degrees: 0->{1,2}, 1->{2}; in-degrees: 1<-{0}, 2<-{0,1}
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L))
+    val got = GraphStats.degreeHistogram(spark, es.toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("out", 2L) -> 1L, ("out", 1L) -> 1L,
+      ("in", 1L) -> 1L, ("in", 2L) -> 1L))
+  }
 }
