@@ -635,6 +635,20 @@ object SparkEntry {
     "gb_degree_hist" -> ((s, d) =>
       GraphStats.degreeHistogram(s, edgesArithDirected(s, d))),
 
+    // co-citation (AᵀA off-diag) / bibliographic coupling (AAᵀ off-diag)
+    "algo_cocitation" -> ((s, d) =>
+      CoCitation.cocitation(s, edgesArithDirected(s, d))),
+    "algo_bibcoupling" -> ((s, d) =>
+      CoCitation.coupling(s, edgesArithDirected(s, d))),
+
+    // page→host-style quotient graph: contract by id % 10
+    "gb_contract" -> ((s, d) => {
+      val e = edgesArithDirected(s, d)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      GraphStats.contract(s, e, verts.select(col("id"), (col("id") % 10).as("grp")))
+    }),
+
     // Katz centrality, truncated power series (PageRank-shaped loop)
     "algo_katz5" -> ((s, d) =>
       Katz.runFixed(s, edgesArith(s, d), k = 5)
@@ -1207,6 +1221,9 @@ object SparkEntry {
     "algo_condensation" -> condensationSql,
     "algo_eigen5" -> eigenUnrolledSql(5),
     "gb_degree_hist" -> degreeHistSql,
+    "algo_cocitation" -> cocitationSql(common = "src", paired = "dst"),
+    "algo_bibcoupling" -> cocitationSql(common = "dst", paired = "src"),
+    "gb_contract" -> contractSql,
 
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
@@ -2038,6 +2055,20 @@ FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
     }.mkString(",\n")
     s"$prelude,\n$rs\nSELECT id, round(x, 8) AS eig FROM x$k"
   }
+
+  // co-citation (common=src: pairs of dst cited by one src) and
+  // bibliographic coupling (common=dst: pairs of src citing one dst)
+  private def cocitationSql(common: String, paired: String): String =
+    s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql))
+       |SELECT l.$paired AS a, r.$paired AS b, CAST(count(*) AS BIGINT) AS n
+       |FROM e l JOIN e r ON l.$common = r.$common AND l.$paired < r.$paired
+       |GROUP BY 1, 2""".stripMargin
+
+  private def contractSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql))
+       |SELECT src % 10 AS gsrc, dst % 10 AS gdst,
+       |  CAST(count(*) AS BIGINT) AS weight
+       |FROM e WHERE src % 10 <> dst % 10 GROUP BY 1, 2""".stripMargin
 
   private def degreeHistSql: String =
     s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),

@@ -204,6 +204,29 @@ object GraphStats {
     out
   }
 
+  /** Quotient (contracted) graph: collapse vertices by a (id, grp) mapping
+    * and sum parallel edges — the page→host / page→domain coarsening every
+    * web-graph pipeline runs before host-level PageRank, and the contraction
+    * step of multi-level methods ([[Louvain]] does the same internally with
+    * its community labels). Output: (gsrc, gdst, weight = original edge
+    * count), self-loops dropped unless `keepSelfLoops` (Louvain-style
+    * contraction keeps them — intra-group mass).
+    *
+    * Scale: two per-edge equi-joins against the mapping (shuffle on vertex
+    * id — co-partitioned if the edge table is already id-bucketed) and one
+    * partially-aggregated groupBy on the group pair; output is bounded by
+    * the quotient's edge count, never the input's.
+    */
+  def contract(spark: SparkSession, edges: DataFrame, mapping: DataFrame,
+               keepSelfLoops: Boolean = false): DataFrame = {
+    val m = mapping.select(col("id"), col("grp"))
+    val g = edges.select(col("src"), col("dst"))
+      .join(m.select(col("id").as("src"), col("grp").as("gsrc")), Seq("src"))
+      .join(m.select(col("id").as("dst"), col("grp").as("gdst")), Seq("dst"))
+    val q = if (keepSelfLoops) g else g.filter(col("gsrc") =!= col("gdst"))
+    q.groupBy("gsrc", "gdst").agg(count(lit(1)).as("weight"))
+  }
+
   /** Degree distribution of a DIRECTED graph: one row per (side, degree)
     * with the vertex count — side ∈ {in, out}. The web-graph power-law
     * diagnostic; exact integers, two aggregations, output bounded by the

@@ -686,6 +686,50 @@ class Round4LinkSpec extends SparkTestBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "L1 normalized")
   }
 
+  test("CoCitation/coupling match brute force; maxDegree caps the wedge center") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47L)
+    val es = (for { a <- 0 until 30; b <- 0 until 30
+                    if a != b && rnd.nextDouble() < 0.12 }
+      yield (a.toLong, b.toLong)).toSet
+    val df = es.toSeq.toDF("src", "dst")
+    def brute(centerOf: ((Long, Long)) => Long, leafOf: ((Long, Long)) => Long) =
+      es.groupBy(centerOf).values.flatMap { zs =>
+        val leaves = zs.map(leafOf).toSeq.sorted
+        for { i <- leaves.indices; j <- i + 1 until leaves.size }
+          yield (leaves(i), leaves(j))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wantCo = brute(_._1, _._2) // common citer src → dst pairs
+    val gotCo = graft.algos.CoCitation.cocitation(spark, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotCo == wantCo)
+    val wantBc = brute(_._2, _._1)
+    val gotBc = graft.algos.CoCitation.coupling(spark, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotBc == wantBc)
+    // cap: star 100→{0..5} plus 200→{0,1}; capping at 2 keeps only 200's pair
+    val star = ((0 to 5).map(i => (100L, i.toLong)) ++
+      Seq((200L, 0L), (200L, 1L))).toDF("src", "dst")
+    val capped = graft.algos.CoCitation.cocitation(spark, star, maxDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((0L, 1L) -> 1L))
+  }
+
+  test("contract builds the quotient graph exactly") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val m = Seq((0L, 10L), (1L, 10L), (2L, 20L), (3L, 20L)).toDF("id", "grp")
+    val got = GraphStats.contract(spark, e, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 0→2 and 1→2 both map to 10→20; 3→1 maps to 20→10; 0→1, 2→3 are self-loops
+    assert(got == Map((10L, 20L) -> 2L, (20L, 10L) -> 1L))
+    val withLoops = GraphStats.contract(spark, e, m, keepSelfLoops = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(withLoops == Map((10L, 20L) -> 2L, (20L, 10L) -> 1L,
+      (10L, 10L) -> 1L, (20L, 20L) -> 1L))
+  }
+
   test("degreeHistogram counts exactly on a directed fixture") {
     import spark.implicits._
     // out-degrees: 0->{1,2}, 1->{2}; in-degrees: 1<-{0}, 2<-{0,1}
