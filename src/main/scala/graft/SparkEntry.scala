@@ -641,6 +641,12 @@ object SparkEntry {
     "algo_bibcoupling" -> ((s, d) =>
       CoCitation.coupling(s, edgesArithDirected(s, d))),
 
+    // SALSA — degree-normalized hub/authority walk (stochastic HITS)
+    "algo_salsa5" -> ((s, d) =>
+      SALSA.runFixed(s, edgesArithDirected(s, d), k = 5)
+        .select(col("id"), round(col("hub"), 8).as("hub"),
+          round(col("auth"), 8).as("auth"))),
+
     // page→host-style quotient graph: contract by id % 10
     "gb_contract" -> ((s, d) => {
       val e = edgesArithDirected(s, d)
@@ -1224,6 +1230,7 @@ object SparkEntry {
     "algo_cocitation" -> cocitationSql(common = "src", paired = "dst"),
     "algo_bibcoupling" -> cocitationSql(common = "dst", paired = "src"),
     "gb_contract" -> contractSql,
+    "algo_salsa5" -> salsaUnrolledSql(5),
 
     "gb_col_extract" ->
       s"""SELECT src AS id, w AS v FROM ($edgesBiSql) WHERE dst = ${PartOffset + 7}""",
@@ -1854,6 +1861,33 @@ FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
          |  FROM verts v CROSS JOIN asum$i LEFT JOIN ar$i ON ar$i.vid = v.vid
          |  JOIN hs${i - 1} p ON p.vid = v.vid),
          |hr$i AS MATERIALIZED (SELECT e.src AS vid, sum(q.a) AS r FROM e JOIN a$i q ON q.vid = e.dst GROUP BY e.src),
+         |hsum$i AS (SELECT sum(r) AS s FROM hr$i),
+         |hs$i AS MATERIALIZED (SELECT v.vid, COALESCE(hr$i.r, 0) / hsum$i.s AS h, q.a
+         |  FROM verts v CROSS JOIN hsum$i LEFT JOIN hr$i ON hr$i.vid = v.vid
+         |  JOIN a$i q ON q.vid = v.vid)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$its\nSELECT vid AS id, round(h, 8) AS hub, round(a, 8) AS auth FROM hs$k"
+  }
+
+  // SALSA = HITS with degree-normalized half-steps: the 1/outdeg and
+  // 1/indeg weights ride the edge table (ew), mirroring SALSA.scala
+  private def salsaUnrolledSql(k: Int): String = {
+    val prelude =
+      s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+         |outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+         |ind AS (SELECT dst, CAST(count(*) AS DOUBLE) AS idg FROM e GROUP BY dst),
+         |ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / outd.od AS wo, 1.0 / ind.idg AS wi
+         |  FROM e JOIN outd ON outd.src = e.src JOIN ind ON ind.dst = e.dst),
+         |verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |hs0 AS MATERIALIZED (SELECT vid, 1.0 / nn.n AS h, 1.0 / nn.n AS a FROM verts, nn)""".stripMargin
+    val its = (1 to k).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT ew.dst AS vid, sum(p.h * ew.wo) AS r FROM ew JOIN hs${i - 1} p ON p.vid = ew.src GROUP BY ew.dst),
+         |asum$i AS (SELECT sum(r) AS s FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT v.vid, COALESCE(ar$i.r, 0) / asum$i.s AS a, p.h
+         |  FROM verts v CROSS JOIN asum$i LEFT JOIN ar$i ON ar$i.vid = v.vid
+         |  JOIN hs${i - 1} p ON p.vid = v.vid),
+         |hr$i AS MATERIALIZED (SELECT ew.src AS vid, sum(q.a * ew.wi) AS r FROM ew JOIN a$i q ON q.vid = ew.dst GROUP BY ew.src),
          |hsum$i AS (SELECT sum(r) AS s FROM hr$i),
          |hs$i AS MATERIALIZED (SELECT v.vid, COALESCE(hr$i.r, 0) / hsum$i.s AS h, q.a
          |  FROM verts v CROSS JOIN hsum$i LEFT JOIN hr$i ON hr$i.vid = v.vid

@@ -715,6 +715,38 @@ class Round4LinkSpec extends SparkTestBase {
     assert(capped == Map((0L, 1L) -> 1L))
   }
 
+  test("SALSA matches brute degree-normalized alternating walk") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59L)
+    val es = ((for { a <- 0 until 30; b <- 0 until 30
+                     if a != b && rnd.nextDouble() < 0.10 }
+      yield (a.toLong, b.toLong)) :+ ((40L, 0L))).toSet // 40: hub-only vertex
+    val verts = es.flatMap(e => Seq(e._1, e._2))
+    val outd = es.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val ind = es.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val n = verts.size
+    var h = verts.map(_ -> 1.0 / n).toMap
+    var a = verts.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val ar = verts.map(v =>
+        v -> es.filter(_._2 == v).toSeq.map(e => h(e._1) / outd(e._1)).sum).toMap
+      val as = ar.values.sum
+      a = ar.map { case (v, x) => v -> x / as }
+      val hr = verts.map(v =>
+        v -> es.filter(_._1 == v).toSeq.map(e => a(e._2) / ind(e._2)).sum).toMap
+      val hs = hr.values.sum
+      h = hr.map { case (v, x) => v -> x / hs }
+    }
+    val got = graft.algos.SALSA.runFixed(spark, es.toSeq.toDF("src", "dst"), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == verts)
+    verts.foreach { v =>
+      assert(math.abs(got(v)._1 - h(v)) < 1e-12, s"hub v=$v")
+      assert(math.abs(got(v)._2 - a(v)) < 1e-12, s"auth v=$v")
+    }
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("contract builds the quotient graph exactly") {
     import spark.implicits._
     val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 1L), (2L, 3L))
