@@ -101,6 +101,15 @@ object SparkEntry {
       .withColumn("w", lit(1.0))
   }
 
+  /** [[edgesArith]] with deterministic INTEGER weights ((7·src+13·dst) mod
+    * 97 + 1, exact in FP64 and in DuckDB's BIGINT arithmetic) so
+    * weight-sensitive algorithms (MSF) have a non-trivial, engine-
+    * independent input with an exactly mirrorable oracle.
+    */
+  def edgesArithWeighted(spark: SparkSession, dir: String): DataFrame =
+    edgesArith(spark, dir).select(col("src"), col("dst"),
+      ((col("src") * 7 + col("dst") * 13) % 97 + 1).cast("double").as("w"))
+
   /** Disconnected 5-clique on ids 1e6..1e6+4 (every vertex degree exactly
     * 4): unioned into the k-core fixtures so the 4-core is non-empty at
     * every SF (the sf0.001 arith graph's 3-core is already empty).
@@ -693,6 +702,11 @@ object SparkEntry {
     // Luby-style maximal matching (unique packed edge priorities)
     "algo_matching" -> ((s, d) => Matching.run(s, edgesArith(s, d))),
 
+    // Borůvka minimum spanning forest over deterministic integer weights
+    // (strict (w,src,dst) order ⇒ unique forest, mirrored by the unrolled
+    // min-edge-hook + path-doubling oracle)
+    "algo_boruvka" -> ((s, d) => Boruvka.msf(s, edgesArithWeighted(s, d))),
+
     // exact distance centralities (harmonic/closeness/eccentricity) with
     // ALL vertices as landmarks — ceil(n/64) MSBFS waves, never all-pairs
     "algo_centrality" -> ((s, d) => {
@@ -1221,6 +1235,7 @@ object SparkEntry {
     "algo_centrality" -> centralitySql,
     "algo_coloring" -> coloringUnrolledSql(32),
     "algo_matching" -> matchingUnrolledSql(32),
+    "algo_boruvka" -> boruvkaUnrolledSql(8, 8),
     "algo_katz5" -> katzUnrolledSql(5),
     "gb_reciprocity" -> reciprocitySql,
     "algo_edge_jaccard" -> edgeJaccardSql,
@@ -2054,6 +2069,50 @@ FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
          |  ANTI JOIN mv$i x ON x.v = c.a ANTI JOIN mv$i y ON y.v = c.b)""".stripMargin
     }.mkString(",\n")
     s"$prelude,\n$rs\nSELECT a AS src, b AS dst FROM m$rounds"
+  }
+
+  /** Borůvka MSF, unrolled: round i relabels edges by component, takes each
+    * component's min crossing edge under the strict (w,a,b,oc) order
+    * (row_number mirror of the engine's min(struct)), hooks every component
+    * to its chosen neighbor (mutual pairs root at the smaller id), resolves
+    * roots by `hops` path-doubling compositions (covers depth 2^hops), and
+    * coarsens the labels. Extra rounds past convergence are no-ops, so the
+    * unroll only has to over-provision (components at least halve per round
+    * ⇒ rounds ≥ log2(n), hops ≥ log2(n)).
+    */
+  private def boruvkaUnrolledSql(rounds: Int, hops: Int): String = {
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |ew AS MATERIALIZED (SELECT src AS a, dst AS b,
+         |  CAST((src*7 + dst*13) % 97 + 1 AS DOUBLE) AS w FROM canon),
+         |verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM
+         |  (SELECT a FROM ew UNION ALL SELECT b FROM ew)),
+         |comp0 AS MATERIALIZED (SELECT id, id AS comp FROM verts),
+         |f0 AS (SELECT a, b, w FROM ew WHERE 1=0)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      val j = i - 1
+      val jumps = (1 to hops).map { k =>
+        s"""p${i}_$k AS MATERIALIZED (SELECT x.c, COALESCE(y.p, x.p) AS p
+           |  FROM p${i}_${k - 1} x LEFT JOIN p${i}_${k - 1} y ON y.c = x.p)""".stripMargin
+      }.mkString(",\n")
+      s"""ce$i AS MATERIALIZED (SELECT ew.a, ew.b, ew.w, ca.comp AS ca, cb.comp AS cb
+         |  FROM ew JOIN comp$j ca ON ca.id = ew.a JOIN comp$j cb ON cb.id = ew.b
+         |  WHERE ca.comp <> cb.comp),
+         |ch$i AS MATERIALIZED (SELECT c, oc, w, a, b FROM (
+         |    SELECT c, oc, w, a, b,
+         |      ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b, oc) AS rn
+         |    FROM (SELECT ca AS c, cb AS oc, w, a, b FROM ce$i
+         |          UNION ALL SELECT cb, ca, w, a, b FROM ce$i))
+         |  WHERE rn = 1),
+         |f$i AS MATERIALIZED (SELECT * FROM f$j UNION SELECT a, b, w FROM ch$i),
+         |p${i}_0 AS MATERIALIZED (SELECT h.c,
+         |    CASE WHEN h2.oc = h.c THEN LEAST(h.c, h.oc) ELSE h.oc END AS p
+         |  FROM ch$i h LEFT JOIN ch$i h2 ON h2.c = h.oc),
+         |$jumps,
+         |comp$i AS MATERIALIZED (SELECT cm.id, COALESCE(pp.p, cm.comp) AS comp
+         |  FROM comp$j cm LEFT JOIN p${i}_$hops pp ON pp.c = cm.comp)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$rs\nSELECT a AS src, b AS dst, w FROM f$rounds"
   }
 
   private def katzUnrolledSql(k: Int): String = {

@@ -771,4 +771,62 @@ class Round4LinkSpec extends SparkTestBase {
     assert(got == Map(("out", 2L) -> 1L, ("out", 1L) -> 1L,
       ("in", 1L) -> 1L, ("in", 2L) -> 1L))
   }
+
+  /** Kruskal under the same strict (w, a, b) total order — the unique MSF
+    * Borůvka must reproduce exactly (greedy matroid optimality).
+    */
+  private def kruskal(canon: Seq[(Long, Long, Double)]): Set[(Long, Long, Double)] = {
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val out = mutable.Set[(Long, Long, Double)]()
+    canon.sortBy { case (a, b, w) => (w, a, b) }.foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; out += ((a, b, w)) }
+    }
+    out.toSet
+  }
+
+  private def canonicalize(raw: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] =
+    raw.filter { case (u, v, _) => u != v }
+      .groupBy { case (u, v, _) => (math.min(u, v), math.max(u, v)) }
+      .map { case ((a, b), es) => (a, b, es.map(_._3).min) }.toSeq
+
+  test("Boruvka MSF == Kruskal on a seeded weighted multigraph (parallel edges, loops, 2 components)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    // two islands (0..39 and 100..129), parallel edges and self-loops, small
+    // integer weights so weight ties are common and (a,b) breaks them
+    def island(ids: Seq[Long], m: Int) = Seq.fill(m) {
+      val u = ids(rnd.nextInt(ids.size)); val v = ids(rnd.nextInt(ids.size))
+      (u, v, (1 + rnd.nextInt(9)).toDouble)
+    }
+    val raw = island(0L until 40L, 160) ++ island(100L until 130L, 100)
+    val want = kruskal(canonicalize(raw))
+    val got = graft.algos.Boruvka.msf(spark, raw.toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"diff: extra=${got -- want} missing=${want -- got}")
+    // forest law: edges = vertices - components
+    val verts = canonicalize(raw).flatMap(e => Seq(e._1, e._2)).toSet
+    val roots = { // component count via the test's own union-find
+      val p = mutable.Map[Long, Long]()
+      def f(x: Long): Long = { val q = p.getOrElseUpdate(x, x); if (q == x) x else { val r = f(q); p(x) = r; r } }
+      canonicalize(raw).foreach { case (a, b, _) => val (ra, rb) = (f(a), f(b)); if (ra != rb) p(ra) = rb }
+      verts.map(f).size
+    }
+    assert(got.size == verts.size - roots)
+  }
+
+  test("Boruvka MSF on a long path (deep hook chains exercise path doubling)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val n = 300
+    val raw = (0 until n - 1).map(i =>
+      (i.toLong, (i + 1).toLong, (1 + rnd.nextInt(5)).toDouble))
+    val got = graft.algos.Boruvka.msf(spark, raw.toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == raw.toSet) // a tree is its own MSF
+  }
 }
