@@ -562,6 +562,11 @@ object SparkEntry {
     "algo_coreness" -> ((s, d) =>
       KCore.coreness(s, edgesArith(s, d).unionByName(plantedClique(s)))),
 
+    // LAGraph layer: full truss decomposition (edge-level peel; the planted
+    // 5-clique pins a non-trivial max trussness of 5 at every SF)
+    "algo_trussness" -> ((s, d) =>
+      KTruss.trussness(s, edgesArith(s, d).unionByName(plantedClique(s)))),
+
     // LAGraph layer: HITS hubs/authorities, 5 fixed L1-normalized
     // iterations on the directed bipartite graph (SQL-unrollable form)
     "algo_hits5" -> ((s, d) =>
@@ -1224,6 +1229,7 @@ object SparkEntry {
     "algo_linkpred" -> linkpredSql,
     "algo_kcore4" -> kcoreUnrolledSql(4, 3),
     "algo_coreness" -> corenessUnrolledSql(5, 4),
+    "algo_trussness" -> trussnessUnrolledSql(6, 4),
     "algo_hits5" -> hitsUnrolledSql(5),
     "algo_ppr5" -> pagerankUnrolledSql(5, seeds = Seq(1L, 3L, 7L)),
     "algo_randomwalk" -> randomWalkSql(4),
@@ -1860,6 +1866,41 @@ univ AS (SELECT DISTINCT nid FROM (SELECT src AS nid FROM c1_0 UNION ALL SELECT 
 mk AS (SELECT nid, max(k) AS mk FROM ($unions) GROUP BY nid)
 SELECT univ.nid AS id, CAST(COALESCE(mk.mk, 0) AS BIGINT) AS coreness
 FROM univ LEFT JOIN mk ON mk.nid = univ.nid""")
+    sb.toString
+  }
+
+  /** Truss decomposition, unrolled like [[corenessUnrolledSql]] but peeling
+    * EDGES by triangle support: level k keeps edges in >= k-2 triangles
+    * (`rounds` filter rounds each — converged rounds are no-ops), and an
+    * edge's trussness is the largest k whose survivor set still contains it
+    * (2 if it is in no triangle).
+    */
+  private def trussnessUnrolledSql(maxK: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH c3_0 AS MATERIALIZED (
+      |  SELECT src, dst FROM ($edgesArithSql)
+      |  UNION ALL SELECT src, dst FROM ($plantedCliqueSql))""".stripMargin)
+    for (k <- 3 to maxK) {
+      if (k > 3) sb.append(s",\nc${k}_0 AS (SELECT src, dst FROM c${k - 1}_$rounds)")
+      for (r <- 0 until rounds) {
+        sb.append(s""",
+tri${k}_$r AS (SELECT x.src AS a, x.dst AS b, y.dst AS c FROM c${k}_$r x
+  JOIN c${k}_$r y ON y.src = x.dst
+  JOIN c${k}_$r z ON z.src = x.src AND z.dst = y.dst),
+sup${k}_$r AS MATERIALIZED (SELECT src, dst, count(*) AS s FROM (
+  SELECT a AS src, b AS dst FROM tri${k}_$r
+  UNION ALL SELECT b, c FROM tri${k}_$r
+  UNION ALL SELECT a, c FROM tri${k}_$r) GROUP BY src, dst),
+c${k}_${r + 1} AS MATERIALIZED (SELECT c.src, c.dst FROM c${k}_$r c
+  JOIN sup${k}_$r q ON q.src = c.src AND q.dst = c.dst WHERE q.s >= ${k - 2})""")
+      }
+    }
+    val unions = (3 to maxK)
+      .map(k => s"SELECT src, dst, $k AS k FROM c${k}_$rounds").mkString(" UNION ALL ")
+    sb.append(s""",
+mk AS (SELECT src, dst, max(k) AS mk FROM ($unions) GROUP BY src, dst)
+SELECT u.src, u.dst, CAST(COALESCE(mk.mk, 2) AS BIGINT) AS trussness
+FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     sb.toString
   }
 

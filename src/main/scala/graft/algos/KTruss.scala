@@ -90,4 +90,57 @@ object KTruss {
     Iterate.free(canon)
     (kept, n)
   }
+
+  /** Full truss decomposition: (src, dst, trussness) per canonical edge,
+    * where trussness is the largest k for which the edge survives in the
+    * k-truss (edges in no triangle get the conventional 2). Same level-peel
+    * shape as [[KCore.coreness]] — O(max trussness) outer levels, each
+    * level a [[run]]-style support fixpoint over the SHRINKING survivor
+    * set, so total work tracks the peel, not levels × input.
+    */
+  def trussness(spark: SparkSession, edges: DataFrame, maxK: Int = 1000,
+                numPartitions: Int = 0): DataFrame = {
+    var canon = canonicalize(spark, edges, numPartitions)
+    var nvals = canon.count()
+    // level-start snapshot, persisted + materialized BEFORE round() frees
+    // the canon leaf it projects from (same contract as KCore.coreness)
+    var alive = canon.select(col("lo"), col("hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    alive.count()
+    var out: DataFrame = null
+    var k = 3
+    while (nvals > 0 && k <= maxK) {
+      var stable = false
+      while (!stable && nvals > 0) {
+        val (kept, newN) = round(canon, k)
+        stable = newN == nvals
+        canon = kept
+        nvals = newN
+      }
+      val surv = canon.select(col("lo"), col("hi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      surv.count()
+      val peeled = alive.join(surv, Seq("lo", "hi"), "left_anti")
+        .select(col("lo"), col("hi"), lit(k - 1).cast("long").as("trussness"))
+      out = if (out == null) peeled else out.unionByName(peeled)
+      out = Iterate.cut(out)
+      alive.unpersist(false)
+      alive = surv
+      k += 1
+    }
+    // maxK reached with survivors: their trussness is >= maxK — cap there
+    val res =
+      if (nvals > 0) {
+        val capped = alive.select(col("lo"), col("hi"),
+          lit(maxK).cast("long").as("trussness"))
+        if (out == null) capped else out.unionByName(capped)
+      } else if (out == null)
+        alive.select(col("lo"), col("hi"), lit(2L).as("trussness"))
+      else out
+    // materialize before dropping alive's blocks (res may project from them)
+    val cut = Iterate.cut(
+      res.select(col("lo").as("src"), col("hi").as("dst"), col("trussness")))
+    alive.unpersist(false)
+    cut
+  }
 }

@@ -819,6 +819,35 @@ class Round4LinkSpec extends SparkTestBase {
     assert(got.size == verts.size - roots)
   }
 
+  test("Trussness matches brute-force peel on seeded graph + planted K5") {
+    import spark.implicits._
+    val base = randGraph(30, 0.18, 41L) ++
+      (for { a <- 0 until 5; b <- a + 1 until 5 }
+        yield (900L + a, 900L + b)) // disconnected K5 → trussness 5
+    // brute force: level peel on edge support
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = adjOf(es)
+      es.iterator.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size }.toMap
+    }
+    val want = mutable.Map[(Long, Long), Long]()
+    var cur = base
+    var k = 3
+    while (cur.nonEmpty && k < 50) {
+      var stable = false
+      while (!stable && cur.nonEmpty) {
+        val kept = cur.filter(e => support(cur)(e) >= k - 2)
+        stable = kept.size == cur.size
+        cur.diff(kept).foreach(e => want(e) = (k - 1).toLong)
+        cur = kept
+      }
+      k += 1
+    }
+    val got = graft.algos.KTruss.trussness(spark, base.toSeq.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want.toMap, s"diff=${got.toSet.diff(want.toSet)} / ${want.toSet.diff(got.toSet)}")
+    assert(got.count(_._2 == 5L) == 10) // every K5 edge
+  }
+
   test("Boruvka MSF on a long path (deep hook chains exercise path doubling)") {
     import spark.implicits._
     val rnd = new scala.util.Random(5L)
