@@ -712,6 +712,15 @@ object SparkEntry {
     // min-edge-hook + path-doubling oracle)
     "algo_boruvka" -> ((s, d) => Boruvka.msf(s, edgesArithWeighted(s, d))),
 
+    // GraphSAGE-style deterministic neighbor fanout sampling (1- and
+    // 2-hop): reproducible GNN minibatch neighborhoods at any parallelism
+    "sample_fanout" -> ((s, d) =>
+      NeighborSample.fanout(s, edgesArithDirected(s, d), k = 2, seed = 7L)
+        .select(col("src"), col("rank").as("rnk"), col("dst"))),
+    "sample_fanout2" -> ((s, d) =>
+      NeighborSample.fanout2(s, edgesArithDirected(s, d), k1 = 2, k2 = 2,
+        seed = 7L)),
+
     // exact distance centralities (harmonic/closeness/eccentricity) with
     // ALL vertices as landmarks — ceil(n/64) MSBFS waves, never all-pairs
     "algo_centrality" -> ((s, d) => {
@@ -1230,6 +1239,12 @@ object SparkEntry {
     "algo_kcore4" -> kcoreUnrolledSql(4, 3),
     "algo_coreness" -> corenessUnrolledSql(5, 4),
     "algo_trussness" -> trussnessUnrolledSql(6, 4),
+    "sample_fanout" -> fanoutSql(2, 7L),
+    "sample_fanout2" ->
+      s"""WITH h1 AS MATERIALIZED (${fanoutSql(2, 7L)}),
+         |h2 AS MATERIALIZED (${fanoutSql(2, 8L)})
+         |SELECT h1.src AS root, h1.dst AS h1, h2.dst AS h2
+         |FROM h1 JOIN h2 ON h2.src = h1.dst""".stripMargin,
     "algo_hits5" -> hitsUnrolledSql(5),
     "algo_ppr5" -> pagerankUnrolledSql(5, seeds = Seq(1L, 3L, 7L)),
     "algo_randomwalk" -> randomWalkSql(4),
@@ -1903,6 +1918,15 @@ SELECT u.src, u.dst, CAST(COALESCE(mk.mk, 2) AS BIGINT) AS trussness
 FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     sb.toString
   }
+
+  /** NeighborSample.fanout mirror: global per-src top-k by the same LCG
+    * priority (the engine's two-phase salted top-k computes exactly this).
+    */
+  private def fanoutSql(k: Int, seed: Long): String =
+    s"""SELECT src, CAST(rn AS BIGINT) AS rnk, dst FROM (
+       |  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |    ORDER BY (dst*48271 + src*2000003 + $seed) % 1000000007, dst) AS rn
+       |  FROM ($edgesArithDirSql)) t WHERE rn <= $k""".stripMargin
 
   private def hitsUnrolledSql(k: Int): String = {
     val prelude =

@@ -848,6 +848,37 @@ class Round4LinkSpec extends SparkTestBase {
     assert(got.count(_._2 == 5L) == 10) // every K5 edge
   }
 
+  test("NeighborSample.fanout == brute-force top-k; invariant to salts/partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    // directed multigraph WITH duplicate edges (sample is over the SET)
+    val raw = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (u, v) => u != v }
+    val k = 3; val seed = 7L
+    val want = raw.distinct.groupBy(_._1).flatMap { case (s, es) =>
+      es.map(_._2).distinct
+        .sortBy(d => ((d * 48271L + s * 2000003L + seed) % 1000000007L, d))
+        .take(k).zipWithIndex.map { case (d, i) => (s, (i + 1).toLong, d) }
+    }.toSet
+    val df = raw.toDF("src", "dst")
+    val got = graft.algos.NeighborSample.fanout(spark, df, k, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // bit-identical under different salts and input partitioning
+    val got2 = graft.algos.NeighborSample.fanout(spark, df.repartition(17), k,
+        seed, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == got)
+    // 2-hop = join of the two shared per-vertex samples
+    val h1 = got.map { case (s, _, d) => (s, d) }
+    val h2 = graft.algos.NeighborSample.fanout(spark, df, 2, seed + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want2 = for { (r, a) <- h1.filter(_ => true); (a2, b) <- h2 if a2 == a } yield (r, a, b)
+    val got3 = graft.algos.NeighborSample.fanout2(spark, df, k, 2, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got3 == want2)
+  }
+
   test("Boruvka MSF on a long path (deep hook chains exercise path doubling)") {
     import spark.implicits._
     val rnd = new scala.util.Random(5L)
