@@ -712,6 +712,12 @@ object SparkEntry {
     // min-edge-hook + path-doubling oracle)
     "algo_boruvka" -> ((s, d) => Boruvka.msf(s, edgesArithWeighted(s, d))),
 
+    // SimRank (3 exact iterations, decimal-exact sums, dyadic C=13/16) —
+    // vertex-pair similarity over the directed fixture's in-link structure
+    "algo_simrank3" -> ((s, d) =>
+      SimRank.runFixed(s, edgesArithDirected(s, d), k = 3)
+        .select(col("a"), col("b"), round(col("s"), 6).as("s"))),
+
     // GraphSAGE-style deterministic neighbor fanout sampling (1- and
     // 2-hop): reproducible GNN minibatch neighborhoods at any parallelism
     "sample_fanout" -> ((s, d) =>
@@ -1239,6 +1245,7 @@ object SparkEntry {
     "algo_kcore4" -> kcoreUnrolledSql(4, 3),
     "algo_coreness" -> corenessUnrolledSql(5, 4),
     "algo_trussness" -> trussnessUnrolledSql(6, 4),
+    "algo_simrank3" -> simrankUnrolledSql(3),
     "sample_fanout" -> fanoutSql(2, 7L),
     "sample_fanout2" ->
       s"""WITH h1 AS MATERIALIZED (${fanoutSql(2, 7L)}),
@@ -1917,6 +1924,31 @@ mk AS (SELECT src, dst, max(k) AS mk FROM ($unions) GROUP BY src, dst)
 SELECT u.src, u.dst, CAST(COALESCE(mk.mk, 2) AS BIGINT) AS trussness
 FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     sb.toString
+  }
+
+  /** SimRank mirror (SimRank.scala): DECIMAL(38,15) contribution sums make
+    * the per-iteration values bit-identical to the engine's regardless of
+    * aggregation order; round(,6) only at the output.
+    */
+  private def simrankUnrolledSql(k: Int): String = {
+    val prelude =
+      s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |ind AS MATERIALIZED (SELECT dst AS id, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY dst),
+         |s0 AS MATERIALIZED (SELECT id AS a, id AS b, CAST(1.0 AS DOUBLE) AS s FROM verts)""".stripMargin
+    val its = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT q.na AS a, q.nb AS b,
+         |    0.8125 * CAST(q.ssum AS DOUBLE) / (da.d * db.d) AS s
+         |  FROM (SELECT e1.dst AS na, e2.dst AS nb,
+         |          SUM(CAST(p.s AS DECIMAL(38,15))) AS ssum
+         |        FROM s${i - 1} p JOIN e e1 ON e1.src = p.a
+         |        JOIN e e2 ON e2.src = p.b
+         |        WHERE e1.dst <> e2.dst GROUP BY e1.dst, e2.dst) q
+         |  JOIN ind da ON da.id = q.na JOIN ind db ON db.id = q.nb
+         |  UNION ALL SELECT id, id, 1.0 FROM verts)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$its\nSELECT a, b, round(s, 6) AS s FROM s$k"
   }
 
   /** NeighborSample.fanout mirror: global per-src top-k by the same LCG

@@ -848,6 +848,41 @@ class Round4LinkSpec extends SparkTestBase {
     assert(got.count(_._2 == 5L) == 10) // every K5 edge
   }
 
+  test("SimRank matches dense brute force on a seeded directed graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29L)
+    val n = 25
+    val es = (for { a <- 0 until n; b <- 0 until n
+                    if a != b && rnd.nextDouble() < 0.12 }
+      yield (a.toLong, b.toLong)).toSet
+    val inN = (0 until n).map(v => es.filter(_._2 == v).map(_._1).toSeq.sorted)
+    val c = 0.8125
+    var sm = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to 3) {
+      val nx = Array.tabulate(n, n) { (a, b) =>
+        if (a == b) 1.0
+        else if (inN(a).isEmpty || inN(b).isEmpty) 0.0
+        else {
+          val tot = (for { i <- inN(a); j <- inN(b) } yield sm(i.toInt)(j.toInt)).sum
+          c * tot / (inN(a).size.toDouble * inN(b).size)
+        }
+      }
+      sm = nx
+    }
+    val got = graft.algos.SimRank.runFixed(spark, es.toSeq.toDF("src", "dst"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // engine emits only nonzero pairs over edge-attached vertices
+    val want = (for { a <- 0 until n; b <- 0 until n
+                      if sm(a)(b) != 0.0 &&
+                        (es.exists(e => e._1 == a || e._2 == a)) &&
+                        (es.exists(e => e._1 == b || e._2 == b)) }
+      yield (a.toLong, b.toLong) -> sm(a)(b)).toMap
+    assert(got.keySet == want.keySet,
+      s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    want.foreach { case (k2, v) =>
+      assert(math.abs(got(k2) - v) < 1e-9, s"pair=$k2 got=${got(k2)} want=$v") }
+  }
+
   test("NeighborSample.fanout == brute-force top-k; invariant to salts/partitions") {
     import spark.implicits._
     val rnd = new scala.util.Random(13L)
