@@ -727,6 +727,15 @@ object SparkEntry {
       NeighborSample.fanout2(s, edgesArithDirected(s, d), k1 = 2, k2 = 2,
         seed = 7L)),
 
+    // deterministic link-prediction negative sampling (LCG proposals over
+    // the dense-ranked vertex universe, true edges rejected)
+    "sample_negatives" -> ((s, d) =>
+      NeighborSample.negatives(s, edgesArithDirected(s, d), k = 2, m = 8,
+        seed = 7L)),
+
+    // rich-club coefficient per degree threshold (web-graph diagnostic)
+    "gb_rich_club" -> ((s, d) => GraphStats.richClub(s, edgesArith(s, d))),
+
     // exact distance centralities (harmonic/closeness/eccentricity) with
     // ALL vertices as landmarks — ceil(n/64) MSBFS waves, never all-pairs
     "algo_centrality" -> ((s, d) => {
@@ -1247,6 +1256,8 @@ object SparkEntry {
     "algo_trussness" -> trussnessUnrolledSql(6, 4),
     "algo_simrank3" -> simrankUnrolledSql(3),
     "sample_fanout" -> fanoutSql(2, 7L),
+    "sample_negatives" -> negativesSql(2, 8, 7L),
+    "gb_rich_club" -> richClubSql,
     "sample_fanout2" ->
       s"""WITH h1 AS MATERIALIZED (${fanoutSql(2, 7L)}),
          |h2 AS MATERIALIZED (${fanoutSql(2, 8L)})
@@ -1950,6 +1961,42 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     }.mkString(",\n")
     s"$prelude,\n$its\nSELECT a, b, round(s, 6) AS s FROM s$k"
   }
+
+  /** NeighborSample.negatives mirror: dense rank = ROW_NUMBER()-1 over id,
+    * the same LCG proposal indices, true-edge rejection, min-t dedup.
+    */
+  private def negativesSql(k: Int, m: Int, seed: Long): String =
+    s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+       |idx AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS ridx
+       |  FROM (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))),
+       |nn AS (SELECT count(*) AS n FROM idx),
+       |props AS (
+       |  SELECT i.id AS src, MIN(t.x) AS t, c.id AS neg
+       |  FROM idx i CROSS JOIN nn
+       |  JOIN (SELECT CAST(x AS BIGINT) AS x FROM generate_series(0, ${m - 1}) s(x)) t ON TRUE
+       |  JOIN idx c ON c.ridx = (i.ridx * 48271 + t.x * 2000003 + $seed) % nn.n
+       |  WHERE c.id <> i.id
+       |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = i.id AND e.dst = c.id)
+       |  GROUP BY i.id, c.id)
+       |SELECT src, CAST(rn AS BIGINT) AS rnk, neg FROM (
+       |  SELECT src, neg, ROW_NUMBER() OVER (PARTITION BY src ORDER BY t) AS rn
+       |  FROM props) WHERE rn <= $k""".stripMargin
+
+  /** GraphStats.richClub mirror over the sparse arithmetic fixture. */
+  private def richClubSql: String =
+    s"""WITH $arithCanonCte,
+       |deg AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+       |  SELECT src AS id FROM canon UNION ALL SELECT dst FROM canon) GROUP BY id),
+       |hist AS MATERIALIZED (SELECT deg, count(*) AS nv FROM deg GROUP BY deg),
+       |em AS MATERIALIZED (SELECT m, count(*) AS ne FROM (
+       |  SELECT least(da.deg, db.deg) AS m FROM canon
+       |  JOIN deg da ON da.id = canon.src JOIN deg db ON db.id = canon.dst) GROUP BY m),
+       |ks AS (SELECT deg AS k FROM hist),
+       |nk AS (SELECT ks.k, CAST(SUM(hist.nv) AS BIGINT) AS nk FROM ks JOIN hist ON hist.deg > ks.k GROUP BY ks.k),
+       |ek AS (SELECT ks.k, CAST(COALESCE(SUM(em.ne), 0) AS BIGINT) AS ek FROM ks LEFT JOIN em ON em.m > ks.k GROUP BY ks.k)
+       |SELECT nk.k, nk.nk, ek.ek,
+       |  round(2.0 * ek.ek / (CAST(nk.nk AS DOUBLE) * (nk.nk - 1)), 6) AS phi
+       |FROM nk JOIN ek ON ek.k = nk.k WHERE nk.nk >= 2""".stripMargin
 
   /** NeighborSample.fanout mirror: global per-src top-k by the same LCG
     * priority (the engine's two-phase salted top-k computes exactly this).

@@ -242,4 +242,41 @@ object GraphStats {
         .select(lit(name).as("side"), col("deg"), col("vertices"))
     side("src", "out").unionByName(side("dst", "in"))
   }
+
+  /** Rich-club coefficient φ(k) for every distinct degree value k: among
+    * the n_k vertices of degree > k, the realized fraction of the
+    * n_k·(n_k−1)/2 possible undirected edges (Zhou & Mondragón's web-graph
+    * "rich club" diagnostic). Scale shape: one degree aggregation and one
+    * edge-degree join at data size; everything after is HISTOGRAM-sized
+    * (distinct degree values), so the theta joins below broadcast.
+    */
+  def richClub(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = canon.select(col("lo").as("id"))
+      .unionByName(canon.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = deg.groupBy("deg").agg(count(lit(1)).as("nv"))
+    // per-edge min endpoint degree, histogram'd
+    val em = canon
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
+      .select(least(col("dlo"), col("dhi")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("ne"))
+    val ks = hist.select(col("deg").as("k"))
+    val nk = ks.join(hist, col("deg") > col("k"))
+      .groupBy("k").agg(sum(col("nv")).as("nk"))
+    val ek = ks.join(em, col("m") > col("k"), "left")
+      .groupBy("k").agg(coalesce(sum(col("ne")), lit(0L)).as("ek"))
+    val res = nk.join(ek, Seq("k")).filter(col("nk") >= 2)
+      .select(col("k"), col("nk"), col("ek"),
+        round(lit(2.0) * col("ek") / (col("nk").cast("double") * (col("nk") - 1)), 6)
+          .as("phi"))
+    val cut = graft.core.Iterate.cut(res)
+    canon.unpersist(false); deg.unpersist(false)
+    cut
+  }
 }

@@ -51,6 +51,43 @@ object NeighborSample {
         col("col.dst").as("dst"))
   }
 
+  /** Deterministic negative sampling for link-prediction training: per
+    * source vertex, propose `m` LCG-indexed candidates over the
+    * dense-ranked vertex universe, drop self-pairs and TRUE edges, keep the
+    * first `k` by proposal index. May under-fill a vertex when proposals
+    * collide with its neighbors — size `m` generously (the standard
+    * rejection-sampling contract; exactly mirrorable in SQL, unlike
+    * resample-until-k). Scale shape: the universe index is a distributed
+    * range rank (no global window), proposals are |V|·m rows joined back by
+    * index, and the per-src ranking window holds ≤ m rows per vertex.
+    */
+  def negatives(spark: SparkSession, edges: DataFrame, k: Int, m: Int,
+                seed: Long = 7L): DataFrame = {
+    require(k >= 1 && m >= k)
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val idx = graft.core.Iterate.cut(
+      graft.core.Ranking.denseRank(verts, "ridx", "id"))
+    val n = idx.count()
+    val ts = spark.range(m).select(col("id").as("t"))
+    val props = idx.select(col("id").as("src"), col("ridx")).crossJoin(ts)
+      .select(col("src"), col("t"),
+        ((col("ridx") * 48271L + col("t") * 2000003L + lit(seed)) % n).as("cidx"))
+      .join(idx.select(col("ridx").as("cidx"), col("id").as("neg")), Seq("cidx"))
+      .filter(col("neg") =!= col("src"))
+      .join(e.select(col("src"), col("dst").as("neg")), Seq("src", "neg"),
+        "left_anti")
+      // colliding proposals collapse to their earliest index (set semantics)
+      .groupBy(col("src"), col("neg")).agg(min(col("t")).as("t"))
+    import org.apache.spark.sql.expressions.Window
+    props
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy(col("src")).orderBy(col("t"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("rnk"), col("neg"))
+  }
+
   /** Two-hop sampled neighborhood (root, h1, h2): fanout `k1` at the root,
     * then every hop-1 vertex contributes its own shared `k2`-sample
     * (GraphSAGE minibatch sharing — the per-vertex sample is computed once

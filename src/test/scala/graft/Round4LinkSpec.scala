@@ -848,6 +848,60 @@ class Round4LinkSpec extends SparkTestBase {
     assert(got.count(_._2 == 5L) == 10) // every K5 edge
   }
 
+  test("richClub matches brute force on a seeded random graph") {
+    import spark.implicits._
+    val es = randGraph(40, 0.2, 91L)
+    val adj = adjOf(es)
+    val degs = adj.view.mapValues(_.size).toMap
+    val want = degs.values.toSet.flatMap { (k: Int) =>
+      val rich = degs.filter(_._2 > k).keySet
+      val nk = rich.size
+      if (nk < 2) None
+      else {
+        val ek = es.count { case (a, b) => rich(a) && rich(b) }
+        Some(k.toLong -> ((nk.toLong, ek.toLong, 2.0 * ek / (nk.toDouble * (nk - 1)))))
+      }
+    }.toMap
+    val got = graft.algos.GraphStats.richClub(spark, toEdgeDf(es))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (nk, ek, phi)) =>
+      val (gn, ge, gp) = got(k)
+      assert(gn == nk && ge == ek && math.abs(gp - phi) < 1e-6,
+        s"k=$k got=${got(k)} want=($nk,$ek,$phi)")
+    }
+  }
+
+  test("negatives: deterministic, never a true edge, ranks dense from 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    val es = (for { a <- 0 until 30; b <- 0 until 30
+                    if a != b && rnd.nextDouble() < 0.1 }
+      yield (a.toLong, b.toLong)).toSet
+    val df = es.toSeq.toDF("src", "dst")
+    val (k, m, seed) = (2, 8, 7L)
+    val got = graft.algos.NeighborSample.negatives(spark, df, k, m, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force mirror
+    val ids = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val ridx = ids.zipWithIndex.toMap
+    val n = ids.size
+    val want = ids.flatMap { s =>
+      val cands = (0 until m).map(t =>
+          (t, ids(((ridx(s).toLong * 48271L + t * 2000003L + seed) % n).toInt)))
+        .filter { case (_, c) => c != s && !es.contains((s, c)) }
+        .groupBy(_._2).map { case (c, ts) => (ts.map(_._1).min, c) }
+        .toSeq.sorted.take(k)
+      cands.zipWithIndex.map { case ((_, c), i) => (s, (i + 1).toLong, c) }
+    }.toSet
+    assert(got.toSet == want)
+    // repartition invariance
+    val got2 = graft.algos.NeighborSample.negatives(spark, df.repartition(13), k, m, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == got.toSet)
+    got.foreach { case (s, _, c) => assert(!es.contains((s, c)) && s != c) }
+  }
+
   test("SimRank matches dense brute force on a seeded directed graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(29L)
