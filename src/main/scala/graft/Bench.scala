@@ -472,14 +472,20 @@ object Bench {
       // morning ceiling they never saw) — same principle as the query
       // guard's mem_gbps_at_rerun
       def runPair(comp: Boolean): (Double, Double, Double) = {
+        // bracket the pair: sample the ceiling before AND after the child
+        // runs and average — the children take 1-2 min, long enough for the
+        // host's available bandwidth to swing mid-pair, and a one-sided
+        // sample misattributes that swing to (or away from) the engine
         val mLo = memThroughput(lowCpus, runs = 1)
         val mHi = memThroughput(cpus, runs = 1)
-        val ceil = (mHi / mLo) / idealSpeedup
         val env = if (comp) Map("GRAFT_SHUFFLE_COMPRESS" -> "lz4")
                   else Map("GRAFT_SHUFFLE_COMPRESS" -> "")
         val (n, hi) = childThroughput(cpus, bigPath, bigIters, env)
         bigNnz = n
         val (_, lo) = childThroughput(lowCpus, bigPath, bigIters, env)
+        val mLo2 = memThroughput(lowCpus, runs = 1)
+        val mHi2 = memThroughput(cpus, runs = 1)
+        val ceil = ((mHi / mLo) + (mHi2 / mLo2)) / 2.0 / idealSpeedup
         (hi, lo, ceil)
       }
       val (hOff, lOff, cOff) = runPair(comp = false)
@@ -513,7 +519,14 @@ object Bench {
       // spread >1.4x, at least one pair hit a contention window; one more
       // sample tightens the median without upward bias
       val effs = his.result().zip(los.result()).collect { case (h, l) if l > 0 => h / l }
-      if (effs.size >= 3 && effs.max / math.max(effs.min, 1e-9) > 1.4 &&
+      // the gate statistic is the per-pair VS-CEILING ratio, so its spread
+      // matters just as much as the raw efficiencies' (a pair whose ceiling
+      // sample landed in a different window than its children shows up here)
+      val vsc = effs.zip(ceils.result()).collect {
+        case (e, c) if c > 0 => e / idealSpeedup / c }
+      def spread(xs: Seq[Double]) =
+        if (xs.isEmpty) 1.0 else xs.max / math.max(xs.min, 1e-9)
+      if (effs.size >= 3 && (spread(effs) > 1.4 || spread(vsc) > 1.4) &&
           elapsedSec < budget - pairCost) {
         val (h, l, c) = runPair(comp = lzWins)
         his += h; los += l; ceils += c

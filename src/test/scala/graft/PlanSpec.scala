@@ -104,6 +104,16 @@ class PlanSpec extends SparkTestBase {
       s"expected the single groupBy(doc_id) exchange:\n${finalPlan(df)}")
   }
 
+  test("fanout sampling has no global window (two salted aggregations)") {
+    val e = SparkEntry.edgesArithDirected(spark, sf)
+    val df = graft.algos.NeighborSample.fanout(spark, e, k = 2)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Window"),
+      s"fanout must never funnel a hub through a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected the salted collect_list aggregations:\n$plan")
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val e = spark.read.parquet(s"$sf/../sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)
