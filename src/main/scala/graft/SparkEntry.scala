@@ -712,6 +712,12 @@ object SparkEntry {
     // min-edge-hook + path-doubling oracle)
     "algo_boruvka" -> ((s, d) => Boruvka.msf(s, edgesArithWeighted(s, d))),
 
+    // Luby MIS with LCG priorities — same schedule as the unrolled oracle
+    // (the hash-score algo_mis stays rows-only; this one is DuckDB-exact)
+    "algo_mis_lcg" -> ((s, d) =>
+      MIS.runLcg(s, edgesArith(s, d))
+        .select(col("id"), col("inSet").cast("long").as("in_set"))),
+
     // SimRank (3 exact iterations, decimal-exact sums, dyadic C=13/16) —
     // vertex-pair similarity over the directed fixture's in-link structure
     "algo_simrank3" -> ((s, d) =>
@@ -1255,6 +1261,7 @@ object SparkEntry {
     "algo_coreness" -> corenessUnrolledSql(5, 4),
     "algo_trussness" -> trussnessUnrolledSql(6, 4),
     "algo_simrank3" -> simrankUnrolledSql(3),
+    "algo_mis_lcg" -> misUnrolledSql(24),
     "sample_fanout" -> fanoutSql(2, 7L),
     "sample_negatives" -> negativesSql(2, 8, 7L),
     "gb_rich_club" -> richClubSql,
@@ -1935,6 +1942,37 @@ mk AS (SELECT src, dst, max(k) AS mk FROM ($unions) GROUP BY src, dst)
 SELECT u.src, u.dst, CAST(COALESCE(mk.mk, 2) AS BIGINT) AS trussness
 FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     sb.toString
+  }
+
+  /** MIS.runLcg mirror: round i draws the same LCG priority for every
+    * remaining candidate, winners beat every CANDIDATE neighbor strictly,
+    * winners+neighbors leave the pool. Over-provisioned rounds are no-ops
+    * (empty candidate set ⇒ empty winners).
+    */
+  private def misUnrolledSql(rounds: Int): String = {
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+         |u0 AS (SELECT id FROM verts),
+         |m0 AS (SELECT id FROM verts WHERE 1=0)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      val j = i - 1
+      s"""sc$i AS MATERIALIZED (SELECT id, (id*48271 + $i*2000003 + 11213) % 1000000007 AS p FROM u$j),
+         |nm$i AS (SELECT und.a AS id, MAX(sc.p) AS mp FROM und
+         |  JOIN sc$i sc ON sc.id = und.b GROUP BY und.a),
+         |win$i AS MATERIALIZED (SELECT s.id FROM sc$i s
+         |  LEFT JOIN nm$i ON nm$i.id = s.id WHERE s.p > COALESCE(nm$i.mp, -1)),
+         |m$i AS MATERIALIZED (SELECT * FROM m$j UNION ALL SELECT id FROM win$i),
+         |rm$i AS (SELECT DISTINCT id FROM (
+         |  SELECT id FROM win$i UNION ALL
+         |  SELECT und.b FROM und JOIN win$i w ON w.id = und.a)),
+         |u$i AS MATERIALIZED (SELECT uu.id FROM u$j uu ANTI JOIN rm$i r ON r.id = uu.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$prelude,
+       |$rs
+       |SELECT v.id, CAST(m.id IS NOT NULL AS BIGINT) AS in_set
+       |FROM verts v LEFT JOIN m$rounds m ON m.id = v.id""".stripMargin
   }
 
   /** SimRank mirror (SimRank.scala): DECIMAL(38,15) contribution sums make

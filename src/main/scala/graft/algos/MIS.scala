@@ -30,6 +30,20 @@ object MIS {
     Iterate.withoutAQE(spark)(runLoop(spark, edges, maxIter, seed, numPartitions,
       checkpointDir, checkpointEvery, None))
 
+  /** SQL-mirrorable variant: pure LCG integer priorities (Coloring's trick)
+    * in place of the hash/degree draw — the same Luby schedule round for
+    * round, but exactly unrollable in the DuckDB oracle (xxhash64 has no
+    * SQL equivalent; the degree-weighted draw only changes EXPECTED round
+    * counts, not validity). The stall-reseed salt still perturbs draws on a
+    * stalled round, so termination is unconditional.
+    */
+  def runLcg(spark: SparkSession, edges: DataFrame, maxIter: Int = 100,
+             numPartitions: Int = 0): DataFrame =
+    Iterate.withoutAQE(spark)(runLoop(spark, edges, maxIter, 0L, numPartitions,
+      None, 10, Some((cand, it, salt) => cand.select(col("id"),
+        ((col("id") * 48271L + lit(it.toLong) * 2000003L + lit(11213L + salt))
+          % 1000000007L).cast("double").as("score")))))
+
   /** Test hook: override the per-round score draw. `scoreFn(candState, iter,
     * salt)` must return (id, score) rows for the candidates. Used by specs to
     * FORCE adjacent-equal scores and exercise the stall-reseed path, which is

@@ -848,6 +848,30 @@ class Round4LinkSpec extends SparkTestBase {
     assert(got.count(_._2 == 5L) == 10) // every K5 edge
   }
 
+  test("MIS.runLcg replays the exact LCG schedule and is a valid MIS") {
+    import spark.implicits._
+    val es = randGraph(45, 0.12, 57L)
+    val adj = adjOf(es)
+    // in-memory replay of the same schedule
+    var cand = adj.keySet
+    val inSet = mutable.Set[Long]()
+    var it = 0
+    while (cand.nonEmpty && it < 100) {
+      it += 1
+      def p(id: Long) = (id * 48271L + it * 2000003L + 11213L) % 1000000007L
+      val winners = cand.filter(v => (adj(v) & cand).forall(n => p(v) > p(n)))
+      inSet ++= winners
+      cand = cand -- winners -- winners.flatMap(adj)
+    }
+    val got = graft.algos.MIS.runLcg(spark, es.toSeq.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet == adj.keySet)
+    assert(got.filter(_._2).keySet == inSet.toSet)
+    // validity: independent + maximal
+    inSet.foreach(v => assert((adj(v) & inSet).isEmpty))
+    (adj.keySet -- inSet).foreach(v => assert((adj(v) & inSet).nonEmpty))
+  }
+
   test("richClub matches brute force on a seeded random graph") {
     import spark.implicits._
     val es = randGraph(40, 0.2, 91L)
