@@ -526,8 +526,13 @@ object Bench {
         case (e, c) if c > 0 => e / idealSpeedup / c }
       def spread(xs: Seq[Double]) =
         if (xs.isEmpty) 1.0 else xs.max / math.max(xs.min, 1e-9)
+      // the guard pair may START as long as the nominal budget isn't spent
+      // (unlike the optional extras, which must FIT): r4e lost its guard
+      // pair to the stricter check and recorded a 3-sample median with one
+      // known-contended pair. The JSON is written incrementally, so a
+      // driver kill mid-pair still leaves a valid artifact.
       if (effs.size >= 3 && (spread(effs) > 1.4 || spread(vsc) > 1.4) &&
-          elapsedSec < budget - pairCost) {
+          elapsedSec < budget) {
         val (h, l, c) = runPair(comp = lzWins)
         his += h; los += l; ceils += c
         writeOut(render(bigNnz, his.result(), los.result(), ceils.result(), abJson))

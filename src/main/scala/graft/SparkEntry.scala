@@ -655,6 +655,9 @@ object SparkEntry {
     "algo_bibcoupling" -> ((s, d) =>
       CoCitation.coupling(s, edgesArithDirected(s, d))),
 
+    // bipartite butterfly (4-cycle) count over the supplier→part graph
+    "gb_butterfly" -> ((s, d) => CoCitation.butterflies(s, edgesBi(s, d))),
+
     // SALSA — degree-normalized hub/authority walk (stochastic HITS)
     "algo_salsa5" -> ((s, d) =>
       SALSA.runFixed(s, edgesArithDirected(s, d), k = 5)
@@ -1290,6 +1293,11 @@ object SparkEntry {
     "gb_degree_hist" -> degreeHistSql,
     "algo_cocitation" -> cocitationSql(common = "src", paired = "dst"),
     "algo_bibcoupling" -> cocitationSql(common = "dst", paired = "src"),
+    "gb_butterfly" ->
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesBiSql)),
+         |p AS (SELECT l.src AS a, r.src AS b, count(*) AS n
+         |      FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src GROUP BY 1, 2)
+         |SELECT CAST(COALESCE(SUM(n*(n-1)//2), 0) AS BIGINT) AS butterflies FROM p""".stripMargin,
     "gb_contract" -> contractSql,
     "algo_salsa5" -> salsaUnrolledSql(5),
 

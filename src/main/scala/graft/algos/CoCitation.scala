@@ -35,6 +35,18 @@ object CoCitation {
                maxDegree: Long = 0L): DataFrame =
     wedgePairs(edges.select(col("dst").as("z"), col("src").as("u")), maxDegree)
 
+  /** Bipartite butterfly (4-cycle) count: Σ_{a<b, src side} C(n_ab, 2) over
+    * the common-neighbor counts — the bipartite clustering primitive
+    * (Wang et al., "Butterfly Counting in Bipartite Networks"). Reuses the
+    * capped wedge plan; the C(n,2) fold is exact long arithmetic
+    * (shiftright, no FP division).
+    */
+  def butterflies(spark: SparkSession, edges: DataFrame,
+                  maxDegree: Long = 0L): DataFrame =
+    coupling(spark, edges, maxDegree)
+      .agg(coalesce(sum(shiftright(col("n") * (col("n") - 1), 1)), lit(0L))
+        .as("butterflies"))
+
   // one co-partitioned self-join on the wedge center z; count per (a,b) pair
   // with map-side partial aggregation — never a per-center array
   private def wedgePairs(zu: DataFrame, maxDegree: Long): DataFrame = {

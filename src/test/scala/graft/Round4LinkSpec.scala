@@ -848,6 +848,21 @@ class Round4LinkSpec extends SparkTestBase {
     assert(got.count(_._2 == 5L) == 10) // every K5 edge
   }
 
+  test("butterflies matches brute-force 4-cycle count on a seeded bipartite graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71L)
+    // left ids 0..19, right ids 100..139
+    val es = (for { a <- 0 until 20; b <- 0 until 40 if rnd.nextDouble() < 0.15 }
+      yield (a.toLong, 100L + b)).toSet
+    val want = (for { a <- 0L until 20L; b <- a + 1 until 20L } yield {
+      val common = es.filter(_._1 == a).map(_._2) & es.filter(_._1 == b).map(_._2)
+      common.size.toLong * (common.size - 1) / 2
+    }).sum
+    val got = graft.algos.CoCitation.butterflies(spark, es.toSeq.toDF("src", "dst"))
+      .collect()(0).getLong(0)
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("MIS.runLcg replays the exact LCG schedule and is a valid MIS") {
     import spark.implicits._
     val es = randGraph(45, 0.12, 57L)
