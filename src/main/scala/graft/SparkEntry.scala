@@ -930,6 +930,13 @@ object SparkEntry {
     "gb_wathen" -> ((s, _) => GBMatrix.wathen(s, 4, 3,
         rhoFn = Some((i, j) => (pmod(i * lit(31L) + j, lit(7L)) + 1L).cast("double")))
       .df.select(col("src"), col("dst"), round(col("w"), 6).as("w"))),
+    // deterministic R-MAT power-law generator (zero-shuffle projection),
+    // dup-collapsed to a weighted simple multigraph histogram
+    "gb_rmat" -> ((s, d) => {
+      val n = s.read.parquet(s"$d/supplier.parquet").count()
+      GBMatrix.rmat(s, scale = 7, m = n * 20, seed = 11L)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }),
     "gb_repmat" -> ((s, d) => GBMatrix(nationAdj(s, d)).repmat(2, 3, 25, 5).df),
     "gb_mpower" -> ((s, d) => GBMatrix(nationCoRegion(s, d)).matrixPower(3).df),
 
@@ -1733,6 +1740,7 @@ object SparkEntry {
          |  SELECT dst, src, w FROM sym)) = 0 AS issym_sym""".stripMargin,
 
     "gb_wathen" -> wathenOracleSql,
+    "gb_rmat" -> rmatSql(scale = 7, seed = 11L, mult = 20, a16 = 9, b16 = 3, c16 = 3),
 
     "gb_flip" ->
       """SELECT CAST(24 - n_nationkey AS BIGINT) AS src,
@@ -1950,6 +1958,30 @@ mk AS (SELECT src, dst, max(k) AS mk FROM ($unions) GROUP BY src, dst)
 SELECT u.src, u.dst, CAST(COALESCE(mk.mk, 2) AS BIGINT) AS trussness
 FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     sb.toString
+  }
+
+  /** GBMatrix.rmat mirror: the same per-level LCG quadrant residues, bits
+    * summed as integer CASE terms — exact in both engines.
+    */
+  // squared-Lehmer residue, shared by both rmat SQL bit expressions
+  private def rmatR(l: Int, seed: Long): String =
+    s"(((i*48271 + $l*2000003 + ${seed + 987654321L}) % 1000000007) * ((i*48271 + $l*2000003 + ${seed + 987654321L}) % 1000000007)) % 1000000007 % 16"
+
+  private def rmatSql(scale: Int, seed: Long, mult: Int,
+                      a16: Int, b16: Int, c16: Int): String = {
+    val rowTerms = (0 until scale).map { l =>
+      s"(CASE WHEN ${rmatR(l, seed)} < ${a16 + b16} THEN 0 ELSE ${1L << l} END)"
+    }.mkString(" + ")
+    val colTerms = (0 until scale).map { l =>
+      val r = rmatR(l, seed)
+      s"(CASE WHEN $r < $a16 THEN 0 WHEN $r < ${a16 + b16} THEN ${1L << l}" +
+        s" WHEN $r < ${a16 + b16 + c16} THEN 0 ELSE ${1L << l} END)"
+    }.mkString(" + ")
+    s"""WITH ids AS (SELECT CAST((s.rn - 1) * $mult + t.x AS BIGINT) AS i
+       |  FROM (SELECT row_number() OVER () AS rn FROM supplier) s,
+       |       generate_series(0, ${mult - 1}) t(x)),
+       |e AS (SELECT $rowTerms AS src, $colTerms AS dst FROM ids)
+       |SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY 1, 2""".stripMargin
   }
 
   /** MIS.runLcg mirror: round i draws the same LCG priority for every

@@ -785,6 +785,42 @@ object GBMatrix {
       .build(Monoid.Plus)
   }
 
+  /** Deterministic R-MAT power-law edge generator (Chakrabarti et al. 2004;
+    * the Graph500 web-graph fixture family — the reference's `GrB.random`
+    * kin for SCALE-FREE inputs). Edge i picks one of four quadrants per
+    * recursion level by an LCG residue mod 16, with quadrant weights
+    * (a,b,c,16-a-b-c) in SIXTEENTHS — default 9/3/3/1 ≈ the paper's
+    * .57/.19/.19/.05, exact integer thresholds so the stream is mirrorable
+    * in ANSI SQL. A pure ZERO-SHUFFLE projection over `spark.range(m)`:
+    * generating 10^12 test edges fleet-wide moves no data at all.
+    * Duplicate edges are kept (natural R-MAT multi-edges) — feed through
+    * `build(dup)` / groupBy for a weighted simple graph.
+    */
+  def rmat(spark: SparkSession, scale: Int, m: Long, seed: Long = 42L,
+           a16: Int = 9, b16: Int = 3, c16: Int = 3): DataFrame = {
+    require(scale >= 1 && scale <= 62, "scale in [1,62]")
+    require(a16 >= 0 && b16 >= 0 && c16 >= 0 && a16 + b16 + c16 <= 16)
+    val base = spark.range(m).select(col("id").as("i"))
+    val bits = (0 until scale).map { l =>
+      // a NON-LINEAR mix before taking 4 low bits: 48271 ≡ -1 (mod 16), so
+      // the raw LCG's low bits form an arithmetic progression across levels
+      // (classic defect), and any further LINEAR map preserves that
+      // structure. Squaring mod 1e9+7 destroys it (h1 < 1e9+7 ⇒ h1² < 2⁶³,
+      // exact in Long and in DuckDB BIGINT; i ≤ 10^12 keeps the first
+      // product < 5e16). Verified: P(vertex 0) matches (a+b)/16^scale.
+      val h1 = (col("i") * 48271L + lit(l.toLong) * 2000003L +
+        lit(seed + 987654321L)) % 1000000007L
+      val r = (h1 * h1) % 1000000007L % 16L
+      val rowBit = when(r < a16 + b16, 0L).otherwise(1L)
+      val colBit = when(r < a16, 0L)
+        .otherwise(when(r < a16 + b16, 1L)
+          .otherwise(when(r < a16 + b16 + c16, 0L).otherwise(1L)))
+      (rowBit * (1L << l), colBit * (1L << l))
+    }
+    base.select(bits.map(_._1).reduce(_ + _).as("src"),
+      bits.map(_._2).reduce(_ + _).as("dst"))
+  }
+
   /** In-memory matrix for tests/fixtures. */
   def of(spark: SparkSession, entries: Seq[(Long, Long, Double)]): GBMatrix = {
     import spark.implicits._

@@ -848,6 +848,30 @@ class Round4LinkSpec extends SparkTestBase {
     assert(got.count(_._2 == 5L) == 10) // every K5 edge
   }
 
+  test("rmat matches the in-memory bit walk and is a zero-shuffle projection") {
+    val (m, scale, seed) = (500L, 7, 11L)
+    val want = (0L until m).map { i =>
+      var src = 0L; var dst = 0L
+      for (l <- 0 until scale) {
+        val h1 = (i * 48271L + l * 2000003L + seed + 987654321L) % 1000000007L
+        val r = (h1 * h1) % 1000000007L % 16L
+        val row = if (r < 12) 0L else 1L
+        val colb = if (r < 9) 0L else if (r < 12) 1L else if (r < 15) 0L else 1L
+        src |= row << l; dst |= colb << l
+      }
+      (src, dst)
+    }
+    val df = graft.core.GBMatrix.rmat(spark, scale, m, seed)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "rmat must be a pure projection")
+    // skew sanity: the a-quadrant corner vertex dominates (power law)
+    val deg = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(deg(0L) == deg.values.max)
+  }
+
   test("butterflies matches brute-force 4-cycle count on a seeded bipartite graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(71L)
