@@ -126,6 +126,29 @@ object SparkEntry {
     s"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, 1.0 AS w FROM (VALUES $rows) t(src, dst)"
   }
 
+  /** Directed appendix grafted onto the arithmetic fixture so the bow-tie
+    * query exercises classes beyond CORE at every SF: 2000000 feeds vertex 0
+    * (IN-side when 0 reaches the giant SCC), 0 feeds 2000001 (OUT-side),
+    * 2000002 is a dead-end off 2000000 (tendril), 2000003 bridges
+    * 2000000→2000001 bypassing the core (tube), and 2000004⇄2000005 is a
+    * detached 2-cycle (DISC). Classification is computed, not assumed — the
+    * oracle runs the same closure whatever the arith graph's core is.
+    */
+  private val plantedBowtiePairs: Seq[(Long, Long)] = Seq(
+    (2000000L, 0L), (0L, 2000001L), (2000000L, 2000002L),
+    (2000000L, 2000003L), (2000003L, 2000001L),
+    (2000004L, 2000005L), (2000005L, 2000004L))
+
+  private def plantedBowtie(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    plantedBowtiePairs.toDF("src", "dst")
+  }
+
+  private val plantedBowtieSql = {
+    val rows = plantedBowtiePairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM (VALUES $rows) t(src, dst)"
+  }
+
   /** Directed variant of the arithmetic fixture (no canonicalization): the
     * three residue maps give out-degree ≤3 per vertex and long cycles, so
     * the graph has a non-trivial SCC structure (sf0.01: one 80-vertex giant
@@ -590,6 +613,24 @@ object SparkEntry {
       RandomWalk.run(s, starts, verts, steps = 4)
     }),
 
+    // node2vec SECOND-ORDER biased walks (p=2, q=1/2 as integer weights
+    // 1/2/4), same Lehmer slots — window prefix-sum oracle replays them
+    "algo_node2vec" -> ((s, d) => {
+      val e = edgesArith(s, d)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+        .filter(col("id") % 10 === 0)
+      Node2Vec.run(s, e, verts, steps = 4)
+    }),
+
+    // MAX-MIN (bottleneck) semiring: single-source widest path over the
+    // undirected integer-weighted fixture; finite-closure recursive oracle
+    "algo_widest" -> ((s, d) => {
+      val e = edgesArithWeighted(s, d)
+      WidestPath.run(s, e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"), col("w"))), source = 0L)
+    }),
+
     // one-row structural graph profile (n, m, degree stats, wedges,
     // triangles, global clustering coefficient)
     "gb_graph_stats" -> ((s, d) =>
@@ -631,6 +672,20 @@ object SparkEntry {
     // level per component (max-plus fixpoint, rounds = DAG depth)
     "algo_condensation" -> ((s, d) =>
       SCC.condense(s, edgesArithDirected(s, d))),
+
+    // full Broder bow-tie decomposition (CORE/IN/OUT/TUBE/TENDRIL/DISC) of
+    // the directed fixture + a planted appendix covering the non-core
+    // classes; transitive-closure oracle
+    "algo_bowtie" -> ((s, d) =>
+      Bowtie.run(s, edgesArithDirected(s, d)
+        .unionByName(plantedBowtie(s)))),
+
+    // TrustRank + relative spam mass: teleport biased onto the id%10==0
+    // trusted set (a PREDICATE, not a watchlist literal); mass computed
+    // from 8-dp-rounded pr/tr identically on both sides
+    "algo_spam_mass" -> ((s, d) =>
+      TrustRank.spamMass(s, edgesBi(s, d), k = 5,
+        trusted = col("id") % 10 === 0)),
 
     // multi-level Louvain communities (integer-exact ΔQ, deterministic).
     // No SQL oracle — a two-level data-dependent fixpoint; differential-
@@ -1283,6 +1338,8 @@ object SparkEntry {
     "algo_hits5" -> hitsUnrolledSql(5),
     "algo_ppr5" -> pagerankUnrolledSql(5, seeds = Seq(1L, 3L, 7L)),
     "algo_randomwalk" -> randomWalkSql(4),
+    "algo_node2vec" -> node2vecSql(4),
+    "algo_widest" -> widestSql,
     "gb_graph_stats" -> graphStatsSql,
     "algo_scc" -> sccSql,
     "gb_modularity" -> modularitySql,
@@ -1296,6 +1353,8 @@ object SparkEntry {
     "gb_reciprocity" -> reciprocitySql,
     "algo_edge_jaccard" -> edgeJaccardSql,
     "algo_condensation" -> condensationSql,
+    "algo_bowtie" -> bowtieSql,
+    "algo_spam_mass" -> spamMassSql,
     "algo_eigen5" -> eigenUnrolledSql(5),
     "gb_degree_hist" -> degreeHistSql,
     "algo_cocitation" -> cocitationSql(common = "src", paired = "dst"),
@@ -2152,6 +2211,60 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     s"$prelude,\n$hops\nSELECT walk, step, v FROM ($sel)"
   }
 
+  /** node2vec second-order walk replay: per hop, rank the neighborhood,
+    * weight each neighbor by its return/common/outward class (1/2/4), prefix-
+    * sum in rank order, and land the Lehmer slot in its weight interval —
+    * the same pure function of (walk, step, position) the engine computes.
+    */
+  private def node2vecSql(steps: Int): String = {
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |ranked AS MATERIALIZED (SELECT a AS v, b AS nxt,
+         |    CAST(row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS deg
+         |  FROM und),
+         |w0 AS (SELECT DISTINCT v AS walk, v FROM ranked WHERE v % 10 = 0),
+         |w1 AS MATERIALIZED (SELECT w.walk, w.v AS prev, r.nxt AS v
+         |  FROM w0 w JOIN ranked r ON r.v = w.v
+         |  AND r.rk = (w.walk * 48271 + 11213 + w.v * 7919) % r.deg)""".stripMargin
+    val hops = (2 to steps).map { t =>
+      s"""n$t AS (SELECT w.walk, w.prev, w.v, r.nxt, r.rk,
+         |    CASE WHEN r.nxt = w.prev THEN 1
+         |         WHEN c.src IS NOT NULL THEN 2 ELSE 4 END AS wgt
+         |  FROM w${t - 1} w JOIN ranked r ON r.v = w.v
+         |  LEFT JOIN canon c ON c.src = LEAST(w.prev, r.nxt) AND c.dst = GREATEST(w.prev, r.nxt)),
+         |c$t AS MATERIALIZED (SELECT *,
+         |    COALESCE(sum(wgt) OVER (PARTITION BY walk ORDER BY rk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    sum(wgt) OVER (PARTITION BY walk) AS tot
+         |  FROM n$t),
+         |w$t AS MATERIALIZED (SELECT walk, v AS prev, nxt AS v FROM c$t
+         |  WHERE (walk * 48271 + $t * 11213 + v * 7919) % tot >= cum
+         |    AND (walk * 48271 + $t * 11213 + v * 7919) % tot < cum + wgt)""".stripMargin
+    }.mkString(",\n")
+    val sel = (s"SELECT walk, CAST(0 AS BIGINT) AS step, v FROM w0" +:
+      (1 to steps).map(t => s"SELECT walk, CAST($t AS BIGINT) AS step, v FROM w$t"))
+      .mkString(" UNION ALL ")
+    s"$prelude,\n$hops\nSELECT walk, step, v FROM ($sel)"
+  }
+
+  /** Widest path by finite closure: (id, width) states only ever take
+    * values from the finite edge-weight set (plus the 1e18 seed), so the
+    * recursive UNION terminates; MAX per id is the max-min fixpoint.
+    */
+  private def widestSql: String =
+    s"""WITH RECURSIVE canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
+       |ew AS MATERIALIZED (SELECT src AS a, dst AS b,
+       |  CAST((src*7 + dst*13) % 97 + 1 AS DOUBLE) AS w FROM canon),
+       |ue AS (SELECT a, b, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+       |wp AS (
+       |  SELECT CAST(0 AS BIGINT) AS id, CAST(1e18 AS DOUBLE) AS wd
+       |  UNION
+       |  SELECT ue.b, LEAST(wp.wd, ue.w) FROM wp JOIN ue ON ue.a = wp.id
+       |)
+       |SELECT id, MAX(wd) AS width FROM wp GROUP BY id""".stripMargin
+
   /** SCC by brute transitive closure — viable because the oracle runs at
     * sf0.01 (100 vertices); the engine side is the scalable trim+color+sweep.
     */
@@ -2202,6 +2315,107 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
        |sccs AS (SELECT DISTINCT scc FROM sccm)
        |SELECT sccs.scc, CAST(COALESCE(ml.level, 0) AS BIGINT) AS level
        |FROM sccs LEFT JOIN ml ON ml.scc = sccs.scc""".stripMargin
+
+  /** Broder bow-tie classification via two transitive closures (directed +
+    * undirected) — mirrors algos/Bowtie exactly: CORE = largest SCC (tie:
+    * min label); IN/OUT = backward/forward reach minus CORE; TUBE =
+    * weak-component vertex both reachable from IN and reaching OUT; TENDRIL
+    * = rest of the weak component; DISC = the rest.
+    */
+  private def bowtieSql: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT src, dst FROM ($edgesArithDirSql)
+       |  UNION SELECT src, dst FROM ($plantedBowtieSql)),
+       |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |reach AS (
+       |  SELECT src AS a, dst AS b FROM e
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+       |),
+       |mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+       |           JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+       |sccm AS MATERIALIZED (SELECT verts.id AS id,
+       |    CAST(LEAST(verts.id, COALESCE(MIN(m.u), verts.id)) AS BIGINT) AS scc
+       |  FROM verts LEFT JOIN mutual m ON m.v = verts.id GROUP BY verts.id),
+       |corel AS (SELECT scc FROM (SELECT scc, count(*) AS sz FROM sccm GROUP BY scc)
+       |          ORDER BY sz DESC, scc ASC LIMIT 1),
+       |core AS MATERIALIZED (SELECT id FROM sccm WHERE scc = (SELECT scc FROM corel)),
+       |-- NOTE: under WITH RECURSIVE, DuckDB executes a TOP-LEVEL-UNION CTE
+       |-- without the final dedup (and rejects EXCEPT outright), so every set
+       |-- here is a DISTINCT over UNION ALL, and set difference is ANTI JOIN
+       |fwd AS (SELECT DISTINCT id FROM (SELECT id FROM core
+       |  UNION ALL SELECT r.b FROM reach r JOIN core c ON c.id = r.a)),
+       |bwd AS (SELECT DISTINCT id FROM (SELECT id FROM core
+       |  UNION ALL SELECT r.a FROM reach r JOIN core c ON c.id = r.b)),
+       |ins AS MATERIALIZED (SELECT bwd.id FROM bwd ANTI JOIN core ON core.id = bwd.id),
+       |outs AS MATERIALIZED (SELECT fwd.id FROM fwd ANTI JOIN core ON core.id = fwd.id),
+       |ue AS (SELECT DISTINCT s, t FROM (SELECT src AS s, dst AS t FROM e
+       |  UNION ALL SELECT dst, src FROM e)),
+       |ureach AS (
+       |  SELECT s AS a, t AS b FROM ue
+       |  UNION
+       |  SELECT r.a, ue.t FROM ureach r JOIN ue ON ue.s = r.b
+       |),
+       |weakv AS (SELECT DISTINCT id FROM (SELECT id FROM core
+       |  UNION ALL SELECT r.b FROM ureach r JOIN core c ON c.id = r.a)),
+       |fin AS (SELECT DISTINCT id FROM (SELECT id FROM ins
+       |  UNION ALL SELECT r.b FROM reach r JOIN ins i ON i.id = r.a)),
+       |tout AS (SELECT DISTINCT id FROM (SELECT id FROM outs
+       |  UNION ALL SELECT r.a FROM reach r JOIN outs o ON o.id = r.b))
+       |SELECT v.id,
+       |  CASE WHEN c.id IS NOT NULL THEN 'CORE'
+       |       WHEN i.id IS NOT NULL THEN 'IN'
+       |       WHEN o.id IS NOT NULL THEN 'OUT'
+       |       WHEN w.id IS NOT NULL AND f.id IS NOT NULL AND t.id IS NOT NULL THEN 'TUBE'
+       |       WHEN w.id IS NOT NULL THEN 'TENDRIL'
+       |       ELSE 'DISC' END AS cls
+       |FROM verts v
+       |LEFT JOIN core c ON c.id = v.id
+       |LEFT JOIN ins i ON i.id = v.id
+       |LEFT JOIN outs o ON o.id = v.id
+       |LEFT JOIN weakv w ON w.id = v.id
+       |LEFT JOIN fin f ON f.id = v.id
+       |LEFT JOIN tout t ON t.id = v.id""".stripMargin
+
+  /** Two unrolled 5-iteration chains over one shared prelude: `p_*` uniform
+    * PageRank, `t_*` TrustRank (teleport + sink mass on the id%10==0 seed
+    * set — a predicate, like the engine's). Mass from 8-dp-rounded ranks,
+    * the identical float expression on both sides.
+    */
+  private def spamMassSql: String = {
+    val k = 5
+    def iters(px: String, base: Int => String) = (1 to k).map { i =>
+      s"""${px}s$i AS (SELECT sum(${px}r${i - 1}.r) AS m FROM ${px}r${i - 1}
+         |        JOIN deg ON deg.id = ${px}r${i - 1}.id AND deg.sink),
+         |${px}c$i AS MATERIALIZED (SELECT e.dst AS id, sum(${px}r${i - 1}.r / deg.d) AS c
+         |        FROM e JOIN ${px}r${i - 1} ON ${px}r${i - 1}.id = e.src
+         |        JOIN deg ON deg.id = e.src GROUP BY e.dst),
+         |${px}r$i AS MATERIALIZED (SELECT verts.id,
+         |        ${base(i)} + 0.85 * COALESCE(${px}c$i.c, 0) AS r
+         |        FROM verts CROSS JOIN n CROSS JOIN ns CROSS JOIN ${px}s$i
+         |        LEFT JOIN ${px}c$i ON ${px}c$i.id = verts.id)""".stripMargin
+    }.mkString(",\n")
+    val pBase = (i: Int) => s"0.15 / n.n + 0.85 * COALESCE(p_s$i.m, 0) / n.n"
+    val tBase = (i: Int) =>
+      s"""CASE WHEN verts.id % 10 = 0
+         |THEN 0.15 / ns.c + 0.85 * COALESCE(t_s$i.m, 0) / ns.c ELSE 0.0 END""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT src, dst, w FROM ($edgesBiSql)),
+       |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts WHERE id % 10 = 0),
+       |deg AS MATERIALIZED (SELECT verts.id, COALESCE(o.d, 1.0) AS d, o.d IS NULL AS sink
+       |        FROM verts LEFT JOIN (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d
+       |                              FROM e GROUP BY src) o ON verts.id = o.id),
+       |p_r0 AS MATERIALIZED (SELECT id, 1.0 / n.n AS r FROM verts, n),
+       |t_r0 AS MATERIALIZED (SELECT id, CASE WHEN id % 10 = 0 THEN 1.0 / ns.c ELSE 0.0 END AS r FROM verts, ns),
+       |${iters("p_", pBase)},
+       |${iters("t_", tBase)},
+       |pr8 AS (SELECT id, round(r, 8) AS pr FROM p_r$k),
+       |tr8 AS (SELECT id, round(r, 8) AS tr FROM t_r$k)
+       |SELECT pr8.id, pr8.pr, tr8.tr,
+       |  round((pr8.pr - tr8.tr) / pr8.pr, 6) AS spam_mass
+       |FROM pr8 JOIN tr8 ON tr8.id = pr8.id""".stripMargin
+  }
 
   private def modularitySql: String =
     s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),

@@ -121,4 +121,22 @@ class PlanSpec extends SparkTestBase {
       graft.pipeline.Similarity.bruteForceTopK(e, q, k = 3))
     assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
   }
+
+  test("node2vec walk plan: equi-joins only, cached adjacency reused") {
+    import spark.implicits._
+    val es = (0L until 60L).flatMap(i => Seq((i, (i * 2 + 1) % 60), (i, (i * 3 + 7) % 60)))
+      .filter(e => e._1 != e._2)
+    val df = es.toDF("src", "dst").withColumn("w", lit(1.0))
+    val starts = es.map(_._1).distinct.toDF("id")
+    val out = graft.algos.Node2Vec.run(spark, df, starts, steps = 3)
+    val plan = finalPlan(out)
+    // the weight classes come from an equi-join on the canonical pair and a
+    // frontier-sized window — never a cartesian (the printed exchange count
+    // is NOT meaningful here: each union branch re-prints the shared hop
+    // lineage, so it grows quadratically in the printout while execution
+    // reuses the cached adjacency and deduped exchanges)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in walk plan:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"ranked adjacency not served from cache:\n$plan")
+  }
 }

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algos.{Bowtie, Node2Vec, PageRank, RandomWalk, TrustRank, WidestPath}
+
+/** Round-4 web-structure batch: Broder bow-tie decomposition and
+  * TrustRank/spam-mass — pinned on hand-built graphs where every class and
+  * every mass value is known exactly, plus an algebraic identity tying
+  * TrustRank back to PageRank.
+  */
+class Round4WebSpec extends SparkTestBase {
+
+  test("Bowtie classifies all six classes exactly on a hand-built graph") {
+    // core 3-cycle {10,11,12}; chain 0→1→core (IN); core→20→21 (OUT);
+    // 1→30→20 bypasses the core (TUBE); 1→40 dead end and 41→20 (TENDRILs,
+    // one hanging off IN, one feeding OUT); 50→51 detached (DISC)
+    val es = Set(
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (0L, 1L), (1L, 10L),
+      (12L, 20L), (20L, 21L),
+      (1L, 30L), (30L, 20L),
+      (1L, 40L), (41L, 20L),
+      (50L, 51L))
+    val got = Bowtie.run(spark, edgesDF(es)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(
+      10L -> "CORE", 11L -> "CORE", 12L -> "CORE",
+      0L -> "IN", 1L -> "IN",
+      20L -> "OUT", 21L -> "OUT",
+      30L -> "TUBE",
+      40L -> "TENDRIL", 41L -> "TENDRIL",
+      50L -> "DISC", 51L -> "DISC")
+    assert(got == want, s"got=$got")
+  }
+
+  test("Bowtie core tie-break picks the smallest component label") {
+    // two disjoint 2-cycles, equal size: core must be {0,1} (label 0), the
+    // other weakly-disconnected 2-cycle is DISC
+    val es = Set((0L, 1L), (1L, 0L), (5L, 6L), (6L, 5L))
+    val got = Bowtie.run(spark, edgesDF(es)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "CORE", 1L -> "CORE", 5L -> "DISC", 6L -> "DISC"))
+  }
+
+  test("TrustRank with an all-trusted seed set IS uniform PageRank") {
+    val es = cover
+    val tr = dfToVec(TrustRank.runFixed(spark, edgesDF(es), k = 7, lit(true)))
+    val pr = dfToVec(PageRank.runFixed(spark, edgesDF(es), k = 7))
+    assertVecEq(tr, pr, tol = 1e-12, ctx = "trusted=all vs uniform")
+  }
+
+  test("spam mass: unreachable farm scores 1, trusted cluster stays low") {
+    // trusted mutual pair {0,1}; spam farm {10,11} the seeds cannot reach
+    val es = Set((0L, 1L), (1L, 0L), (10L, 11L), (11L, 10L))
+    val rows = TrustRank.spamMass(spark, edgesDF(es), k = 10,
+      trusted = col("id") <= 1).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // no trust flows into the farm: tr=0 exactly, mass = (pr-0)/pr = 1
+    assert(rows(10L)._2 == 0.0 && rows(10L)._3 == 1.0, s"farm: ${rows(10L)}")
+    assert(rows(11L)._2 == 0.0 && rows(11L)._3 == 1.0, s"farm: ${rows(11L)}")
+    // the trusted pair holds ALL the trust (tr=0.5 each by symmetry) while
+    // uniform pr splits across 4 vertices (0.25 each): mass is negative
+    assert(math.abs(rows(0L)._2 - 0.5) < 1e-8 && rows(0L)._3 < 0.0, s"seed: ${rows(0L)}")
+    // tr is a probability distribution
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-8)
+  }
+
+  test("TrustRank matches a dense in-memory mimic on the cover digraph") {
+    val es = cover
+    val trusted = Set(0L, 6L)
+    val k = 6
+    val verts = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val n = verts.size
+    val idx = verts.zipWithIndex.toMap
+    val outDeg = verts.map(v => es.count(_._1 == v).toDouble max 1.0)
+    val sink = verts.map(v => !es.exists(_._1 == v))
+    val ns = trusted.size.toDouble
+    var r = verts.map(v => if (trusted(v)) 1.0 / ns else 0.0).toArray
+    for (_ <- 1 to k) {
+      val sinkMass = verts.indices.collect { case i if sink(i) => r(i) }.sum
+      val base = 0.15 / ns + 0.85 * sinkMass / ns
+      val nxt = Array.fill(n)(0.0)
+      for ((s, d) <- es.toSeq)
+        nxt(idx(d)) += 0.85 * r(idx(s)) / outDeg(idx(s))
+      for (i <- verts.indices if trusted(verts(i))) nxt(i) += base
+      r = nxt
+    }
+    val want = verts.zipWithIndex.map { case (v, i) => v -> r(i) }.toMap
+    val got = dfToVec(TrustRank.runFixed(spark, edgesDF(es), k,
+      col("id").isin(trusted.toSeq: _*)))
+    assertVecEq(got, want, tol = 1e-12, ctx = "dense mimic")
+  }
+
+  test("WidestPath matches a max-min closure mimic on a seeded weighted graph") {
+    val rnd = new scala.util.Random(7L)
+    val n = 30
+    val es = (for { a <- 0 until n; b <- 0 until n
+                    if a != b && rnd.nextDouble() < 0.12 }
+      yield (a.toLong, b.toLong, (1 + rnd.nextInt(9)).toDouble))
+    import spark.implicits._
+    val df = es.toDF("src", "dst", "w")
+    // Floyd-Warshall-style max-min closure from source 0
+    val wmat = Array.fill(n, n)(0.0)
+    es.foreach { case (a, b, w) => wmat(a.toInt)(b.toInt) = math.max(wmat(a.toInt)(b.toInt), w) }
+    val best = Array.fill(n)(0.0); best(0) = WidestPath.Unbounded
+    var changed = true
+    while (changed) {
+      changed = false
+      for (a <- 0 until n; b <- 0 until n if wmat(a)(b) > 0) {
+        val cand = math.min(best(a), wmat(a)(b))
+        if (cand > best(b)) { best(b) = cand; changed = true }
+      }
+    }
+    val vertsInGraph = es.flatMap(e => Seq(e._1, e._2)).toSet
+    val want = (0 until n).collect {
+      case v if best(v) > 0 && vertsInGraph(v.toLong) => v.toLong -> best(v)
+    }.toMap
+    val got = WidestPath.run(spark, df, source = 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+  }
+
+  test("Node2Vec step 1 equals RandomWalk's uniform first hop; all steps deterministic") {
+    val es = randWeighted(40, 0.15, 31L)
+    import spark.implicits._
+    val df = es.toDF("src", "dst").withColumn("w", lit(1.0))
+    val starts = es.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+    val n2v = Node2Vec.run(spark, df, starts, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rw = RandomWalk.run(spark, df, starts, steps = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rw.foreach { case ((w, t), v) => assert(n2v((w, t)) == v, s"walk $w step $t") }
+    val again = Node2Vec.run(spark, df, starts, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(n2v == again)
+  }
+
+  test("Node2Vec replays a driver-side mimic of the biased slot choice") {
+    val es = randWeighted(25, 0.2, 17L)
+    import spark.implicits._
+    val df = es.toDF("src", "dst").withColumn("w", lit(1.0))
+    val undAdj = scala.collection.mutable.Map[Long, List[Long]]()
+    val eset = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    eset.foreach { case (a, b) =>
+      undAdj(a) = b :: undAdj.getOrElse(a, Nil)
+      undAdj(b) = a :: undAdj.getOrElse(b, Nil)
+    }
+    val adj = undAdj.map { case (k, v) => k -> v.sorted.toIndexedSeq }.toMap
+    val startIds = adj.keySet.toSeq.sorted
+    val steps = 4
+    val want = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (w <- startIds) {
+      var prev = -1L; var v = w
+      want((w, 0L)) = v
+      for (t <- 1 to steps) {
+        val nbrs = adj(v)
+        val nv = if (t == 1) nbrs(((w * 48271 + t * 11213 + v * 7919) % nbrs.size).toInt)
+        else {
+          val wgts = nbrs.map { x =>
+            if (x == prev) 1L
+            else if (eset((math.min(prev, x), math.max(prev, x)))) 2L
+            else 4L
+          }
+          val tot = wgts.sum
+          val slot = (w * 48271 + t * 11213 + v * 7919) % tot
+          var acc = 0L; var pick = nbrs.head
+          nbrs.indices.foreach { i =>
+            if (slot >= acc && slot < acc + wgts(i)) pick = nbrs(i)
+            acc += wgts(i)
+          }
+          pick
+        }
+        prev = v; v = nv
+        want((w, t.toLong)) = v
+      }
+    }
+    val got = Node2Vec.run(spark, df, startIds.toDF("id"), steps).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want.toMap,
+      s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
+  /** Seeded directed pair list (may contain both directions). */
+  private def randWeighted(n: Int, p: Double, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    for { a <- 0 until n; b <- 0 until n if a != b && rnd.nextDouble() < p }
+      yield (a.toLong, b.toLong)
+  }
+}
