@@ -522,6 +522,17 @@ object SparkEntry {
       Betweenness.run(s, path).select(col("id"), round(col("bc"), 6).as("bc"))
     }),
 
+    // Brandes-Pich pivot-sampled BC estimate (the scale path: |S| sources
+    // instead of n, extrapolated by n/|S|) on the same closed-form fixture
+    "algo_betweenness_est" -> ((s, d) => {
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("k"))
+      val path = n.filter(col("k") < 24)
+        .select(col("k").as("src"), (col("k") + 1L).as("dst"))
+      Betweenness.run(s, path, sources = Seq(0L, 5L, 10L, 15L, 20L))
+        .select(col("id"), round(col("bc") * 5.0, 6).as("bc_est"))
+    }),
+
     // §2.10 connected components (min-label propagation to fixpoint)
     "algo_cc" -> ((s, d) => ConnectedComponents.run(s, edgesSup(s, d))),
 
@@ -529,6 +540,19 @@ object SparkEntry {
     // the high-diameter web-graph path); exact same (id, min-id) output
     "algo_cc_fastsv" -> ((s, d) =>
       ConnectedComponents.run(s, edgesSup(s, d), fastsv = true)),
+
+    // incremental components for a crawl delta: solve ~90% of the edges as
+    // the "existing" corpus, absorb the deterministic-coin 10% as the delta
+    // via label contraction — must equal the batch answer (the oracle)
+    "algo_cc_delta" -> ((s, d) => {
+      val e = edgesSup(s, d)
+      val M = 1000003L
+      val coin = (((col("src") % M) * 48271L + 11L) % M
+        * (((col("dst") % M) * 7919L + 7L) % M)) % M % 10L
+      ConnectedComponents.incremental(s,
+        ConnectedComponents.run(s, e.filter(coin =!= 0L)),
+        e.filter(coin === 0L))
+    }),
 
     // §2.10 BFS levels + parents (any-pair frontier, min-determinized
     // any.first parent per bfs.m:149-167) from the min supplier
@@ -663,6 +687,23 @@ object SparkEntry {
       GraphStats.assortativity(s, edgesArith(s, d))
         .select(col("pairs"), round(col("assortativity"), 8).as("assortativity"))),
 
+    // per-community conductance of the id%5 labeling (cut-quality metric;
+    // exact integer vol/cut, one mirrored division)
+    "gb_conductance" -> ((s, d) => {
+      val e = edgesArith(s, d)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      GraphStats.conductance(s, e,
+        verts.select(col("id"), (col("id") % 5).as("label")))
+        .select(col("label"), col("vol"), col("cut"),
+          round(col("conductance"), 8).as("conductance"))
+    }),
+
+    // 1-WL color refinement, 3 exact rounds (arithmetic multiset combiner
+    // mod the largest prime < 2^31 — engine-independent colors)
+    "algo_wl_refine" -> ((s, d) =>
+      WLRefinement.run(s, edgesArith(s, d), maxRounds = 3, earlyExit = false)),
+
     // batched multi-source BFS: 64 traversals share one frontier via a
     // 64-bit mask + bit_or semiring (exact hop counts from 3 seeds)
     "algo_msbfs" -> ((s, d) =>
@@ -712,6 +753,17 @@ object SparkEntry {
 
     // bipartite butterfly (4-cycle) count over the supplier→part graph
     "gb_butterfly" -> ((s, d) => CoCitation.butterflies(s, edgesBi(s, d))),
+
+    // per-vertex K4 participation (ordered triangle extension; the planted
+    // 5-clique pins C(4,3)=4 per member at every SF)
+    "gb_4cliques" -> ((s, d) =>
+      CliqueCount.fourCliques(s,
+        edgesArith(s, d).unionByName(plantedClique(s)))),
+
+    // DOULION sampled triangle estimate at p=1/2 (deterministic arithmetic
+    // coin — the tunable-cost census path; same sample in any engine)
+    "algo_tricount_est" -> ((s, d) =>
+      TriangleCount.estimate(s, edgesSup(s, d), invP = 2)),
 
     // SALSA — degree-normalized hub/authority walk (stochastic HITS)
     "algo_salsa5" -> ((s, d) =>
@@ -1355,6 +1407,10 @@ object SparkEntry {
     "algo_condensation" -> condensationSql,
     "algo_bowtie" -> bowtieSql,
     "algo_spam_mass" -> spamMassSql,
+    "gb_conductance" -> conductanceSql,
+    "algo_wl_refine" -> wlRefineSql(3),
+    "gb_4cliques" -> fourCliquesSql,
+    "algo_tricount_est" -> tricountEstSql(2),
     "algo_eigen5" -> eigenUnrolledSql(5),
     "gb_degree_hist" -> degreeHistSql,
     "algo_cocitation" -> cocitationSql(common = "src", paired = "dst"),
@@ -1372,21 +1428,28 @@ object SparkEntry {
     "gb_row_extract" ->
       s"""SELECT dst AS id, w AS v FROM ($edgesBiSql) WHERE src = 7""",
 
-    "algo_cc" ->
-      s"""WITH RECURSIVE e AS (SELECT src, dst FROM ($edgesSupSql)),
-         |und AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
-         |verts AS (SELECT DISTINCT s AS v FROM und),
-         |reach(node, lab) AS (
-         |  SELECT v, v FROM verts
-         |  UNION
-         |  SELECT und.d, reach.lab FROM reach JOIN und ON und.s = reach.node)
-         |SELECT node AS id, min(lab) AS comp FROM reach GROUP BY node""".stripMargin,
+    "algo_cc" -> ccFullSql,
+    // the incremental path must land on the BATCH answer for the same graph
+    "algo_cc_delta" -> ccFullSql,
 
     // path-graph BC closed form: vertex i sits on i·(24−i) shortest pairs
     "algo_betweenness" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |round(CAST(n_nationkey * (24 - n_nationkey) AS DOUBLE), 6) AS bc
         |FROM nation""".stripMargin,
+
+    // Brandes-Pich pivot estimate on the path: δ_s(v) has the closed form
+    // (v>s: 24−v; v<s: v; else 0); halve (both-endpoint convention) and
+    // scale by n/|S| = 5
+    "algo_betweenness_est" ->
+      """WITH verts AS (SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation),
+        |piv AS (SELECT CAST(s AS BIGINT) AS s FROM (VALUES (0),(5),(10),(15),(20)) t(s)),
+        |dep AS (SELECT verts.v, sum(CASE WHEN verts.v > piv.s THEN 24 - verts.v
+        |                                 WHEN verts.v < piv.s THEN verts.v
+        |                                 ELSE 0 END) AS dsum
+        |        FROM verts CROSS JOIN piv GROUP BY verts.v)
+        |SELECT v AS id, round(CAST(dsum AS DOUBLE) / 2.0 * 5.0, 6) AS bc_est
+        |FROM dep""".stripMargin,
 
     // the sf0.01 bipartite graph's mimic-derived convergence constant:
     // delta crosses 1e-6 at iteration 2 (1.93e-5 → 7.8e-7; the 22% margin
@@ -2415,6 +2478,104 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
        |SELECT pr8.id, pr8.pr, tr8.tr,
        |  round((pr8.pr - tr8.tr) / pr8.pr, 6) AS spam_mass
        |FROM pr8 JOIN tr8 ON tr8.id = pr8.id""".stripMargin
+  }
+
+  /** Per-community conductance of the id%5 labeling — exact integer vol/cut
+    * (each boundary edge counted toward both communities), one mirrored
+    * float division with the min-volume denominator.
+    */
+  private def conductanceSql: String =
+    s"""WITH $arithCanonCte,
+       |tagged AS MATERIALIZED (SELECT src % 5 AS la, dst % 5 AS lb FROM canon),
+       |m AS (SELECT count(*) AS m FROM tagged),
+       |vol AS (SELECT l, count(*) AS vol FROM (
+       |  SELECT la AS l FROM tagged UNION ALL SELECT lb FROM tagged) GROUP BY l),
+       |cut AS (SELECT l, count(*) AS cut FROM (
+       |  SELECT la AS l FROM tagged WHERE la <> lb
+       |  UNION ALL SELECT lb FROM tagged WHERE la <> lb) GROUP BY l)
+       |SELECT vol.l AS label, CAST(vol.vol AS BIGINT) AS vol,
+       |  CAST(COALESCE(cut.cut, 0) AS BIGINT) AS cut,
+       |  round(CASE WHEN LEAST(vol.vol, 2*m.m - vol.vol) = 0 THEN 0.0
+       |    ELSE CAST(COALESCE(cut.cut, 0) AS DOUBLE)
+       |         / CAST(LEAST(vol.vol, 2*m.m - vol.vol) AS DOUBLE) END, 8)
+       |    AS conductance
+       |FROM vol LEFT JOIN cut ON cut.l = vol.l, m""".stripMargin
+
+  /** Batch min-label components over the full co-supplier graph — the
+    * oracle for BOTH `algo_cc` (direct) and `algo_cc_delta` (the
+    * incremental path must reproduce the batch answer).
+    */
+  private def ccFullSql: String =
+    s"""WITH RECURSIVE e AS (SELECT src, dst FROM ($edgesSupSql)),
+       |und AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
+       |verts AS (SELECT DISTINCT s AS v FROM und),
+       |reach(node, lab) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT und.d, reach.lab FROM reach JOIN und ON und.s = reach.node)
+       |SELECT node AS id, min(lab) AS comp FROM reach GROUP BY node""".stripMargin
+
+  /** DOULION sampled triangle estimate — the identical nonlinear coin
+    * (product of per-endpoint affine maps mod 1000003) selects the sample,
+    * then a brute ordered 3-join counts it.
+    */
+  private def tricountEstSql(invP: Long): String =
+    s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesSupSql)
+       |  WHERE ((((src % 1000003) * 48271 + 11) % 1000003)
+       |       * (((dst % 1000003) * 7919 + 7) % 1000003)) % 1000003 % $invP = 0),
+       |m AS (SELECT count(*) AS m FROM canon),
+       |t AS (SELECT count(*) AS t FROM canon e1
+       |  JOIN canon e2 ON e2.src = e1.dst
+       |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+       |SELECT CAST(m.m AS BIGINT) AS sampled_edges, CAST(t.t AS BIGINT) AS sampled_triangles,
+       |  CAST(${invP * invP * invP} AS BIGINT) AS scale,
+       |  CAST(t.t * ${invP * invP * invP} AS BIGINT) AS estimate
+       |FROM m, t""".stripMargin
+
+  /** Per-vertex K4 participation by brute ordered enumeration a<b<c<d over
+    * the canonical edge list (6 existence joins) — viable at oracle scale;
+    * the engine extends its triangle table instead.
+    */
+  private def fourCliquesSql: String =
+    s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)
+       |  UNION ALL SELECT src, dst FROM ($plantedCliqueSql)),
+       |k4 AS MATERIALIZED (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c, e4.dst AS d
+       |  FROM canon e1
+       |  JOIN canon e2 ON e2.src = e1.src AND e2.dst > e1.dst
+       |  JOIN canon e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+       |  JOIN canon e4 ON e4.src = e2.dst
+       |  JOIN canon e5 ON e5.src = e1.src AND e5.dst = e4.dst
+       |  JOIN canon e6 ON e6.src = e1.dst AND e6.dst = e4.dst)
+       |SELECT id, CAST(count(*) AS BIGINT) AS cliques4 FROM (
+       |  SELECT a AS id FROM k4 UNION ALL SELECT b FROM k4
+       |  UNION ALL SELECT c FROM k4 UNION ALL SELECT d FROM k4)
+       |GROUP BY id""".stripMargin
+
+  /** 1-WL color refinement, unrolled k exact rounds — the identical
+    * arithmetic the engine runs: per-neighbor g(c) = (A·c²+B·c+C) mod P in
+    * BIGINT (every intermediate < 2^62), multiset-summed in DECIMAL(38,0),
+    * then c' = (D·c + Σg) mod P.
+    */
+  private def wlRefineSql(rounds: Int): String = {
+    import graft.algos.WLRefinement.{P}
+    val A = 1566083941L % P; val B = 1103515245L % P
+    val C = 12345L; val D = 69069L
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |verts AS (SELECT DISTINCT a AS id FROM und),
+         |c0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS c FROM verts)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      val j = i - 1
+      s"""g$i AS (SELECT und.b AS id,
+         |    sum(CAST(($A*c.c % $P * c.c % $P + $B*c.c % $P + $C) % $P AS DECIMAL(38,0))) AS sg
+         |  FROM und JOIN c$j c ON c.id = und.a GROUP BY und.b),
+         |c$i AS MATERIALIZED (SELECT c$j.id,
+         |    CAST((CAST($D*c$j.c % $P AS DECIMAL(38,0)) + COALESCE(g$i.sg, 0)) % $P AS BIGINT) AS c
+         |  FROM c$j LEFT JOIN g$i ON g$i.id = c$j.id)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$rs\nSELECT id, c AS color FROM c$rounds"
   }
 
   private def modularitySql: String =

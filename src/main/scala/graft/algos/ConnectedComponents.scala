@@ -44,6 +44,51 @@ object ConnectedComponents {
     runCounted(spark, edges, maxIter, numPartitions, skewSalts,
       checkpointDir, checkpointEvery, fastsv)._1
 
+  /** Incremental components for a crawl delta: given the labeling of an
+    * existing edge set, absorb `delta` WITHOUT re-solving the old graph —
+    * contract every old component to its (min-member) label, solve CC only
+    * on the contracted delta graph (delta-sized, typically ≪ the corpus),
+    * and relabel. Exactness: old labels ARE min members of their
+    * sub-components, so the min label of a merged cluster of old components
+    * is the min member of the merged component — the output is IDENTICAL to
+    * a batch run over old ∪ delta (that equality is this operator's oracle).
+    * Vertices seen only in the delta enter as their own singleton labels.
+    *
+    * Spark shape: two label joins to contract (co-keyed on the vertex id),
+    * one CC run sized by |delta| + #touched-components, one label join
+    * back. The full historical edge set is never read.
+    */
+  def incremental(spark: SparkSession, oldComp: DataFrame, delta: DataFrame,
+                  numPartitions: Int = 0, fastsv: Boolean = false): DataFrame = {
+    val base = oldComp.select(col("id"), col("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // delta-only vertices become their own labels
+    val dverts = delta.select(col("src").as("id"))
+      .unionByName(delta.select(col("dst").as("id"))).distinct()
+    val compBase = dverts.join(base, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .unionByName(base.join(dverts, Seq("id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    compBase.count()
+
+    val contracted = delta
+      .join(compBase.select(col("id").as("src"), col("comp").as("csrc")), Seq("src"))
+      .join(compBase.select(col("id").as("dst"), col("comp").as("cdst")), Seq("dst"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val merged =
+      if (contracted.isEmpty) compBase.sparkSession.emptyDataFrame
+        .select(lit(0L).as("comp"), lit(0L).as("newc")).limit(0)
+      else run(spark, contracted, numPartitions = numPartitions, fastsv = fastsv)
+        .select(col("id").as("comp"), col("comp").as("newc"))
+
+    val out = compBase.join(merged, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
+    out.cache(); out.count()
+    base.unpersist(false); compBase.unpersist(false)
+    out
+  }
+
   /** run() that also reports the number of rounds taken to converge —
     * the observable behind the O(log n)-vs-O(diameter) claim.
     */

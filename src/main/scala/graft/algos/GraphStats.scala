@@ -100,6 +100,46 @@ object GraphStats {
     out
   }
 
+  /** Per-community conductance of a labeling — the cut-quality companion to
+    * [[modularity]]: φ(C) = cut(C) / min(vol(C), 2m − vol(C)), with cut(C)
+    * the boundary-edge count and vol(C) the degree sum inside C (each
+    * boundary edge counts toward BOTH its communities' cuts). Low φ = a
+    * well-separated community; φ(whole graph) is emitted as 0 (the min is
+    * 0). One pass tags each canonical edge with both endpoint labels; vol
+    * and cut are two label-keyed aggregations — no per-vertex shuffle
+    * beyond the label join, exact integer counts, one mirrored float
+    * division. Output: (label, vol, cut, conductance).
+    */
+  def conductance(spark: SparkSession, edges: DataFrame,
+                  labels: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val la = labels.select(col("id").as("a"), col("label").as("la"))
+    val lb = labels.select(col("id").as("b"), col("label").as("lb"))
+    val tagged = canon.join(la, Seq("a")).join(lb, Seq("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = tagged.count()
+
+    val vol = tagged.select(col("la").as("l"))
+      .unionByName(tagged.select(col("lb").as("l")))
+      .groupBy("l").agg(count(lit(1)).as("vol"))
+    val boundary = tagged.filter(col("la") =!= col("lb"))
+    val cut = boundary.select(col("la").as("l"))
+      .unionByName(boundary.select(col("lb").as("l")))
+      .groupBy("l").agg(count(lit(1)).as("cut"))
+
+    val denom = least(col("vol"), lit(2L * m) - col("vol"))
+    val out = vol.join(cut, Seq("l"), "left")
+      .select(col("l").as("label"), col("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        when(denom === 0L, lit(0.0))
+          .otherwise(coalesce(col("cut"), lit(0L)).cast("double")
+            / denom.cast("double")).as("conductance"))
+    out.cache(); out.count(); tagged.unpersist(false)
+    out
+  }
+
   /** Degree assortativity r of an undirected graph: the Pearson correlation
     * of (deg(u), deg(v)) over the DIRECTED pair list (each edge both ways —
     * Newman 2002's definition; r∈[-1,1], −1 for a star, +1 for

@@ -68,6 +68,47 @@ object TriangleCount {
     n
   }
 
+  /** DOULION-style sampled triangle estimate (Tsourakakis et al., KDD 2009)
+    * — the tunable-cost scale path for the census: sparsify the canonical
+    * edge list by a DETERMINISTIC arithmetic coin, count triangles on the
+    * sample, scale by invP³. Expected wedge-join work drops by ~invP² and
+    * the estimate's variance is the DOULION bound; determinism means any
+    * engine — and the SQL oracle — reproduces the exact same sample and
+    * count. The coin is NONLINEAR (a product of per-endpoint affine maps
+    * mod the prime 1000003): a linear lo·A+hi·B residue would make the
+    * sample a union of modular id classes — e.g. mod 2 it keeps only
+    * same-parity edges, whose triangles are wildly unrepresentative. Both
+    * factors are reduced mod the prime BEFORE multiplying, so every
+    * intermediate stays < 2^40 for arbitrary 64-bit ids (no overflow in
+    * either engine). One row: (sampled_edges, sampled_triangles, scale,
+    * estimate).
+    */
+  def estimate(spark: SparkSession, edges: DataFrame, invP: Long,
+               numPartitions: Int = 0): DataFrame = {
+    require(invP >= 1, "invP must be >= 1")
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val M = 1000003L
+    val coin = (((col("lo") % M) * 48271L + 11L) % M
+      * (((col("hi") % M) * 7919L + 7L) % M)) % M % invP
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .filter(coin === 0L)
+      .repartition(parts, col("lo"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = canon.count()
+    val e1 = canon.select(col("lo").as("a"), col("hi").as("b"))
+    val e2 = canon.select(col("lo").as("b"), col("hi").as("c"))
+    val t = e1.join(e2, Seq("b"))
+      .join(canon.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"), "left_semi")
+      .count()
+    canon.unpersist(false)
+    import spark.implicits._
+    Seq((m, t, invP * invP * invP, t * invP * invP * invP))
+      .toDF("sampled_edges", "sampled_triangles", "scale", "estimate")
+  }
+
   /** Per-edge triangle support (used by k-truss): for each canonical edge,
     * the number of triangles through it.
     */

@@ -180,6 +180,165 @@ class Round4WebSpec extends SparkTestBase {
       s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
   }
 
+  test("WL refinement: stable partitions on path/star, blind to regularity") {
+    import graft.algos.WLRefinement
+    // P4 path: ends {0,3} vs middles {1,2} — stable at 2 classes, early exit
+    val p4 = Set((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = WLRefinement.run(spark, edgesDF(p4), maxRounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == got(3L) && got(1L) == got(2L) && got(0L) != got(1L), s"$got")
+    // C6 hexagon: 2-regular — 1-WL cannot refine past one class (the known
+    // expressiveness ceiling; asserting it pins our combiner is honest WL)
+    val c6 = (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong)).toSet
+    val hex = WLRefinement.run(spark, edgesDF(c6), maxRounds = 10).collect()
+      .map(_.getLong(1)).toSet
+    assert(hex.size == 1, s"regular graph split into $hex")
+    // star K1,4: center vs leaves
+    val star = (1 to 4).map(i => (0L, i.toLong)).toSet
+    val sc = WLRefinement.run(spark, edgesDF(star), maxRounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1 to 4).map(i => sc(i.toLong)).toSet.size == 1 && sc(0L) != sc(1L))
+  }
+
+  test("WL refinement replays the arithmetic mimic exactly (3 fixed rounds)") {
+    import graft.algos.WLRefinement.P
+    val A = 1566083941L % P; val B = 1103515245L % P; val C = 12345L; val D = 69069L
+    val es = randWeighted(30, 0.15, 41L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+    es.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    var c = adj.keys.map(_ -> 1L).toMap
+    for (_ <- 1 to 3) {
+      c = c.map { case (v, _) =>
+        // BigInt stands in for the engine's decimal(38,0) multiset sum
+        val sg = adj(v).map { u =>
+          val cu = c(u); BigInt((A * cu % P * cu % P + B * cu % P + C) % P)
+        }.sum
+        v -> ((BigInt(D * c(v) % P) + sg) % P).toLong
+      }
+    }
+    val got = graft.algos.WLRefinement.run(spark, edgesDF(es), maxRounds = 3,
+      earlyExit = false).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == c, s"diff=${(got.toSet diff c.toSet) ++ (c.toSet diff got.toSet)}")
+  }
+
+  test("conductance: hand case and brute force on a seeded labeling") {
+    import graft.algos.GraphStats
+    import spark.implicits._
+    // two triangles bridged by one edge, labeled by triangle: vol 7/7,
+    // cut 1/1, phi = 1/7 each
+    val es = Set((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val labels = (0L to 5L).map(i => (i, if (i <= 2) 0L else 1L)).toDF("id", "label")
+    val got = GraphStats.conductance(spark, edgesDF(es), labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((7L, 1L, 1.0 / 7.0)) && got(1L) == ((7L, 1L, 1.0 / 7.0)), s"$got")
+    // brute force on a seeded graph with id%3 labels
+    val res = randWeighted(40, 0.12, 53L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val lab = (v: Long) => v % 3
+    val m = res.size
+    val want = (0L to 2L).map { l =>
+      val vol = res.toSeq.map { case (a, b) =>
+        (if (lab(a) == l) 1 else 0) + (if (lab(b) == l) 1 else 0) }.sum.toLong
+      val cut = res.count { case (a, b) =>
+        lab(a) != lab(b) && (lab(a) == l || lab(b) == l) }.toLong
+      val den = math.min(vol, 2L * m - vol)
+      l -> ((vol, cut, if (den == 0) 0.0 else cut.toDouble / den))
+    }.toMap
+    val verts = res.flatMap(e => Seq(e._1, e._2)).toSeq.distinct
+    val ldf = verts.map(v => (v, lab(v))).toDF("id", "label")
+    val got2 = GraphStats.conductance(spark, edgesDF(res), ldf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got2 == want.filter(_._2._1 > 0), s"got=$got2 want=$want")
+  }
+
+  test("4-clique counts: planted K5 exact, brute force on a seeded graph") {
+    import graft.algos.CliqueCount
+    // K5: 5 K4s total, each vertex in C(4,3)=4 of them
+    val k5 = (for { a <- 0 until 5; b <- a + 1 until 5 } yield (a.toLong, b.toLong)).toSet
+    val got = CliqueCount.fourCliques(spark, edgesDF(k5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 4L).map(_ -> 4L).toMap, s"$got")
+    assert(got.values.sum / 4 == 5)
+    // seeded random graph vs brute enumeration
+    val es = randWeighted(22, 0.3, 61L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val vs = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def conn(x: Long, y: Long) = es((math.min(x, y), math.max(x, y)))
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- vs.indices; j <- i + 1 until vs.size
+      k <- j + 1 until vs.size; l <- k + 1 until vs.size
+      quad = Seq(vs(i), vs(j), vs(k), vs(l))
+      if quad.combinations(2).forall { case Seq(x, y) => conn(x, y) }
+    } quad.foreach(v => counts(v) += 1)
+    val got2 = CliqueCount.fourCliques(spark, edgesDF(es)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == counts.toMap, s"got=$got2 want=$counts")
+  }
+
+  test("sampled triangle estimate: invP=1 is exact, invP=2 matches the coin mimic") {
+    import graft.algos.TriangleCount
+    val es = randWeighted(30, 0.25, 71L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val exact = TriangleCount.run(spark, edgesDF(es))
+    val full = TriangleCount.estimate(spark, edgesDF(es), invP = 1).collect()(0)
+    assert(full.getLong(1) == exact && full.getLong(3) == exact, s"$full vs $exact")
+    // invP=2: replay the nonlinear coin driver-side and brute-count the sample
+    val M = 1000003L
+    def keep(lo: Long, hi: Long) =
+      ((lo % M * 48271 + 11) % M * ((hi % M * 7919 + 7) % M)) % M % 2 == 0
+    val sample = es.filter { case (a, b) => keep(a, b) }
+    def conn(x: Long, y: Long) = sample((math.min(x, y), math.max(x, y)))
+    val vs = sample.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val wantT = (for {
+      i <- vs.indices; j <- i + 1 until vs.size; k <- j + 1 until vs.size
+      if conn(vs(i), vs(j)) && conn(vs(j), vs(k)) && conn(vs(i), vs(k))
+    } yield 1).size.toLong
+    val got = TriangleCount.estimate(spark, edgesDF(es), invP = 2).collect()(0)
+    assert(got.getLong(0) == sample.size.toLong && got.getLong(1) == wantT
+      && got.getLong(2) == 8L && got.getLong(3) == wantT * 8, s"$got want t=$wantT")
+  }
+
+  test("incremental CC equals batch CC, including delta-only vertices") {
+    import graft.algos.ConnectedComponents
+    val rnd = new scala.util.Random(83L)
+    val es = randWeighted(50, 0.05, 83L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      // a delta-only island (vertices 100,101 appear in no "old" edge)
+      .union(Set((100L, 101L), (100L, 3L)))
+    val (oldE, deltaE) = es.partition(_ => rnd.nextDouble() < 0.8) match {
+      case (o, d0) =>
+        // force the island edges into the delta
+        (o -- Set((100L, 101L), (100L, 3L)),
+          (d0 ++ Set((100L, 101L), (100L, 3L))))
+    }
+    val batch = ConnectedComponents.run(spark, edgesDF(es)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldComp = ConnectedComponents.run(spark, edgesDF(oldE))
+    val got = ConnectedComponents.incremental(spark, oldComp, edgesDF(deltaE))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch,
+      s"diff=${(got.toSet diff batch.toSet) ++ (batch.toSet diff got.toSet)}")
+  }
+
+  test("pivot-sampled betweenness: all-vertex pivots reproduce exact BC") {
+    import graft.algos.Betweenness
+    val es = randWeighted(20, 0.18, 97L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val verts = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val exact = Betweenness.run(spark, edgesDF(es)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pivots = every vertex → scale factor n/|S| = 1: identical numbers
+    val est = Betweenness.run(spark, edgesDF(es), sources = verts).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == est.keySet)
+    exact.foreach { case (v, bc) =>
+      assert(math.abs(est(v) - bc) < 1e-9, s"v=$v ${est(v)} vs $bc") }
+  }
+
   /** Seeded directed pair list (may contain both directions). */
   private def randWeighted(n: Int, p: Double, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
