@@ -687,6 +687,11 @@ object SparkEntry {
       GraphStats.assortativity(s, edgesArith(s, d))
         .select(col("pairs"), round(col("assortativity"), 8).as("assortativity"))),
 
+    // 2-hop ego network around vertex 0: induced subgraph of the ball
+    // (neighborhood feature-extraction primitive; unrolled-hop oracle)
+    "gb_egonet" -> ((s, d) =>
+      GraphStats.egoNet(s, edgesArith(s, d), seeds = Seq(0L), hops = 2)),
+
     // per-community conductance of the id%5 labeling (cut-quality metric;
     // exact integer vol/cut, one mirrored division)
     "gb_conductance" -> ((s, d) => {
@@ -1411,6 +1416,7 @@ object SparkEntry {
     "algo_wl_refine" -> wlRefineSql(3),
     "gb_4cliques" -> fourCliquesSql,
     "algo_tricount_est" -> tricountEstSql(2),
+    "gb_egonet" -> egonetSql,
     "algo_eigen5" -> eigenUnrolledSql(5),
     "gb_degree_hist" -> degreeHistSql,
     "algo_cocitation" -> cocitationSql(common = "src", paired = "dst"),
@@ -2514,6 +2520,20 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
        |  UNION
        |  SELECT und.d, reach.lab FROM reach JOIN und ON und.s = reach.node)
        |SELECT node AS id, min(lab) AS comp FROM reach GROUP BY node""".stripMargin
+
+  /** 2-hop ego ball around vertex 0 by two unrolled frontier hops, then the
+    * induced canonical edges.
+    */
+  private def egonetSql: String =
+    s"""WITH $arithCanonCte,
+       |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS id),
+       |b1 AS (SELECT DISTINCT id FROM (SELECT id FROM b0
+       |  UNION ALL SELECT und.b FROM und JOIN b0 ON b0.id = und.a)),
+       |b2 AS (SELECT DISTINCT id FROM (SELECT id FROM b1
+       |  UNION ALL SELECT und.b FROM und JOIN b1 ON b1.id = und.a))
+       |SELECT canon.src, canon.dst FROM canon
+       |JOIN b2 x ON x.id = canon.src JOIN b2 y ON y.id = canon.dst""".stripMargin
 
   /** DOULION sampled triangle estimate — the identical nonlinear coin
     * (product of per-endpoint affine maps mod 1000003) selects the sample,

@@ -319,4 +319,36 @@ object GraphStats {
     canon.unpersist(false); deg.unpersist(false)
     cut
   }
+
+  /** k-hop ego network: the subgraph INDUCED on all vertices within `hops`
+    * undirected steps of the seed set — the standard neighborhood-feature
+    * extraction primitive (and the "crawl frontier around a site" view).
+    * `hops` is a small constant, so the ball is grown by `hops` unrolled
+    * frontier semi-joins (no fixpoint machinery), then the canonical edge
+    * list is filtered by two semi-joins. Output: canonical (src, dst)
+    * induced edges. At scale the ball stays ball-sized — the full edge set
+    * is touched only by the final co-keyed semi-joins.
+    */
+  def egoNet(spark: SparkSession, edges: DataFrame, seeds: Seq[Long],
+             hops: Int): DataFrame = {
+    require(hops >= 0, "hops must be >= 0")
+    import spark.implicits._
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = canon.unionByName(canon.select(col("hi").as("lo"), col("lo").as("hi")))
+    var ball = seeds.toDF("id")
+    for (_ <- 1 to hops)
+      ball = ball.unionByName(
+        und.join(ball.select(col("id").as("lo")), Seq("lo"), "left_semi")
+          .select(col("hi").as("id"))).distinct()
+    val out = canon
+      .join(ball.select(col("id").as("lo")), Seq("lo"), "left_semi")
+      .join(ball.select(col("id").as("hi")), Seq("hi"), "left_semi")
+      .select(col("lo").as("src"), col("hi").as("dst"))
+    out.cache(); out.count()
+    canon.unpersist(false)
+    out
+  }
 }

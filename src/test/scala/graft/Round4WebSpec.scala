@@ -339,6 +339,24 @@ class Round4WebSpec extends SparkTestBase {
       assert(math.abs(est(v) - bc) < 1e-9, s"v=$v ${est(v)} vs $bc") }
   }
 
+  test("ego network: path hand case and brute-force ball on a seeded graph") {
+    import graft.algos.GraphStats
+    val p5 = Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val got = GraphStats.egoNet(spark, edgesDF(p5), Seq(0L), hops = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (1L, 2L)), s"$got")
+    val es = randWeighted(40, 0.08, 101L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    es.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val seeds = Set(0L, 7L)
+    val ball = seeds ++ seeds.flatMap(adj) ++ seeds.flatMap(adj).flatMap(adj)
+    val want = es.filter { case (a, b) => ball(a) && ball(b) }
+    val got2 = GraphStats.egoNet(spark, edgesDF(es), seeds.toSeq, hops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == want, s"extra=${got2 -- want} missing=${want -- got2}")
+  }
+
   /** Seeded directed pair list (may contain both directions). */
   private def randWeighted(n: Int, p: Double, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
