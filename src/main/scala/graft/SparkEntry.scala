@@ -733,6 +733,13 @@ object SparkEntry {
       TrustRank.spamMass(s, edgesBi(s, d), k = 5,
         trusted = col("id") % 10 === 0)),
 
+    // Anti-TrustRank: spam score propagated BACKWARD from the id%7==3
+    // known-spam set (reversed-edge TrustRank; completes the spam triad)
+    "algo_antitrust5" -> ((s, d) =>
+      TrustRank.antiTrust(s, edgesBi(s, d), k = 5,
+        spam = col("id") % 7 === 3)
+        .select(col("id"), round(col("r"), 8).as("atr"))),
+
     // multi-level Louvain communities (integer-exact ΔQ, deterministic).
     // No SQL oracle — a two-level data-dependent fixpoint; differential-
     // tested on ring-of-cliques/known-Q fixtures in Round4LinkSpec. Small
@@ -1412,6 +1419,7 @@ object SparkEntry {
     "algo_condensation" -> condensationSql,
     "algo_bowtie" -> bowtieSql,
     "algo_spam_mass" -> spamMassSql,
+    "algo_antitrust5" -> antiTrustSql(5),
     "gb_conductance" -> conductanceSql,
     "algo_wl_refine" -> wlRefineSql(3),
     "gb_4cliques" -> fourCliquesSql,
@@ -2484,6 +2492,35 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
        |SELECT pr8.id, pr8.pr, tr8.tr,
        |  round((pr8.pr - tr8.tr) / pr8.pr, 6) AS spam_mass
        |FROM pr8 JOIN tr8 ON tr8.id = pr8.id""".stripMargin
+  }
+
+  /** Anti-TrustRank: one unrolled biased chain over the REVERSED bipartite
+    * edges with the id%7==3 spam-seed predicate — the same iteration algebra
+    * as the TrustRank chain in [[spamMassSql]].
+    */
+  private def antiTrustSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""s$i AS (SELECT sum(r${i - 1}.r) AS m FROM r${i - 1}
+         |        JOIN deg ON deg.id = r${i - 1}.id AND deg.sink),
+         |c$i AS MATERIALIZED (SELECT e.dst AS id, sum(r${i - 1}.r / deg.d) AS c
+         |        FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |        JOIN deg ON deg.id = e.src GROUP BY e.dst),
+         |r$i AS MATERIALIZED (SELECT verts.id,
+         |        CASE WHEN verts.id % 7 = 3
+         |          THEN 0.15 / ns.c + 0.85 * COALESCE(s$i.m, 0) / ns.c
+         |          ELSE 0.0 END + 0.85 * COALESCE(c$i.c, 0) AS r
+         |        FROM verts CROSS JOIN ns CROSS JOIN s$i
+         |        LEFT JOIN c$i ON c$i.id = verts.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT dst AS src, src AS dst, w FROM ($edgesBiSql)),
+       |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts WHERE id % 7 = 3),
+       |deg AS MATERIALIZED (SELECT verts.id, COALESCE(o.d, 1.0) AS d, o.d IS NULL AS sink
+       |        FROM verts LEFT JOIN (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d
+       |                              FROM e GROUP BY src) o ON verts.id = o.id),
+       |r0 AS MATERIALIZED (SELECT id, CASE WHEN id % 7 = 3 THEN 1.0 / ns.c ELSE 0.0 END AS r FROM verts, ns),
+       |$iters
+       |SELECT id, round(r, 8) AS atr FROM r$k""".stripMargin
   }
 
   /** Per-community conductance of the id%5 labeling — exact integer vol/cut

@@ -59,9 +59,11 @@ object Bowtie {
 
     // giant SCC label: one (label, size) row to the driver — a scalar, like
     // the convergence stats; ties go to the smallest label for determinism
-    val coreLabel = scc.groupBy("scc").agg(count(lit(1)).as("sz"))
-      .orderBy(col("sz").desc, col("scc").asc).limit(1)
-      .collect()(0).getLong(0)
+    val coreRows = scc.groupBy("scc").agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("scc").asc).limit(1).collect()
+    require(coreRows.nonEmpty,
+      "Bowtie needs a non-empty graph (no vertices after self-loop removal)")
+    val coreLabel = coreRows(0).getLong(0)
     val core = scc.filter(col("scc") === coreLabel).select(col("id"))
 
     val fwdCore = reach(e0, core, parts, "bt_fwd")    // CORE ⇝ v (incl. CORE)

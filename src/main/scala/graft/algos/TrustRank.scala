@@ -91,6 +91,17 @@ object TrustRank {
     state.select(col("id"), col("r"))
   }
 
+  /** Anti-TrustRank (Krishnan & Raj, AIRWeb 2006): the trust computation
+    * run BACKWARD from a known-SPAM seed set — a page linking into spam
+    * accumulates spam score along reversed edges. Identical algebra to
+    * [[runFixed]] on the transposed graph; the seed predicate marks spam.
+    */
+  def antiTrust(spark: SparkSession, edges: DataFrame, k: Int, spam: Column,
+                damp: Double = 0.85, numPartitions: Int = 0): DataFrame =
+    runFixed(spark,
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      k, spam, damp, numPartitions)
+
   /** Relative spam mass: (id, pr, tr, spam_mass) with pr/tr each rounded to
     * 8 decimals FIRST and the mass computed from the rounded values (both
     * sides of the oracle compute the identical float expression — the

@@ -91,6 +91,16 @@ class Round4WebSpec extends SparkTestBase {
     assertVecEq(got, want, tol = 1e-12, ctx = "dense mimic")
   }
 
+  test("anti-trust propagates backward from spam seeds (hand-computed chain)") {
+    // 0→1→2 with 2 known-spam: scores flow along reversed edges; two
+    // iterations by hand: r2 = {2: 0.15, 1: 0.85·0.15, 0: 0.85·0.85}
+    val es = Set((0L, 1L), (1L, 2L))
+    val got = dfToVec(TrustRank.antiTrust(spark, edgesDF(es), k = 2,
+      spam = col("id") === 2))
+    assertVecEq(got, Map(2L -> 0.15, 1L -> 0.1275, 0L -> 0.7225),
+      tol = 1e-12, ctx = "anti-trust chain")
+  }
+
   test("WidestPath matches a max-min closure mimic on a seeded weighted graph") {
     val rnd = new scala.util.Random(7L)
     val n = 30
