@@ -687,6 +687,11 @@ object SparkEntry {
       GraphStats.assortativity(s, edgesArith(s, d))
         .select(col("pairs"), round(col("assortativity"), 8).as("assortativity"))),
 
+    // degree-distribution power-law exponent (CSN discrete MLE, dmin=2) —
+    // the estimator the R-MAT generator's skew calibrates against
+    "gb_powerlaw_alpha" -> ((s, d) =>
+      GraphStats.powerLawAlpha(s, edgesArith(s, d), dmin = 2L)),
+
     // 2-hop ego network around vertex 0: induced subgraph of the ball
     // (neighborhood feature-extraction primitive; unrolled-hop oracle)
     "gb_egonet" -> ((s, d) =>
@@ -1425,6 +1430,14 @@ object SparkEntry {
     "gb_4cliques" -> fourCliquesSql,
     "algo_tricount_est" -> tricountEstSql(2),
     "gb_egonet" -> egonetSql,
+    "gb_powerlaw_alpha" ->
+      s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
+         |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+         |t AS (SELECT count(*) AS n, sum(ln(CAST(deg AS DOUBLE) / 1.5)) AS s
+         |      FROM deg WHERE deg >= 2)
+         |SELECT CAST(2 AS BIGINT) AS dmin, CAST(n AS BIGINT) AS n_tail,
+         |  round(1.0 + CAST(n AS DOUBLE) / s, 6) AS alpha FROM t""".stripMargin,
     "algo_eigen5" -> eigenUnrolledSql(5),
     "gb_degree_hist" -> degreeHistSql,
     "algo_cocitation" -> cocitationSql(common = "src", paired = "dst"),

@@ -320,6 +320,30 @@ object GraphStats {
     cut
   }
 
+  /** Discrete power-law exponent MLE for the degree distribution
+    * (Clauset-Shalizi-Newman 2009, eq. 3.7 approximation):
+    * α ≈ 1 + n / Σ_{d ≥ dmin} ln(d / (dmin − ½)) — the standard estimate of
+    * the web graph's degree exponent (the quantity the R-MAT generator's
+    * skew is calibrated against). Undirected degrees; one row
+    * (dmin, n_tail, alpha). The log-sum is a double aggregate over the
+    * degree TABLE (vertex-sized, not edge-sized); n_tail/dmin are exact
+    * integers, alpha one mirrored float rounded on both sides.
+    */
+  def powerLawAlpha(spark: SparkSession, edges: DataFrame,
+                    dmin: Long = 2L): DataFrame = {
+    require(dmin >= 1, "dmin must be >= 1")
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= dmin)
+      .agg(count(lit(1)).as("n"),
+        sum(log(col("deg").cast("double") / (dmin - 0.5))).as("s"))
+      .select(lit(dmin).as("dmin"), col("n").as("n_tail"),
+        round(lit(1.0) + col("n").cast("double") / col("s"), 6).as("alpha"))
+  }
+
   /** k-hop ego network: the subgraph INDUCED on all vertices within `hops`
     * undirected steps of the seed set — the standard neighborhood-feature
     * extraction primitive (and the "crawl frontier around a site" view).

@@ -349,6 +349,34 @@ class Round4WebSpec extends SparkTestBase {
       assert(math.abs(est(v) - bc) < 1e-9, s"v=$v ${est(v)} vs $bc") }
   }
 
+  test("power-law alpha MLE matches a driver-side replica; pure power law recovered") {
+    import graft.algos.GraphStats
+    import spark.implicits._
+    val es = randWeighted(60, 0.08, 113L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val degs = es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map(_._2.size.toLong).toSeq
+    val tail = degs.filter(_ >= 2)
+    val want = 1.0 + tail.size / tail.map(d => math.log(d / 1.5)).sum
+    val row = GraphStats.powerLawAlpha(spark, edgesDF(es), dmin = 2L).collect()(0)
+    assert(row.getLong(0) == 2L && row.getLong(1) == tail.size.toLong)
+    assert(math.abs(row.getDouble(2) - want) < 1e-6, s"${row.getDouble(2)} vs $want")
+    // a synthetic exact-Zipf degree multiset recovers its exponent closely:
+    // degrees d with multiplicity ∝ d^-2.5 → alpha ≈ 2.5 (MLE on the tail)
+    val star = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var next = 10000L
+    var vid = 20000L
+    for (d <- 2 to 40; _ <- 1 to math.max(1, math.round(2000.0 * math.pow(d, -2.5)).toInt)) {
+      vid += 100
+      for (i <- 0 until d) star += ((vid, next + i))
+      next += d
+    }
+    val zrow = GraphStats.powerLawAlpha(spark,
+      star.toSeq.toDF("src", "dst"), dmin = 2L).collect()(0)
+    // hub side only dominates the tail (leaves are degree-1, excluded)
+    assert(math.abs(zrow.getDouble(2) - 2.5) < 0.25, s"alpha=${zrow.getDouble(2)}")
+  }
+
   test("ego network: path hand case and brute-force ball on a seeded graph") {
     import graft.algos.GraphStats
     val p5 = Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
