@@ -692,6 +692,11 @@ object SparkEntry {
     "gb_powerlaw_alpha" -> ((s, d) =>
       GraphStats.powerLawAlpha(s, edgesArith(s, d), dmin = 2L)),
 
+    // hub-removal percolation curve (targeted-attack robustness): giant
+    // component / components / singletons after deleting the top-p% hubs
+    "gb_percolation" -> ((s, d) =>
+      GraphStats.percolation(s, edgesArith(s, d), pcts = Seq(0, 5, 10, 20))),
+
     // 2-hop ego network around vertex 0: induced subgraph of the ball
     // (neighborhood feature-extraction primitive; unrolled-hop oracle)
     "gb_egonet" -> ((s, d) =>
@@ -1430,6 +1435,7 @@ object SparkEntry {
     "gb_4cliques" -> fourCliquesSql,
     "algo_tricount_est" -> tricountEstSql(2),
     "gb_egonet" -> egonetSql,
+    "gb_percolation" -> percolationSql(Seq(0, 5, 10, 20)),
     "gb_powerlaw_alpha" ->
       s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
          |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
@@ -2570,6 +2576,48 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
        |  UNION
        |  SELECT und.d, reach.lab FROM reach JOIN und ON und.s = reach.node)
        |SELECT node AS id, min(lab) AS comp FROM reach GROUP BY node""".stripMargin
+
+  /** Hub-removal percolation: per pct, a ranked top-k delete, a recursive
+    * min-label closure over the survivor graph, and exact integer summary
+    * scalars. One recursive CTE per pct (DuckDB allows several per
+    * WITH RECURSIVE list); non-recursive unions are SELECT DISTINCT over
+    * UNION ALL (top-level UNION in a non-self-referential CTE under
+    * WITH RECURSIVE skips the dedup).
+    */
+  private def percolationSql(pcts: Seq[Int]): String = {
+    val blocks = pcts.map { p =>
+      s"""rm$p AS (SELECT v FROM ranked, nn WHERE rk <= (nn.n * $p) // 100),
+         |surv$p AS (SELECT src, dst FROM canon
+         |  WHERE src NOT IN (SELECT v FROM rm$p) AND dst NOT IN (SELECT v FROM rm$p)),
+         |und$p AS (SELECT src AS s, dst AS d FROM surv$p UNION ALL SELECT dst, src FROM surv$p),
+         |sv$p AS (SELECT DISTINCT s AS v FROM und$p),
+         |reach$p(node, lab) AS (
+         |  SELECT v, v FROM sv$p
+         |  UNION
+         |  SELECT und$p.d, reach$p.lab FROM reach$p JOIN und$p ON und$p.s = reach$p.node),
+         |sizes$p AS (SELECT min_lab, count(*) AS sz FROM (
+         |  SELECT node, min(lab) AS min_lab FROM reach$p GROUP BY node) GROUP BY min_lab),
+         |sum$p AS (SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS survivors,
+         |  CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS giant,
+         |  CAST(count(*) AS BIGINT) AS comps FROM sizes$p)""".stripMargin
+    }
+    val rows = pcts.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS pct,
+         |  CAST((SELECT count(*) FROM rm$p) AS BIGINT) AS removed,
+         |  sum$p.giant AS giant, sum$p.comps AS comps,
+         |  CAST(nn.n - (SELECT count(*) FROM rm$p) - sum$p.survivors AS BIGINT) AS singletons
+         |FROM sum$p, nn""".stripMargin
+    }
+    s"""WITH RECURSIVE canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
+       |vv AS (SELECT DISTINCT v FROM (SELECT src AS v FROM canon UNION ALL SELECT dst FROM canon)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vv),
+       |degt AS MATERIALIZED (SELECT v, count(*) AS deg FROM
+       |  (SELECT src AS v FROM canon UNION ALL SELECT dst AS v FROM canon) GROUP BY v),
+       |ranked AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY deg DESC, v) AS rk FROM degt),
+       |${blocks.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY pct""".stripMargin
+  }
 
   /** 2-hop ego ball around vertex 0 by two unrolled frontier hops, then the
     * induced canonical edges.

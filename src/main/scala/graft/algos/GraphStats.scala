@@ -344,6 +344,62 @@ object GraphStats {
         round(lit(1.0) + col("n").cast("double") / col("s"), 6).as("alpha"))
   }
 
+  /** Hub-removal percolation (targeted-attack robustness): for each `pct`
+    * (integer percent of vertices), remove the `k = n·pct/100` (integer
+    * division) highest-degree vertices — ties broken by smallest id — and
+    * report the surviving structure: giant-component size, component count,
+    * and stranded singletons. The classic web-graph resilience curve
+    * (Albert-Jeong-Barabási attack tolerance; the bow-tie's CORE is what
+    * hub removal shreds).
+    *
+    * Output: one row per pct — (pct, removed, giant, comps, singletons),
+    * all exact integers. `singletons` = surviving vertices incident to no
+    * surviving edge; `giant`/`comps` are over surviving-edge vertices only
+    * (an empty survivor graph reports 0/0).
+    *
+    * Spark shape per pct: distributed top-k hubs (TakeOrderedAndProject —
+    * k rows, broadcast into two anti-joins; never a global row_number
+    * window), then one FastSV components run (O(log n) rounds — hub
+    * removal RAISES the diameter, so min-propagation would be the wrong
+    * loop here) and output-row-bounded aggregates. The curve costs
+    * |pcts| component runs — exactly what it costs on a cluster. At a
+    * scale where k itself is huge, swap the exact top-k for a degree
+    * threshold from approxQuantile; the fixture keeps exact-rank
+    * semantics so the oracle can mirror it.
+    */
+  def percolation(spark: SparkSession, edges: DataFrame,
+                  pcts: Seq[Int] = Seq(0, 5, 10, 20)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100), "pcts in [0,100]")
+    import spark.implicits._
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    val rows = pcts.map { p =>
+      val k = n * p / 100
+      val hubs = deg.orderBy(col("deg").desc, col("id")).limit(k.toInt)
+        .select(col("id"))
+      val surv = canon
+        .join(broadcast(hubs.select(col("id").as("a"))), Seq("a"), "left_anti")
+        .join(broadcast(hubs.select(col("id").as("b"))), Seq("b"), "left_anti")
+      val comp = ConnectedComponents.run(spark,
+        surv.select(col("a").as("src"), col("b").as("dst")), fastsv = true)
+      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+      val agg = sizes.agg(
+        coalesce(sum(col("sz")), lit(0L)).as("survivors"),
+        coalesce(max(col("sz")), lit(0L)).as("giant"),
+        count(lit(1)).as("comps")).collect()(0)
+      val survivors = agg.getLong(0)
+      (p.toLong, k, agg.getLong(1), agg.getLong(2), n - k - survivors)
+    }
+    canon.unpersist(false); deg.unpersist(false)
+    rows.toDF("pct", "removed", "giant", "comps", "singletons")
+  }
+
   /** k-hop ego network: the subgraph INDUCED on all vertices within `hops`
     * undirected steps of the seed set — the standard neighborhood-feature
     * extraction primitive (and the "crawl frontier around a site" view).

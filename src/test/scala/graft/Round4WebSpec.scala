@@ -377,6 +377,42 @@ class Round4WebSpec extends SparkTestBase {
     assert(math.abs(zrow.getDouble(2) - 2.5) < 0.25, s"alpha=${zrow.getDouble(2)}")
   }
 
+  test("percolation: two-star hand case and union-find replica on a seeded graph") {
+    import graft.algos.GraphStats
+    import spark.implicits._
+    // two 5-spoke stars whose hubs (0 and 10) are bridged: removing the
+    // first hub strands its spokes; removing both shreds the graph
+    val stars = (1L to 5L).map(i => (0L, i)) ++ (11L to 15L).map(i => (10L, i)) :+ ((0L, 10L))
+    val out = GraphStats.percolation(spark, stars.toDF("src", "dst"), pcts = Seq(0, 10, 20))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(0L) == ((0L, 12L, 1L, 0L)))   // intact: one giant of 12
+    assert(out(10L) == ((1L, 6L, 1L, 5L)))   // hub 0 gone: star-10 giant, 5 singletons
+    assert(out(20L) == ((2L, 0L, 0L, 10L)))  // both hubs gone: all spokes stranded
+    // seeded sparse graph vs a driver-side exact replica (rank + union-find)
+    val es = randWeighted(50, 0.06, 227L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.filter(e => e._1 != e._2).toSet
+    val verts = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val degm = es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, xs) => (v, xs.size) }
+    for (p <- Seq(0, 10, 30)) {
+      val k = verts.size * p / 100
+      val removed = verts.sortBy(v => (-degm(v), v)).take(k).toSet
+      val surv = es.filter(e => !removed(e._1) && !removed(e._2))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p0 = parent.getOrElse(x, x); if (p0 == x) x else { val r = find(p0); parent(x) = r; r } }
+      surv.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val comps = surv.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.groupBy(find)
+      val giant = if (comps.isEmpty) 0L else comps.values.map(_.size).max.toLong
+      val survVerts = surv.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.size
+      val row = GraphStats.percolation(spark, es.toSeq.toDF("src", "dst"), pcts = Seq(p))
+        .collect()(0)
+      assert(row.getLong(1) == k.toLong && row.getLong(2) == giant &&
+        row.getLong(3) == comps.size.toLong &&
+        row.getLong(4) == (verts.size - k - survVerts).toLong,
+        s"p=$p got ${row.mkString(",")} want k=$k giant=$giant comps=${comps.size}")
+    }
+  }
+
   test("ego network: path hand case and brute-force ball on a seeded graph") {
     import graft.algos.GraphStats
     val p5 = Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
