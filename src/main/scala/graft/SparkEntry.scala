@@ -692,6 +692,11 @@ object SparkEntry {
     "gb_powerlaw_alpha" -> ((s, d) =>
       GraphStats.powerLawAlpha(s, edgesArith(s, d), dmin = 2L)),
 
+    // exact hop plot (distance histogram over all reachable ordered pairs)
+    // — the exact twin of the ANF sketch's neighborhood function
+    "gb_hopplot" -> ((s, d) =>
+      GraphStats.hopPlot(s, edgesArith(s, d))),
+
     // hub-removal percolation curve (targeted-attack robustness): giant
     // component / components / singletons after deleting the top-p% hubs
     "gb_percolation" -> ((s, d) =>
@@ -1436,6 +1441,19 @@ object SparkEntry {
     "algo_tricount_est" -> tricountEstSql(2),
     "gb_egonet" -> egonetSql,
     "gb_percolation" -> percolationSql(Seq(0, 5, 10, 20)),
+    "gb_hopplot" ->
+      s"""WITH RECURSIVE canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
+         |und AS (SELECT src AS s, dst AS d FROM canon UNION ALL SELECT dst, src FROM canon),
+         |verts AS (SELECT DISTINCT s AS v FROM und),
+         |r AS (
+         |  SELECT v AS s, v, 0 AS d FROM verts
+         |  UNION
+         |  SELECT r.s, und.d, r.d + 1 FROM r JOIN und ON und.s = r.v WHERE r.d < 300),
+         |mind AS (SELECT s, v, MIN(d) AS dist FROM r GROUP BY s, v),
+         |hist AS (SELECT dist, count(*) AS pairs FROM mind WHERE dist > 0 GROUP BY dist)
+         |SELECT CAST(dist AS BIGINT) AS dist, CAST(pairs AS BIGINT) AS pairs,
+         |  CAST(SUM(pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs
+         |FROM hist ORDER BY dist""".stripMargin,
     "gb_powerlaw_alpha" ->
       s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
          |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),

@@ -400,6 +400,34 @@ object GraphStats {
     rows.toDF("pct", "removed", "giant", "comps", "singletons")
   }
 
+  /** Exact hop plot: the distance histogram over ALL ordered reachable
+    * pairs (s ≠ v) of the undirected graph — (dist, pairs, cum_pairs).
+    * This is the exact quantity [[ANF]] sketches at scale (neighborhood
+    * function N(h) = cum_pairs at h); at fixture scale the exact answer is
+    * cheap and gives the approximate path its oracle twin.
+    *
+    * Spark shape: one [[MSBFS]] run seeded at every vertex (⌈n/64⌉
+    * bitmask waves over the same cached adjacency — never an n² state
+    * join), one histogram aggregation, and a cumulative window over the
+    * histogram ROWS (≤ diameter of them, so the unpartitioned window is
+    * output-bounded, not data-bounded).
+    */
+  def hopPlot(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val verts = und.select(col("src").as("id")).distinct()
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val dists = MSBFS.run(spark, und, verts).filter(col("dist") > 0)
+    val hist = dists.groupBy(col("dist")).agg(count(lit(1)).as("pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dist")).rowsBetween(Long.MinValue, 0)
+    hist.select(col("dist"), col("pairs"),
+      sum(col("pairs")).over(w).as("cum_pairs")).orderBy("dist")
+  }
+
   /** k-hop ego network: the subgraph INDUCED on all vertices within `hops`
     * undirected steps of the seed set — the standard neighborhood-feature
     * extraction primitive (and the "crawl frontier around a site" view).

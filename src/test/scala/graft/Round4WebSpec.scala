@@ -377,6 +377,38 @@ class Round4WebSpec extends SparkTestBase {
     assert(math.abs(zrow.getDouble(2) - 2.5) < 0.25, s"alpha=${zrow.getDouble(2)}")
   }
 
+  test("hop plot: path hand case and BFS replica on a seeded graph") {
+    import graft.algos.GraphStats
+    import spark.implicits._
+    val p4 = Set((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = GraphStats.hopPlot(spark, edgesDF(p4)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((6L, 6L)), 2L -> ((4L, 10L)), 3L -> ((2L, 12L))))
+    // seeded graph vs an exact driver-side all-pairs BFS
+    val es = randWeighted(40, 0.07, 331L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.filter(e => e._1 != e._2).toSet
+    val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => (v, xs.map(_._2).distinct) }
+    val verts = adj.keys.toSeq
+    val cnt = scala.collection.mutable.Map[Long, Long]()
+    for (s <- verts) {
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      var front = Seq(s); var d = 0L
+      while (front.nonEmpty) {
+        d += 1
+        front = front.flatMap(adj(_)).distinct.filterNot(dist.contains)
+        front.foreach(v => dist(v) = d)
+      }
+      dist.foreach { case (v, dd) => if (v != s) cnt(dd) = cnt.getOrElse(dd, 0L) + 1 }
+    }
+    val want = cnt.toSeq.sortBy(_._1)
+    val wcum = want.scanLeft(0L)(_ + _._2).tail
+    val got2 = GraphStats.hopPlot(spark, es.toSeq.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == want.zip(wcum).map { case ((dd, p), c) => (dd, p, c) },
+      s"got ${got2.mkString(",")} want $want")
+  }
+
   test("percolation: two-star hand case and union-find replica on a seeded graph") {
     import graft.algos.GraphStats
     import spark.implicits._
