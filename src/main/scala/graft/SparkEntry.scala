@@ -993,6 +993,11 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
     "text_langid" -> ((s, d) => TextStats.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
+    // top-5 terms per doc by smoothed tf-idf (sklearn idf smoothing)
+    "text_tfidf" -> ((s, d) => TextStats.tfidfTopTerms(docs(s, d), topK = 5)),
+    // BM25 retrieval, fixed query, dyadic k1=5/4 b=3/4 (exact constants)
+    "text_bm25" -> ((s, d) =>
+      TextStats.bm25(docs(s, d), Seq("spark", "shuffle", "partition"), topK = 20)),
     // deterministic global training order; rangeWidth 2^27 → ~16 key ranges
     // at any SF, so the driver pins the two-level rank == one global sort
     "text_shuffle_order" -> ((s, d) =>
@@ -1767,6 +1772,48 @@ object SparkEntry {
         |WHERE doc_id % 10 >= 8 AND text NOT IN
         |  (SELECT text FROM documents WHERE doc_id % 10 < 8)
         |GROUP BY text""".stripMargin,
+
+    // mirrors TextStats.tfidfTopTerms: same tokenization, sklearn idf
+    // smoothing, rank on the ROUNDED score with term tie-break
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t(term)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |rk AS (SELECT doc_id, term, tf, tfidf,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 5""".stripMargin,
+
+    // mirrors TextStats.bm25: dyadic k1=5/4 b=3/4 (so k1+1 = 2.25 and
+    // 1-b = 0.25 are exact), Lucene non-negative idf, rank on the rounded
+    // score with doc_id tie-break
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t(term)),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+        |qtf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        WHERE term IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+        |contrib AS (
+        |  SELECT qtf.doc_id,
+        |         ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * qtf.tf * 2.25 /
+        |           (qtf.tf + 1.25 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)) AS c
+        |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN n CROSS JOIN avgdl),
+        |scores AS (SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1),
+        |rk AS (SELECT doc_id, bm25,
+        |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM scores)
+        |SELECT doc_id, bm25, CAST(rk AS BIGINT) AS rk FROM rk WHERE rk <= 20""".stripMargin,
 
     // mirrors TextStats.langId: marker-word hits per language, argmax with
     // alphabetical tie-break (the CASE checks in alphabetical order)

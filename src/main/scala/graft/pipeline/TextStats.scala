@@ -346,4 +346,70 @@ object TextStats {
     docs.select(col("doc_id"), fp.as("fingerprint"),
       size(toks).cast("long").as("n_tokens"))
   }
+
+  /** (doc_id, term) exploded token table — lowercase, split on non-alnum
+    * runs, empties dropped. The shared front end of [[tfidfTopTerms]] and
+    * [[bm25]]; one narrow projection + generate, no shuffle.
+    */
+  private def termTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)).as("term"))
+
+  /** Top-k terms per document by smoothed tf-idf
+    * (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing — never negative,
+    * never a zero division). Output (doc_id, term, tf, tfidf, rk), ties
+    * broken by term so the ranking is deterministic.
+    *
+    * Spark shape: explode → ONE (doc_id,term) aggregation → a term-keyed
+    * shuffle join against the (term, df) side (itself a rollup of the same
+    * aggregate, so Spark reuses the exchange) → per-doc window. Every stage
+    * is keyed on doc or term — no global ordering, no driver data; the df
+    * side is the vocabulary (heavy-tailed but bounded), standard at 100 TB.
+    * N (corpus size) is the one scalar collect.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val n = docs.count()
+    val tf = termTable(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").select(col("doc_id"), col("term"), col("tf"),
+      round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
+  /** BM25 retrieval for a fixed query term set: the top-k documents by
+    * Robertson/Sparck-Jones BM25 with the standard k1/b defaults kept
+    * DYADIC (k1 = 5/4, b = 3/4) so every constant is exact in binary and
+    * the oracle arithmetic matches bit-for-bit before the final round.
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Lucene non-negative form).
+    *
+    * Spark shape: the per-doc term frequencies are FILTERED to the query
+    * terms before anything wide happens (predicate pushes into the
+    * aggregation's input), the per-term df table is |query| rows →
+    * broadcast, doc length joins doc-keyed, and the global top-k is
+    * TakeOrderedAndProject (per-partition heads, never a full sort).
+    */
+  def bm25(docs: DataFrame, query: Seq[String], topK: Int = 20,
+           k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val n = docs.count()
+    val toks = termTable(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(sum("dl")).head.getLong(0).toDouble / n
+    val qterms = query.map(_.toLowerCase).distinct
+    val qtf = toks.filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val contrib = qtf.join(broadcast(df), "term").join(dl, "doc_id")
+      .select(col("doc_id"),
+        (idf * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))).as("c"))
+    val scores = contrib.groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scores.withColumn("rk", row_number().over(w).cast("long"))
+  }
 }

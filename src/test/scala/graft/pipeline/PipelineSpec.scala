@@ -201,4 +201,62 @@ class PipelineSpec extends SparkTestBase {
       .filter(col("n") >= 2 && col("nh") < 2).count()
     assert(someVid == 0, "distinct frames must hash differently")
   }
+
+  private def round6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("tfidf: exact scores and ranks vs a driver-side replica") {
+    val d = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "Banana banana durian"),
+      (2L, "apple elderberry")).toDF("doc_id", "text")
+    val got = TextStats.tfidfTopTerms(d, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val toks = Map(0L -> Seq("apple", "banana", "apple", "cherry"),
+      1L -> Seq("banana", "banana", "durian"), 2L -> Seq("apple", "elderberry"))
+    val tf = toks.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => ((id, t), xs.size.toLong) } }.toMap
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (t, ks) => (t, ks.size) }
+    val want = tf.toSeq.map { case ((id, t), f) =>
+        (id, t, f, round6(f * (math.log(4.0 / (df(t) + 1.0)) + 1.0))) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).zipWithIndex
+          .map { case ((id, t, f, s), i) => (id, t, f, s, i + 1L) } }
+    assert(got.sortBy(r => (r._1, r._5)).toSeq == want.sortBy(r => (r._1, r._5)))
+    // the doc-0-only term outranks the everywhere term within doc 0
+    val d0 = got.filter(_._1 == 0L).sortBy(_._5).map(_._2)
+    assert(d0.indexOf("cherry") < d0.indexOf("banana"))
+  }
+
+  test("bm25: exact scores vs a replica; more hits rank higher") {
+    val d = Seq(
+      (0L, "spark shuffle spark partition join"),
+      (1L, "spark row filter table scan"),
+      (2L, "sort merge window stream"),
+      (3L, "partition partition shuffle spark spark spark")).toDF("doc_id", "text")
+    val got = TextStats.bm25(d, Seq("spark", "shuffle", "partition"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val toks = Map(0L -> Seq("spark", "shuffle", "spark", "partition", "join"),
+      1L -> Seq("spark", "row", "filter", "table", "scan"),
+      2L -> Seq("sort", "merge", "window", "stream"),
+      3L -> Seq("partition", "partition", "shuffle", "spark", "spark", "spark"))
+    val q = Seq("spark", "shuffle", "partition")
+    val n = 4.0
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val df = q.map(t => t -> toks.values.count(_.contains(t))).toMap
+    val scores = toks.flatMap { case (id, ts) =>
+      val s = q.map { t =>
+        val f = ts.count(_ == t).toDouble
+        if (f == 0) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * f * 2.25 /
+          (f + 1.25 * (0.25 + 0.75 * ts.size / avgdl))
+      }.sum
+      if (s > 0) Some(id -> round6(s)) else None
+    }
+    val want = scores.toSeq.sortBy(r => (-r._2, r._1)).zipWithIndex
+      .map { case ((id, s), i) => (id, s, i + 1L) }
+    assert(got.sortBy(_._3).toSeq == want)
+    // doc 2 has no query terms — absent; doc 3 (most hits) is rank 1
+    assert(!got.exists(_._1 == 2L) && got.minBy(_._3)._1 == 3L)
+  }
 }
