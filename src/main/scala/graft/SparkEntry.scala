@@ -768,6 +768,12 @@ object SparkEntry {
       Eigenvector.runFixed(s, edgesArith(s, d), k = 5)
         .select(col("id"), round(col("eig"), 8).as("eig"))),
 
+    // Fiedler vector (spectral bisection) — deflated power iteration on
+    // σI − L, fixed k=8, sign-fixed at the min id
+    "algo_fiedler8" -> ((s, d) =>
+      Fiedler.runFixed(s, edgesArith(s, d), k = 8)
+        .select(col("id"), round(col("f"), 6).as("f"))),
+
     // in/out degree distribution of the directed fixture (power-law view)
     "gb_degree_hist" -> ((s, d) =>
       GraphStats.degreeHistogram(s, edgesArithDirected(s, d))),
@@ -1468,6 +1474,7 @@ object SparkEntry {
          |SELECT CAST(2 AS BIGINT) AS dmin, CAST(n AS BIGINT) AS n_tail,
          |  round(1.0 + CAST(n AS DOUBLE) / s, 6) AS alpha FROM t""".stripMargin,
     "algo_eigen5" -> eigenUnrolledSql(5),
+    "algo_fiedler8" -> fiedlerUnrolledSql(8),
     "gb_degree_hist" -> degreeHistSql,
     "algo_cocitation" -> cocitationSql(common = "src", paired = "dst"),
     "algo_bibcoupling" -> cocitationSql(common = "dst", paired = "src"),
@@ -2909,6 +2916,41 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
          |    JOIN x$j xp ON xp.id = und.a GROUP BY und.b) s ON s.id = v.id)""".stripMargin
     }.mkString(",\n")
     s"$prelude,\n$rs\nSELECT id, round(x, 8) AS katz FROM x$k"
+  }
+
+  /** Mirrors [[Fiedler.runFixed]]: k deflated power steps on σI − L
+    * (σ = 2·maxdeg), center + L1-normalize each step, sign fixed at the
+    * minimum id. x0 = vertex id (centered/normalized).
+    */
+  private def fiedlerUnrolledSql(k: Int): String = {
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |deg AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY a),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |sig AS (SELECT 2.0 * max(d) AS s FROM deg),
+         |y0 AS (SELECT id, CAST(id AS DOUBLE) AS y FROM deg)""".stripMargin
+    val steps = (0 to k).map { i =>
+      val norm =
+        s"""m$i AS (SELECT (SELECT sum(y) FROM y$i) / (SELECT n FROM nn) AS m),
+           |l$i AS (SELECT sum(abs(y - (SELECT m FROM m$i))) AS l FROM y$i),
+           |x$i AS MATERIALIZED (SELECT id, (y - (SELECT m FROM m$i)) / (SELECT l FROM l$i) AS x FROM y$i)""".stripMargin
+      if (i == 0) norm
+      else {
+        val j = i - 1
+        s"""y$i AS MATERIALIZED (
+           |  SELECT deg.id, ((SELECT s FROM sig) - deg.d) * xp.x + COALESCE(g.s, 0) AS y
+           |  FROM deg JOIN x$j xp ON xp.id = deg.id
+           |  LEFT JOIN (SELECT und.b AS id, sum(xq.x) AS s FROM und
+           |    JOIN x$j xq ON xq.id = und.a GROUP BY und.b) g ON g.id = deg.id),
+           |$norm""".stripMargin
+      }
+    }.mkString(",\n")
+    s"""$prelude,
+       |$steps,
+       |sgn AS (SELECT CASE WHEN (SELECT x FROM x$k ORDER BY id LIMIT 1) >= 0
+       |        THEN 1.0 ELSE -1.0 END AS g)
+       |SELECT id, round(x * (SELECT g FROM sgn), 6) AS f FROM x$k""".stripMargin
   }
 
   private def eigenUnrolledSql(k: Int): String = {

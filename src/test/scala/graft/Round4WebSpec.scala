@@ -409,6 +409,38 @@ class Round4WebSpec extends SparkTestBase {
       s"got ${got2.mkString(",")} want $want")
   }
 
+  test("Fiedler: barbell bisects exactly; path matches the cosine closed form") {
+    import graft.algos.Fiedler
+    // two K5s bridged by one edge — the spectral cut is the bridge
+    def k5(base: Long) = (for (i <- 0 until 5; j <- i + 1 until 5)
+      yield (base + i, base + j)).toSet
+    val barbell = k5(0L) ++ k5(10L) + ((4L, 10L))
+    val f = Fiedler.runFixed(spark, edgesDF(barbell), k = 40).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((0L to 4L).forall(f(_) > 0) && (10L to 14L).forall(f(_) < 0),
+      s"barbell sides: $f")
+    // bridge endpoints sit closest to the cut
+    assert((0L to 3L).forall(i => f(i) > f(4L)) &&
+           (11L to 14L).forall(i => f(i) < f(10L)))
+    // mirror symmetry of the barbell (bridge 4 ↔ bridge 10, inner ↔ inner)
+    assert(math.abs(f(4L) + f(10L)) < 1e-6)
+    assert((0L to 3L).forall(i => math.abs(f(i) + f(i + 11)) < 1e-6))
+
+    // P6 path: Fiedler vector is cos(π(i+1/2)/6) — monotone, antisymmetric
+    val p6 = (0L to 4L).map(i => (i, i + 1)).toSet
+    val g = Fiedler.runFixed(spark, edgesDF(p6), k = 200).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((0L to 4L).forall(i => g(i) > g(i + 1)), s"path monotone: $g")
+    assert((0L to 5L).forall(i => math.abs(g(i) + g(5L - i)) < 1e-9))
+    val want = (0 to 5).map(i => math.cos(math.Pi * (i + 0.5) / 6.0))
+    val scale = g(0L) / want(0)
+    assert((0 to 5).forall(i => math.abs(g(i.toLong) - want(i) * scale) < 1e-4),
+      s"cosine profile: $g")
+    // deflation is exact: the iterate stays centered and L1-normalized
+    assert(math.abs(g.values.sum) < 1e-12)
+    assert(math.abs(g.values.map(math.abs).sum - 1.0) < 1e-12)
+  }
+
   test("percolation: two-star hand case and union-find replica on a seeded graph") {
     import graft.algos.GraphStats
     import spark.implicits._
