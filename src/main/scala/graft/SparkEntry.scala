@@ -774,6 +774,16 @@ object SparkEntry {
       Fiedler.runFixed(s, edgesArith(s, d), k = 8)
         .select(col("id"), round(col("f"), 6).as("f"))),
 
+    // bipartiteness / odd-cycle certificate — BFS-parity 2-coloring via a
+    // lexicographic (comp, dist) min-label fixpoint
+    "algo_bipartite" -> ((s, d) => Bipartite.run(s, edgesArith(s, d))),
+
+    // truncated hitting time E[min(T_S, 6)] to trusted seeds {1,3,7}
+    // (the distance companion of TrustRank's mass propagation)
+    "algo_hitting6" -> ((s, d) =>
+      HittingTime.runFixed(s, edgesArith(s, d), seeds = Seq(1L, 3L, 7L), k = 6)
+        .select(col("id"), round(col("h"), 6).as("h"))),
+
     // in/out degree distribution of the directed fixture (power-law view)
     "gb_degree_hist" -> ((s, d) =>
       GraphStats.degreeHistogram(s, edgesArithDirected(s, d))),
@@ -1004,6 +1014,10 @@ object SparkEntry {
     // BM25 retrieval, fixed query, dyadic k1=5/4 b=3/4 (exact constants)
     "text_bm25" -> ((s, d) =>
       TextStats.bm25(docs(s, d), Seq("spark", "shuffle", "partition"), topK = 20)),
+    // bounded-memory heavy hitters: Misra-Gries candidates + exact recount,
+    // a-posteriori certified equal to the unbounded exact top-k
+    "text_top_terms" -> ((s, d) =>
+      TextStats.topTermsExact(docs(s, d), topK = 20, cap = 4096)),
     // deterministic global training order; rangeWidth 2^27 → ~16 key ranges
     // at any SF, so the driver pins the two-level rank == one global sort
     "text_shuffle_order" -> ((s, d) =>
@@ -1475,6 +1489,38 @@ object SparkEntry {
          |  round(1.0 + CAST(n AS DOUBLE) / s, 6) AS alpha FROM t""".stripMargin,
     "algo_eigen5" -> eigenUnrolledSql(5),
     "algo_fiedler8" -> fiedlerUnrolledSql(8),
+    "algo_hitting6" -> hittingUnrolledSql(6, Seq(1L, 3L, 7L)),
+
+    // mirrors Bipartite.run: comp = min reachable id (recursive closure),
+    // side = BFS level from the comp root mod 2, odd edge = same-side edge
+    "algo_bipartite" ->
+      s"""WITH RECURSIVE canon AS MATERIALIZED (
+         |  SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+         |  FROM ($edgesArithSql) WHERE src <> dst),
+         |und AS (SELECT src AS s, dst AS d FROM canon UNION SELECT dst, src FROM canon),
+         |verts AS (SELECT DISTINCT s AS v FROM und),
+         |reach(node, lab) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT und.d, reach.lab FROM reach JOIN und ON und.s = reach.node),
+         |comp AS MATERIALIZED (SELECT node AS id, min(lab) AS comp FROM reach GROUP BY node),
+         |roots AS (SELECT DISTINCT comp AS r FROM comp),
+         |walk(v, dist) AS (
+         |  SELECT r, 0 FROM roots
+         |  UNION
+         |  SELECT und.d, walk.dist + 1 FROM walk JOIN und ON und.s = walk.v
+         |  WHERE walk.dist < 600),
+         |lev AS (SELECT v AS id, min(dist) AS dist FROM walk GROUP BY v),
+         |side AS MATERIALIZED (SELECT comp.id, comp.comp, lev.dist % 2 AS side
+         |  FROM comp JOIN lev ON lev.id = comp.id),
+         |odd AS (SELECT s1.comp, count(*) AS odd_edges FROM canon
+         |  JOIN side s1 ON s1.id = canon.src JOIN side s2 ON s2.id = canon.dst
+         |  WHERE s1.side = s2.side GROUP BY s1.comp)
+         |SELECT side.id, side.comp, CAST(side.side AS BIGINT) AS side,
+         |  CAST(COALESCE(odd.odd_edges, 0) AS BIGINT) AS odd_edges,
+         |  CAST(CASE WHEN COALESCE(odd.odd_edges, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS bipartite
+         |FROM side LEFT JOIN odd ON odd.comp = side.comp""".stripMargin,
     "gb_degree_hist" -> degreeHistSql,
     "algo_cocitation" -> cocitationSql(common = "src", paired = "dst"),
     "algo_bibcoupling" -> cocitationSql(common = "dst", paired = "src"),
@@ -1821,6 +1867,20 @@ object SparkEntry {
         |rk AS (SELECT doc_id, bm25,
         |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM scores)
         |SELECT doc_id, bm25, CAST(rk AS BIGINT) AS rk FROM rk WHERE rk <= 20""".stripMargin,
+
+    // mirrors TextStats.topTermsExact's CERTIFIED output: the plain exact
+    // top-k (what certification proves the bounded-memory path equals)
+    "text_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t(term)),
+        |cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |rk AS (SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM cnt)
+        |SELECT term, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS BIGINT) AS rk,
+        |  CAST(CASE WHEN (SELECT CAST(min(cnt) AS DOUBLE) FROM rk WHERE rk <= 20)
+        |    > (SELECT n FROM n) / 4097.0 THEN 1 ELSE 0 END AS BIGINT) AS certified
+        |FROM rk WHERE rk <= 20""".stripMargin,
 
     // mirrors TextStats.langId: marker-word hits per language, argmax with
     // alphabetical tie-break (the CASE checks in alphabetical order)
@@ -2951,6 +3011,27 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
        |sgn AS (SELECT CASE WHEN (SELECT x FROM x$k ORDER BY id LIMIT 1) >= 0
        |        THEN 1.0 ELSE -1.0 END AS g)
        |SELECT id, round(x * (SELECT g FROM sgn), 6) AS f FROM x$k""".stripMargin
+  }
+
+  /** Mirrors [[HittingTime.runFixed]]: k DP steps of
+    * h ← 0 on seeds, else 1 + (Σ neighbor h)/deg.
+    */
+  private def hittingUnrolledSql(k: Int, seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString(", ")
+    val prelude =
+      s"""WITH $arithCanonCte,
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
+         |deg AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY a),
+         |h0 AS (SELECT id, 0.0 AS h FROM deg)""".stripMargin
+    val steps = (1 to k).map { i =>
+      val j = i - 1
+      s"""h$i AS MATERIALIZED (
+         |  SELECT deg.id, CASE WHEN deg.id IN ($seedList) THEN 0.0
+         |    ELSE 1.0 + COALESCE(g.s, 0) / deg.d END AS h
+         |  FROM deg LEFT JOIN (SELECT und.b AS id, sum(hp.h) AS s FROM und
+         |    JOIN h$j hp ON hp.id = und.a GROUP BY und.b) g ON g.id = deg.id)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$steps\nSELECT id, round(h, 6) AS h FROM h$k"
   }
 
   private def eigenUnrolledSql(k: Int): String = {

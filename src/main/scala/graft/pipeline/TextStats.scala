@@ -379,6 +379,63 @@ object TextStats {
       .filter(col("rk") <= topK)
   }
 
+  /** Exact global top-k frequent terms at BOUNDED memory — the two-pass
+    * heavy-hitter shape a 100 TB vocabulary needs when the full term
+    * dictionary cannot be shuffled:
+    *
+    *  1. sketch pass: a per-partition Misra-Gries summary with `cap`
+    *     counters. Any term with global count > N/(cap+1) survives in at
+    *     least one partition (if it were wiped everywhere its count would be
+    *     ≤ Σ_p N_p/(cap+1) = N/(cap+1)), so the union of survivors is a
+    *     candidate superset of every possible top-k member above that bound.
+    *     ≤ cap·partitions candidate rows ever leave the executors.
+    *  2. recount pass: EXACT counts for candidates only (broadcast semi
+    *     join — the vocabulary-wide shuffle never happens), global top-k by
+    *     (count desc, term asc).
+    *
+    * The output column `certified` = 1 iff the k-th count > N/(cap+1) —
+    * the standard a-posteriori proof that the heavy-hitter bound cannot
+    * hide a true top-k member outside the candidate set, i.e. the answer
+    * equals the unbounded-memory exact top-k (which is what the SQL oracle
+    * computes). mapPartitions is the honest shape for the sketch: Misra-
+    * Gries is inherently imperative per-partition state, like the media
+    * codecs — no Catalyst expression maintains a counter map.
+    */
+  def topTermsExact(docs: DataFrame, topK: Int = 20, cap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = termTable(docs)
+    val nTok = toks.count()
+
+    val cand = toks.select(col("term")).as[String](Encoders.STRING)
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (m.contains(t)) m(t) += 1L
+          else if (m.size < cap) m(t) = 1L
+          else {
+            // decrement-all step, amortized: drop zeros as they appear
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.keysIterator.foreach { k =>
+              if (m(k) == 1L) dead += k else m(k) -= 1L
+            }
+            dead.foreach(m.remove)
+          }
+        }
+        m.keysIterator
+      }(Encoders.STRING)
+      .toDF("term").distinct()
+
+    val counts = toks.join(broadcast(cand), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    val ranked = counts.withColumn("rk", row_number().over(w).cast("long"))
+    val kth = ranked.agg(min(col("cnt"))).head.getLong(0)
+    val certified = if (kth.toDouble > nTok.toDouble / (cap + 1.0)) 1L else 0L
+    ranked.withColumn("certified", lit(certified))
+  }
+
   /** BM25 retrieval for a fixed query term set: the top-k documents by
     * Robertson/Sparck-Jones BM25 with the standard k1/b defaults kept
     * DYADIC (k1 = 5/4, b = 3/4) so every constant is exact in binary and

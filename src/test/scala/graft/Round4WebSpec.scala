@@ -441,6 +441,55 @@ class Round4WebSpec extends SparkTestBase {
     assert(math.abs(g.values.map(math.abs).sum - 1.0) < 1e-12)
   }
 
+  test("Bipartite: even cycle passes, odd cycle certified, mixed components split") {
+    import graft.algos.Bipartite
+    // C4 (bipartite) ∪ C5 (odd cycle) ∪ an isolated edge (bipartite)
+    val c4 = Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val c5 = Set((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 10L))
+    val iso = Set((20L, 21L))
+    val got = Bipartite.run(spark, edgesDF(c4 ++ c5 ++ iso)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // comps are min ids; BFS parity from the root
+    assert(got(0L) == ((0L, 0L, 0L, 1L)) && got(1L) == ((0L, 1L, 0L, 1L)) &&
+           got(2L) == ((0L, 0L, 0L, 1L)) && got(3L) == ((0L, 1L, 0L, 1L)))
+    // C5: dists from 10 are 0,1,2,2,1 → sides 0,1,0,0,1; one same-side edge
+    assert(got(10L) == ((10L, 0L, 1L, 0L)) && got(11L) == ((10L, 1L, 1L, 0L)) &&
+           got(12L) == ((10L, 0L, 1L, 0L)) && got(13L) == ((10L, 0L, 1L, 0L)) &&
+           got(14L) == ((10L, 1L, 1L, 0L)))
+    assert(got(20L) == ((20L, 0L, 0L, 1L)) && got(21L) == ((20L, 1L, 0L, 1L)))
+  }
+
+  test("HittingTime: path hand case and DP replica on a seeded graph") {
+    import graft.algos.HittingTime
+    // P3 0-1-2, seed {0}: h_4 = (0, 2.25, 3) by hand (exact limit 0,3,4)
+    val p3 = Set((0L, 1L), (1L, 2L))
+    val got = HittingTime.runFixed(spark, edgesDF(p3), seeds = Seq(0L), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 0.0, 1L -> 2.25, 2L -> 3.0), s"got $got")
+
+    // seeded graph vs an exact driver-side DP, seeds {1,3}
+    val es = randWeighted(40, 0.07, 733L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).toSet
+    val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => (v, xs.map(_._2).distinct) }
+    val seeds = Set(1L, 3L).filter(adj.contains)
+    var h = adj.keys.map(_ -> 0.0).toMap
+    for (_ <- 1 to 6)
+      h = adj.map { case (v, ns) =>
+        v -> (if (seeds(v)) 0.0 else 1.0 + ns.map(h).sum / ns.size) }
+    import spark.implicits._
+    val got2 = HittingTime.runFixed(spark, es.toSeq.toDF("src", "dst"),
+        seeds = seeds.toSeq, k = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2.keySet == h.keySet)
+    assert(h.forall { case (v, x) => math.abs(got2(v) - x) < 1e-9 },
+      s"got $got2 want $h")
+    // truncation bound: every value ≤ k
+    assert(got2.values.forall(_ <= 6.0 + 1e-12))
+  }
+
   test("percolation: two-star hand case and union-find replica on a seeded graph") {
     import graft.algos.GraphStats
     import spark.implicits._

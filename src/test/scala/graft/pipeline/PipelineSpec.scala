@@ -228,6 +228,28 @@ class PipelineSpec extends SparkTestBase {
     assert(d0.indexOf("cherry") < d0.indexOf("banana"))
   }
 
+  test("topTermsExact: exact top-k, certification semantics, partition-stable") {
+    import spark.implicits._
+    // 40 'alpha', 25 'beta', 12 'gamma', 5 singles
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(12)("gamma") ++ Seq("u1", "u2", "u3", "u4", "u5")
+    val d = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextStats.topTermsExact(d, topK = 3, cap = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("alpha", 40L, 1L, 1L), ("beta", 25L, 2L, 1L),
+      ("gamma", 12L, 3L, 1L)))
+    // partition layout must not change a certified answer
+    val got7 = TextStats.topTermsExact(d.repartition(7), topK = 3, cap = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got7.toSeq == got.toSeq)
+    // tiny cap: the dominant term still survives the sketch (count > N/(cap+1))
+    // but the k-th count can no longer be certified
+    val tiny = TextStats.topTermsExact(d, topK = 3, cap = 2).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(tiny.exists(_._1 == "alpha"), s"heavy hitter lost: ${tiny.toSeq}")
+    assert(tiny.forall(_._2 == 0L), "cap=2 over 82 tokens cannot certify top-3")
+  }
+
   test("bm25: exact scores vs a replica; more hits rank higher") {
     val d = Seq(
       (0L, "spark shuffle spark partition join"),
