@@ -913,6 +913,11 @@ object SparkEntry {
       val c = Corpus.synthesize(s, 2000)
       Corpus.deriveEdges(c)
     }),
+    // the same parse+resolve derivation over the ARITHMETIC-mix corpus —
+    // named endpoints, so DuckDB re-derives the identical edge table from
+    // the same formulas (the north rule's derivation, oracle-checked)
+    "corpus_edges_arith" -> ((s, _) =>
+      Corpus.deriveEdgesNamed(Corpus.synthesizeArith(s, 500))),
     "corpus_pagerank" -> ((s, _) => {
       val c = Corpus.synthesize(s, 2000)
       val res = PageRank.run(s, Corpus.deriveEdges(c), tol = 1e-6)
@@ -1867,6 +1872,28 @@ object SparkEntry {
         |rk AS (SELECT doc_id, bm25,
         |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM scores)
         |SELECT doc_id, bm25, CAST(rk AS BIGINT) AS rk FROM rk WHERE rk <= 20""".stripMargin,
+
+    // mirrors Corpus.synthesizeArith + deriveEdgesNamed: DuckDB re-derives
+    // the identical edge table from the same Lehmer formulas — the oracle
+    // for the parse+resolve derivation itself (names are injective in the
+    // file index, so the name self-loop filter equals i <> t)
+    "corpus_edges_arith" ->
+      """WITH base AS (SELECT range AS i FROM range(0, 500)),
+        |tgt AS (
+        |  SELECT b.i,
+        |    CASE WHEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 4 = 0
+        |      THEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % greatest(1, b.i // 16 + 1)
+        |      ELSE ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 500 END AS t
+        |  FROM base b CROSS JOIN (SELECT range AS k FROM range(0, 4)) kk),
+        |named AS (
+        |  SELECT
+        |    'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS src_repo,
+        |    'src/f' || CAST(i // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(i % 5) + 1] AS src_path,
+        |    'org' || CAST((t % 13) % 7 AS VARCHAR) || '/repo' || CAST(t % 13 AS VARCHAR) AS dst_repo,
+        |    'src/f' || CAST(t // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(t % 5) + 1] AS dst_path
+        |  FROM tgt WHERE i <> t)
+        |SELECT src_repo, src_path, dst_repo, dst_path, CAST(count(*) AS BIGINT) AS w
+        |FROM named GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // mirrors TextStats.topTermsExact's CERTIFIED output: the plain exact
     // top-k (what certification proves the bounded-memory path equals)

@@ -60,6 +60,60 @@ object Corpus {
         lit(" // "), repeat(lit("filler "), 8)).as("content"))
   }
 
+  /** [[synthesize]] with EXACT-ARITHMETIC import targets, commit, and body
+    * values — Lehmer-style small-modulus mixes instead of xxhash64 — so the
+    * whole synthesize → parse lines → resolve names → edge-table chain is
+    * reproducible in portable SQL. That turns the honest parse+join edge
+    * derivation itself into a DuckDB-oracle-checkable operation (the
+    * `corpus_edges_arith` driver row); the xxhash64 [[synthesize]] variant
+    * stays the scale/skew fixture (rows-only, unit-verified).
+    */
+  def synthesizeArith(spark: SparkSession, n: Long, nRepos: Int = 13,
+                      fanout: Int = 4): DataFrame = {
+    val base = spark.range(0, n).toDF("i")
+    val imports = transform(sequence(lit(0), lit(fanout - 1)), k => {
+      val mix = pmod((col("i") + 1L) * 48271L + (k.cast("long") + 1L) * 7919L,
+        lit(1000003L))
+      val lowBound = greatest(lit(1L), (col("i") / 16).cast("long") + 1)
+      when(pmod(mix, lit(4)) === 0, pmod(mix, lowBound))
+        .otherwise(pmod(mix, lit(n))).cast("long")
+    })
+    val importLines = transform(imports, t =>
+      concat(lit("import "), repoExpr(t, nRepos), lit("/"), pathExpr(t, nRepos)))
+    base.select(
+      repoExpr(col("i"), nRepos).as("repo"),
+      pathExpr(col("i"), nRepos).as("path"),
+      pmod(col("i") * 69621L + 3L, lit(1000003L)).cast("string").as("commit"),
+      element_at(typedLit(Langs), (pmod(col("i"), lit(Langs.size)) + 1).cast("int")).as("lang"),
+      concat(
+        concat_ws("\n", importLines), lit("\n"),
+        lit("def body_"), col("i").cast("string"),
+        lit("(): x = "), pmod(col("i") * 48271L + 11L, lit(1000L)).cast("string"),
+        lit(" // "), repeat(lit("filler "), 8)).as("content"))
+  }
+
+  /** [[deriveEdges]] keeping NAMED endpoints — (src_repo, src_path,
+    * dst_repo, dst_path, w) string keys instead of hashed vertex ids —
+    * the oracle-comparable form of the parse+resolve derivation.
+    */
+  def deriveEdgesNamed(corpus: DataFrame): DataFrame = {
+    val files = corpus.select(col("repo").as("dst_repo"), col("path").as("dst_path"))
+    corpus
+      .select(col("repo").as("src_repo"), col("path").as("src_path"),
+        explode(split(col("content"), "\n")).as("line"))
+      .filter(col("line").startsWith("import "))
+      .select(col("src_repo"), col("src_path"),
+        expr("substring(line, 8)").as("target"))
+      .select(col("src_repo"), col("src_path"),
+        concat_ws("/", slice(split(col("target"), "/"), 1, 2)).as("dst_repo"),
+        concat_ws("/", slice(split(col("target"), "/"), 3, 100)).as("dst_path"))
+      .join(files, Seq("dst_repo", "dst_path"), "left_semi")
+      .filter(!(col("src_repo") === col("dst_repo") &&
+                col("src_path") === col("dst_path")))
+      .groupBy("src_repo", "src_path", "dst_repo", "dst_path")
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** Vertex id for a (repo,path): 64-bit hash, the north-star's
     * "(repo,path)-derived vertex IDs". Collision-free in practice at the
     * tested scales (checked in the test suite).

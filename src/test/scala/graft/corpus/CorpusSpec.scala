@@ -78,4 +78,26 @@ class CorpusSpec extends SparkTestBase {
     val mass = res.ranks.agg(sum("r")).collect()(0).getDouble(0)
     assert(math.abs(mass - 1.0) < 1e-9)
   }
+
+  test("arith corpus: parse+resolve equals the generator formula exactly") {
+    val c = Corpus.synthesizeArith(spark, 300).cache()
+    val named = Corpus.deriveEdgesNamed(c).cache()
+    // driver-side replica of the target formula, through the NAMES
+    def repo(x: Long) = s"org${(x % 13) % 7}/repo${x % 13}"
+    def path(x: Long) = s"src/f${x / 13}." + Corpus.Langs((x % 5).toInt)
+    val want = (for (i <- 0L until 300L; k <- 0 to 3) yield {
+      val mix = ((i + 1) * 48271L + (k + 1) * 7919L) % 1000003L
+      val t = if (mix % 4 == 0) mix % math.max(1L, i / 16 + 1) else mix % 300L
+      (i, t)
+    }).filter { case (i, t) => i != t }
+      .groupBy(identity).map { case ((i, t), xs) =>
+        ((repo(i), path(i), repo(t), path(t)), xs.size.toLong) }
+    val got = named.collect().map(r =>
+      ((r.getString(0), r.getString(1), r.getString(2), r.getString(3)),
+        r.getLong(4))).toMap
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    // the arith corpus keeps the schema and resolvability invariants
+    assert(c.columns.toSeq == Seq("repo", "path", "commit", "lang", "content"))
+    c.unpersist(); named.unpersist()
+  }
 }
