@@ -1000,6 +1000,9 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank"))
     }),
 
+    // deterministic JL random projection to 8 dims (zero-shuffle map scan)
+    "ann_project_jl" -> ((s, d) => Similarity.projectJL(embs(s, d), dp = 8)),
+
     // pipeline: text analysis
     "text_tokens" -> ((s, d) => TextStats.tokenCounts(docs(s, d))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(docs(s, d))),
@@ -1969,6 +1972,18 @@ object SparkEntry {
     // mirrors Similarity.quantizeInt8 op-for-op: scale = max|x|/127 (exact
     // double), codes = clamp(floor(x/scale + 0.5), ±127) — every code is an
     // exact integer, so the checksums compare exactly; scale rounds at 8dp
+    // mirrors Similarity.projectJL: DuckDB's list-lambda index is 1-based,
+    // so its i equals the engine's 0-based i+1 — the sign mix uses i directly
+    "ann_project_jl" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |proj AS (
+        |  SELECT c.vec_id, d.j,
+        |    round(list_sum(list_transform(c.e, (x, i) ->
+        |      x * (CASE WHEN (i*(d.j+3)*48271 + (d.j+1)*7919) % 1009 % 2 = 0
+        |           THEN 1.0 ELSE -1.0 END))) / sqrt(8.0), 6) AS y
+        |  FROM c CROSS JOIN (SELECT range AS j FROM range(0, 8)) d)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim, y FROM proj""".stripMargin,
+
     "ann_quantize_int8" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e,

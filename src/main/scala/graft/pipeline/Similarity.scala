@@ -249,4 +249,33 @@ object Similarity {
       .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** Johnson–Lindenstrauss random projection to `dp` dimensions with a
+    * DETERMINISTIC Rademacher (±1/√dp) matrix whose signs come from a
+    * Lehmer mix of (row, column) — no materialized projection matrix, no
+    * randomness source, bit-reproducible at any partitioning. The standard
+    * cheap preprocessing before LSH/IVF when the native dimension is wide:
+    * pairwise distances are preserved within (1±ε) for dp = O(log n / ε²).
+    *
+    * Zero-shuffle projection: one pass of higher-order array expressions
+    * (zip_with index + aggregate) inside whole-stage codegen — at 100 TB
+    * this is a map-only scan. Output is exploded (vec_id, dim, y) rows,
+    * y rounded to 6 dp (the oracle-compare float discipline).
+    */
+  def projectJL(corpus: DataFrame, dp: Int = 8): DataFrame = {
+    require(dp >= 1, "need at least one output dimension")
+    // sign(i, j) for 0-based element i, output dim j — mirrored verbatim in
+    // the DuckDB oracle (whose list lambda index is 1-based: its i IS i+1)
+    def sign(i: Column, j: Column): Column =
+      when(pmod(pmod((i + 1L) * (j + 3L) * 48271L + (j + 1L) * 7919L,
+        lit(1009L)), lit(2L)) === 0L, 1.0).otherwise(-1.0)
+    val idx = sequence(lit(0L), size(col("embedding")).cast("long") - 1L)
+    val proj = transform(sequence(lit(0), lit(dp - 1)), j =>
+      round(aggregate(
+        zip_with(col("embedding"), idx,
+          (e, i) => e.cast("double") * sign(i, j.cast("long"))),
+        lit(0.0), (acc, x) => acc + x) / math.sqrt(dp.toDouble), 6))
+    corpus.select(col("vec_id"), posexplode(proj).as(Seq("dim", "y")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+  }
 }

@@ -228,6 +228,39 @@ class PipelineSpec extends SparkTestBase {
     assert(d0.indexOf("cherry") < d0.indexOf("banana"))
   }
 
+  test("projectJL: exact vs replica, partition-stable, distances roughly kept") {
+    import spark.implicits._
+    val vecs = (0L until 20L).map(v =>
+      (v, Array.tabulate(16)(i => math.sin(v * 17.0 + i * 3.0).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def signIJ(i: Int, j: Int): Double =
+      if (((i + 1L) * (j + 3L) * 48271L + (j + 1L) * 7919L) % 1009L % 2L == 0L) 1.0 else -1.0
+    val want = (for ((v, e) <- vecs; j <- 0 until 8) yield {
+      val y = e.indices.map(i => e(i).toDouble * signIJ(i, j)).sum / math.sqrt(8.0)
+      ((v, j.toLong), BigDecimal(y).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toMap
+    val got = Similarity.projectJL(df, dp = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    assert(want.forall { case (k, y) => math.abs(got(k) - y) < 2e-6 },
+      s"first diffs: ${want.collect { case (k, y) if math.abs(got(k) - y) >= 2e-6 => (k, y, got(k)) }.take(3)}")
+    val got7 = Similarity.projectJL(df.repartition(7), dp = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got7 == got)
+    // JL property (coarse at dp=8): projected pair distances within 2.5× of
+    // the original — sanity that the signs are not structured/degenerate
+    val orig = vecs.toMap
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum.toDouble
+    def pd2(a: Long, b: Long) =
+      (0 until 8).map(j => math.pow(got((a, j.toLong)) - got((b, j.toLong)), 2)).sum
+    val ratios = (for (a <- 0L until 10L; b <- a + 1 until 10L)
+      yield pd2(a, b) / d2(orig(a), orig(b))).sorted
+    assert(ratios.forall(r => r > 0.05 && r < 4.0), s"ratios: $ratios")
+    val median = ratios(ratios.size / 2)
+    assert(median > 0.5 && median < 2.0, s"median distortion $median")
+  }
+
   test("topTermsExact: exact top-k, certification semantics, partition-stable") {
     import spark.implicits._
     // 40 'alpha', 25 'beta', 12 'gamma', 5 singles
