@@ -784,6 +784,11 @@ object SparkEntry {
       HittingTime.runFixed(s, edgesArith(s, d), seeds = Seq(1L, 3L, 7L), k = 6)
         .select(col("id"), round(col("h"), 6).as("h"))),
 
+    // densest-subgraph peel (Bahmani 2(1+ε)-approx, ε=1/2 → exact integer
+    // peel test): per-round (n, m, density) — the link-farm detector
+    "algo_densest" -> ((s, d) =>
+      DensestSubgraph.peel(s, edgesArith(s, d), rounds = 12)),
+
     // in/out degree distribution of the directed fixture (power-law view)
     "gb_degree_hist" -> ((s, d) =>
       GraphStats.degreeHistogram(s, edgesArithDirected(s, d))),
@@ -918,6 +923,14 @@ object SparkEntry {
     // the same formulas (the north rule's derivation, oracle-checked)
     "corpus_edges_arith" -> ((s, _) =>
       Corpus.deriveEdgesNamed(Corpus.synthesizeArith(s, 500))),
+
+    // repo-level quotient of the file import graph (cross-repo dependency
+    // edges with import multiplicity) — the contraction a crawl rolls up
+    "corpus_repo_graph" -> ((s, _) =>
+      Corpus.deriveEdgesNamed(Corpus.synthesizeArith(s, 500))
+        .filter(col("src_repo") =!= col("dst_repo"))
+        .groupBy(col("src_repo"), col("dst_repo"))
+        .agg(sum(col("w")).as("w"), count(lit(1)).as("file_pairs"))),
     "corpus_pagerank" -> ((s, _) => {
       val c = Corpus.synthesize(s, 2000)
       val res = PageRank.run(s, Corpus.deriveEdges(c), tol = 1e-6)
@@ -1498,6 +1511,7 @@ object SparkEntry {
     "algo_eigen5" -> eigenUnrolledSql(5),
     "algo_fiedler8" -> fiedlerUnrolledSql(8),
     "algo_hitting6" -> hittingUnrolledSql(6, Seq(1L, 3L, 7L)),
+    "algo_densest" -> densestUnrolledSql(12),
 
     // mirrors Bipartite.run: comp = min reachable id (recursive closure),
     // side = BFS level from the comp root mod 2, odd edge = same-side edge
@@ -1897,6 +1911,29 @@ object SparkEntry {
         |  FROM tgt WHERE i <> t)
         |SELECT src_repo, src_path, dst_repo, dst_path, CAST(count(*) AS BIGINT) AS w
         |FROM named GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // repo quotient of the same derivation: cross-repo only, import
+    // multiplicity summed, distinct file pairs counted
+    "corpus_repo_graph" ->
+      """WITH base AS (SELECT range AS i FROM range(0, 500)),
+        |tgt AS (
+        |  SELECT b.i,
+        |    CASE WHEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 4 = 0
+        |      THEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % greatest(1, b.i // 16 + 1)
+        |      ELSE ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 500 END AS t
+        |  FROM base b CROSS JOIN (SELECT range AS k FROM range(0, 4)) kk),
+        |named AS (
+        |  SELECT
+        |    'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS src_repo,
+        |    'src/f' || CAST(i // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(i % 5) + 1] AS src_path,
+        |    'org' || CAST((t % 13) % 7 AS VARCHAR) || '/repo' || CAST(t % 13 AS VARCHAR) AS dst_repo,
+        |    'src/f' || CAST(t // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(t % 5) + 1] AS dst_path
+        |  FROM tgt WHERE i <> t),
+        |files AS (SELECT src_repo, src_path, dst_repo, dst_path, count(*) AS w
+        |  FROM named GROUP BY 1, 2, 3, 4)
+        |SELECT src_repo, dst_repo, CAST(sum(w) AS BIGINT) AS w,
+        |  CAST(count(*) AS BIGINT) AS file_pairs
+        |FROM files WHERE src_repo <> dst_repo GROUP BY 1, 2""".stripMargin,
 
     // mirrors TextStats.topTermsExact's CERTIFIED output: the plain exact
     // top-k (what certification proves the bounded-memory path equals)
@@ -3053,6 +3090,27 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
        |sgn AS (SELECT CASE WHEN (SELECT x FROM x$k ORDER BY id LIMIT 1) >= 0
        |        THEN 1.0 ELSE -1.0 END AS g)
        |SELECT id, round(x * (SELECT g FROM sgn), 6) AS f FROM x$k""".stripMargin
+  }
+
+  /** Mirrors [[DensestSubgraph.peel]]: R rounds of the exact-integer peel
+    * (drop v when deg·n ≤ 3·m), emitting each non-empty round's stats.
+    */
+  private def densestUnrolledSql(rounds: Int): String = {
+    val prelude = s"WITH $arithCanonCte,\ne0 AS MATERIALIZED (SELECT src, dst FROM canon)"
+    val steps = (0 until rounds).map { i =>
+      s"""b$i AS (SELECT src AS v FROM e$i UNION ALL SELECT dst FROM e$i),
+         |deg$i AS MATERIALIZED (SELECT v, count(*) AS d FROM b$i GROUP BY v),
+         |s$i AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(sum(d), 0) // 2 AS BIGINT) AS m FROM deg$i),
+         |keep$i AS (SELECT v FROM deg$i, s$i WHERE d * n > 3 * m),
+         |e${i + 1} AS MATERIALIZED (SELECT src, dst FROM e$i
+         |  WHERE src IN (SELECT v FROM keep$i) AND dst IN (SELECT v FROM keep$i))""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 until rounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, n, m,
+         |  round(CAST(m AS DOUBLE) / n, 6) AS density FROM s$i WHERE n > 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$prelude,\n$steps\n$rows"
   }
 
   /** Mirrors [[HittingTime.runFixed]]: k DP steps of

@@ -490,6 +490,42 @@ class Round4WebSpec extends SparkTestBase {
     assert(got2.values.forall(_ <= 6.0 + 1e-12))
   }
 
+  test("DensestSubgraph: planted clique found; peel replica matches exactly") {
+    import graft.algos.DensestSubgraph
+    // K8 planted in a 50-vertex path: the peel must surface density 3.5
+    val k8 = (for (i <- 0 until 8; j <- i + 1 until 8)
+      yield (100L + i, 100L + j)).toSet
+    val path = (0L until 49L).map(i => (i, i + 1)).toSet
+    val stats = DensestSubgraph.peel(spark, edgesDF(k8 ++ path)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(stats.map(_._4).max == 3.5, s"rounds: ${stats.toSeq}")
+    // round 0 is the whole graph
+    assert(stats.head == ((0L, 58L, 77L, BigDecimal(77.0 / 58)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+
+    // seeded graph vs an exact driver-side peel replica
+    val es = randWeighted(60, 0.06, 911L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).toSet
+    var cur = es
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    var r = 0L
+    while (cur.nonEmpty && r < 12) {
+      val deg = cur.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+      val n = deg.size.toLong; val m = cur.size.toLong
+      want += ((r, n, m, BigDecimal(m.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      val keep = deg.filter { case (_, d) => d * n > 3 * m }.keySet
+      cur = cur.filter { case (a, b) => keep(a) && keep(b) }
+      r += 1
+    }
+    val got = DensestSubgraph.peel(spark, edgesDF(es)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq,
+      s"got ${got.toSeq} want $want")
+  }
+
   test("percolation: two-star hand case and union-find replica on a seeded graph") {
     import graft.algos.GraphStats
     import spark.implicits._
