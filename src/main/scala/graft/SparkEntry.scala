@@ -931,6 +931,16 @@ object SparkEntry {
         .filter(col("src_repo") =!= col("dst_repo"))
         .groupBy(col("src_repo"), col("dst_repo"))
         .agg(sum(col("w")).as("w"), count(lit(1)).as("file_pairs"))),
+
+    // license-taint propagation: min reverse-import-hops from every file of
+    // the seed repo (copyleft contamination), bounded at depth 20
+    "corpus_license_taint" -> ((s, _) =>
+      Corpus.licenseTaint(s, Corpus.synthesizeArith(s, 500),
+        seedRepo = "org0/repo0")),
+
+    // orphan sweep: files nothing imports (in-degree 0 in the file graph)
+    "corpus_dead_files" -> ((s, _) =>
+      Corpus.deadFiles(Corpus.synthesizeArith(s, 500))),
     "corpus_pagerank" -> ((s, _) => {
       val c = Corpus.synthesize(s, 2000)
       val res = PageRank.run(s, Corpus.deriveEdges(c), tol = 1e-6)
@@ -1934,6 +1944,60 @@ object SparkEntry {
         |SELECT src_repo, dst_repo, CAST(sum(w) AS BIGINT) AS w,
         |  CAST(count(*) AS BIGINT) AS file_pairs
         |FROM files WHERE src_repo <> dst_repo GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Corpus.licenseTaint: bounded-depth recursive closure along
+    // REVERSED import edges from the seed repo's files, min depth per file
+    // (the self-referential CTE dedups states, so cycles stay finite under
+    // the d <= 20 bound — identical to the engine's maxDepth)
+    "corpus_license_taint" ->
+      """WITH RECURSIVE base AS (SELECT range AS i FROM range(0, 500)),
+        |tgt AS (
+        |  SELECT b.i,
+        |    CASE WHEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 4 = 0
+        |      THEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % greatest(1, b.i // 16 + 1)
+        |      ELSE ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 500 END AS t
+        |  FROM base b CROSS JOIN (SELECT range AS k FROM range(0, 4)) kk),
+        |fedges AS (
+        |  SELECT DISTINCT
+        |    'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS src_repo,
+        |    'src/f' || CAST(i // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(i % 5) + 1] AS src_path,
+        |    'org' || CAST((t % 13) % 7 AS VARCHAR) || '/repo' || CAST(t % 13 AS VARCHAR) AS dst_repo,
+        |    'src/f' || CAST(t // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(t % 5) + 1] AS dst_path
+        |  FROM tgt WHERE i <> t),
+        |allf AS (
+        |  SELECT 'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS repo,
+        |    'src/f' || CAST(i // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(i % 5) + 1] AS path
+        |  FROM base),
+        |reach(repo, path, d) AS (
+        |  SELECT repo, path, 0 FROM allf WHERE repo = 'org0/repo0'
+        |  UNION
+        |  SELECT f.src_repo, f.src_path, r.d + 1
+        |  FROM fedges f JOIN reach r ON f.dst_repo = r.repo AND f.dst_path = r.path
+        |  WHERE r.d + 1 <= 20)
+        |SELECT repo, path, CAST(min(d) AS BIGINT) AS depth
+        |FROM reach GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Corpus.deadFiles: all files anti-joined against the resolved
+    // import targets (names are injective in the file index)
+    "corpus_dead_files" ->
+      """WITH base AS (SELECT range AS i FROM range(0, 500)),
+        |tgt AS (
+        |  SELECT b.i,
+        |    CASE WHEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 4 = 0
+        |      THEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % greatest(1, b.i // 16 + 1)
+        |      ELSE ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 500 END AS t
+        |  FROM base b CROSS JOIN (SELECT range AS k FROM range(0, 4)) kk),
+        |dsts AS (
+        |  SELECT DISTINCT
+        |    'org' || CAST((t % 13) % 7 AS VARCHAR) || '/repo' || CAST(t % 13 AS VARCHAR) AS repo,
+        |    'src/f' || CAST(t // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(t % 5) + 1] AS path
+        |  FROM tgt WHERE i <> t),
+        |allf AS (
+        |  SELECT 'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS repo,
+        |    'src/f' || CAST(i // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(i % 5) + 1] AS path
+        |  FROM base)
+        |SELECT a.repo, a.path FROM allf a
+        |ANTI JOIN dsts d ON a.repo = d.repo AND a.path = d.path""".stripMargin,
 
     // mirrors TextStats.topTermsExact's CERTIFIED output: the plain exact
     // top-k (what certification proves the bounded-memory path equals)

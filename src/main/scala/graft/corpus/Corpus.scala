@@ -145,6 +145,75 @@ object Corpus {
       .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
   }
 
+  /** License-taint propagation: the classic "copyleft contamination" crawl
+    * query. Every file of `seedRepo` is tainted at depth 0; taint flows
+    * along REVERSE import edges (A imports B, B tainted ⇒ A tainted), and
+    * each file reports its MINIMUM reverse-hop distance to a seed. Bounded
+    * at `maxDepth` so the answer is deterministic on cyclic import graphs
+    * regardless of where a fixpoint would land (the oracle replays the same
+    * bound).
+    *
+    * Spark shape: the loop runs on 8-byte (repo,path)-hash vertex ids — the
+    * frontier exchange never carries strings — with the reversed adjacency
+    * hash-partitioned once and every state cutKeyed on the same key, so
+    * per-level joins are exchange-free; names are joined back once at the
+    * end. O(depth) rounds, frontier-sized work per round: the 100 TB shape.
+    *
+    * @return (repo, path, depth) for tainted files only.
+    */
+  def licenseTaint(spark: SparkSession, corpus: DataFrame, seedRepo: String,
+                   maxDepth: Int = 20, numPartitions: Int = 0): DataFrame =
+    graft.core.Iterate.withoutAQE(spark) {
+      import graft.core.Iterate
+      val parts = if (numPartitions > 0) numPartitions
+                  else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val names = corpus.select(col("repo"), col("path"),
+        vertexId(col("repo"), col("path")).as("id"))
+      // taint flows dst -> src: key the reversed adjacency by the TAINTED end
+      val rev = Iterate.cutKeyed(deriveEdgesNamed(corpus).select(
+          vertexId(col("dst_repo"), col("dst_path")).as("from"),
+          vertexId(col("src_repo"), col("src_path")).as("id"))
+        .distinct(), parts, "from")
+
+      var visited = Iterate.cutKeyed(
+        names.filter(col("repo") === seedRepo)
+          .select(col("id"), lit(0).as("depth")), parts, "id")
+      var frontier = visited.select(col("id").as("from"))
+      var depth = 0
+      var frontierSize = 1L
+      while (frontierSize > 0 && depth < maxDepth) {
+        depth += 1
+        val nextPre = rev.join(frontier, Seq("from"))
+          .select(col("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), lit(depth).as("depth"))
+          .observe(s"taint_$depth", count(lit(1)).as("n"))
+        val next = Iterate.cutKeyed(nextPre, parts, "id")
+        frontierSize = Iterate.observedLong(nextPre, s"taint_$depth")(next.count())
+        if (frontierSize > 0) {
+          val newVisited = Iterate.cutKeyed(
+            visited.unionByName(next), parts, "id")
+          Iterate.free(visited)
+          visited = newVisited
+          frontier = next.select(col("id").as("from"))
+        }
+      }
+      Iterate.free(rev)
+      visited.join(names, Seq("id"))
+        .select(col("repo"), col("path"), col("depth").cast("long").as("depth"))
+    }
+
+  /** Files nothing imports (in-degree 0 in the resolved file graph) — the
+    * dead-code / orphan-artifact sweep a corpus curation pass runs. One
+    * anti-join against the derived edges' dst side.
+    */
+  def deadFiles(corpus: DataFrame): DataFrame = {
+    val tgt = deriveEdgesNamed(corpus)
+      .select(col("dst_repo").as("repo"), col("dst_path").as("path"))
+    corpus.select(col("repo"), col("path"))
+      .join(tgt, Seq("repo", "path"), "left_anti")
+  }
+
   /** Per-row provenance: sha256(content) equality against the source table
     * (north rule). Returns rows that FAIL the check — empty means verified.
     */

@@ -100,4 +100,60 @@ class CorpusSpec extends SparkTestBase {
     assert(c.columns.toSeq == Seq("repo", "path", "commit", "lang", "content"))
     c.unpersist(); named.unpersist()
   }
+
+  test("license taint: hand fixture with chain + cycle; forward imports don't taint") {
+    import spark.implicits._
+    // seed repo s/r0 = {a}; b→a, c→b (chain); d→{e,a}, e→d (cycle hanging
+    // off the seed); f imports g only (both clean — taint flows dst→src)
+    val c = Seq(
+      ("s/r0", "a.c", ""),
+      ("s/r1", "b.c", "import s/r0/a.c"),
+      ("s/r1", "c.c", "import s/r1/b.c"),
+      ("s/r2", "d.c", "import s/r2/e.c\nimport s/r0/a.c"),
+      ("s/r2", "e.c", "import s/r2/d.c"),
+      ("s/r3", "f.c", "import s/r3/g.c"),
+      ("s/r3", "g.c", "")
+    ).map { case (r, p, ct) => (r, p, "1", "c", ct) }
+      .toDF("repo", "path", "commit", "lang", "content")
+    val got = Corpus.licenseTaint(spark, c, "s/r0").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("s/r0", "a.c", 0L), ("s/r1", "b.c", 1L),
+      ("s/r1", "c.c", 2L), ("s/r2", "d.c", 1L), ("s/r2", "e.c", 2L)))
+  }
+
+  test("license taint + dead files: BFS/anti-join replicas on the arith corpus") {
+    val c = Corpus.synthesizeArith(spark, 300).cache()
+    def repo(x: Long) = s"org${(x % 13) % 7}/repo${x % 13}"
+    def path(x: Long) = s"src/f${x / 13}." + Corpus.Langs((x % 5).toInt)
+    val edges = (for (i <- 0L until 300L; k <- 0 to 3) yield {
+      val mix = ((i + 1) * 48271L + (k + 1) * 7919L) % 1000003L
+      val t = if (mix % 4 == 0) mix % math.max(1L, i / 16 + 1) else mix % 300L
+      (i, t)
+    }).filter { case (i, t) => i != t }.toSet
+    // replica: min reverse-hop BFS from repo0's files, bounded at 20
+    val rev = edges.groupBy(_._2).map { case (t, xs) => (t, xs.map(_._1)) }
+    var depth = Map.empty[Long, Long] ++
+      (0L until 300L).filter(_ % 13 == 0).map(_ -> 0L)
+    var frontier = depth.keySet
+    var d = 0L
+    while (frontier.nonEmpty && d < 20) {
+      d += 1
+      val next = frontier.flatMap(v => rev.getOrElse(v, Set.empty[Long]))
+        .diff(depth.keySet)
+      depth = depth ++ next.map(_ -> d)
+      frontier = next
+    }
+    val want = depth.map { case (v, dd) => (repo(v), path(v), dd) }.toSet
+    val got = Corpus.licenseTaint(spark, c, "org0/repo0").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"taint sizes got=${got.size} want=${want.size}")
+    assert(want.exists(_._3 > 0), "fixture must propagate beyond the seeds")
+
+    val deadWant = (0L until 300L).filterNot(edges.map(_._2).contains)
+      .map(v => (repo(v), path(v))).toSet
+    val deadGot = Corpus.deadFiles(c).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(deadGot == deadWant, s"dead sizes got=${deadGot.size} want=${deadWant.size}")
+    c.unpersist()
+  }
 }
