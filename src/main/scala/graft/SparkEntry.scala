@@ -793,6 +793,11 @@ object SparkEntry {
     "gb_degree_hist" -> ((s, d) =>
       GraphStats.degreeHistogram(s, edgesArithDirected(s, d))),
 
+    // Holland-Leinhardt 16-class directed triad census (Batagelj-Mrvar
+    // wedge enumeration + exact dyad corrections; Σ cnt = C(n,3))
+    "algo_triad_census" -> ((s, d) =>
+      TriadCensus.run(s, edgesArithDirected(s, d))),
+
     // co-citation (AᵀA off-diag) / bibliographic coupling (AAᵀ off-diag)
     "algo_cocitation" -> ((s, d) =>
       CoCitation.cocitation(s, edgesArithDirected(s, d))),
@@ -1480,6 +1485,7 @@ object SparkEntry {
     "gb_modularity" -> modularitySql,
     "gb_assortativity" -> assortativitySql,
     "algo_msbfs" -> msbfsSql,
+    "algo_triad_census" -> triadCensusSql,
     "algo_centrality" -> centralitySql,
     "algo_coloring" -> coloringUnrolledSql(32),
     "algo_matching" -> matchingUnrolledSql(32),
@@ -3266,6 +3272,33 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     * bounded-depth recursive walk enumeration (the 300 cap ≫ any test-SF
     * diameter; UNION dedups (s,v,d) triples so the recursion terminates).
     */
+  /** Mirrors [[TriadCensus.run]] by BRUTE FORCE: every C(n,3) triple of the
+    * fixture classified through the SAME 64-entry code table the engine
+    * uses — maximally independent of the engine's wedge+corrections scheme.
+    */
+  private def triadCensusSql: String = {
+    val tbl = TriadCensus.ClassOf.map(c => s"'$c'").mkString("[", ",", "]")
+    val classes = TriadCensus.Classes.map(c => s"('$c')").mkString(", ")
+    s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM
+       |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+       |dy AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS ab,
+       |    max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS ba
+       |  FROM e GROUP BY 1, 2),
+       |tri AS (
+       |  SELECT COALESCE(xy.ab,0) + 2*COALESCE(xy.ba,0) + 4*COALESCE(xz.ab,0)
+       |       + 8*COALESCE(xz.ba,0) + 16*COALESCE(yz.ab,0) + 32*COALESCE(yz.ba,0) AS code
+       |  FROM verts x JOIN verts y ON x.v < y.v JOIN verts z ON y.v < z.v
+       |  LEFT JOIN dy xy ON xy.a = x.v AND xy.b = y.v
+       |  LEFT JOIN dy xz ON xz.a = x.v AND xz.b = z.v
+       |  LEFT JOIN dy yz ON yz.a = y.v AND yz.b = z.v),
+       |cnts AS (SELECT ($tbl)[code + 1] AS clazz, count(*) AS cnt FROM tri GROUP BY 1)
+       |SELECT c.clazz, CAST(COALESCE(cnts.cnt, 0) AS BIGINT) AS cnt
+       |FROM (VALUES $classes) AS c(clazz) LEFT JOIN cnts ON cnts.clazz = c.clazz""".stripMargin
+  }
+
   private def msbfsSql: String =
     s"""WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
        |seeds(s) AS (SELECT CAST(x AS BIGINT) FROM (VALUES (1), (3), (7)) t(x)),

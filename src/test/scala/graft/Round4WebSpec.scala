@@ -580,6 +580,45 @@ class Round4WebSpec extends SparkTestBase {
     assert(got2 == want, s"extra=${got2 -- want} missing=${want -- got2}")
   }
 
+  test("TriadCensus: hand triads, brute-force replica, sum = C(n,3)") {
+    import graft.algos.TriadCensus
+    def census(es: Set[(Long, Long)]): Map[String, Long] =
+      TriadCensus.run(spark, edgesDF(es)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def only(m: Map[String, Long], kv: (String, Long)*): Boolean =
+      m.filter(_._2 != 0L) == kv.toMap
+
+    // directed 3-cycle / transitive triangle / mutual pair with in- and
+    // out-edge from the third vertex (the 111D vs 111U convention lock)
+    assert(only(census(Set((1L, 2L), (2L, 3L), (3L, 1L))), "030C" -> 1L))
+    assert(only(census(Set((1L, 2L), (1L, 3L), (2L, 3L))), "030T" -> 1L))
+    assert(only(census(Set((1L, 2L), (2L, 1L), (3L, 1L))), "111D" -> 1L))
+    assert(only(census(Set((1L, 2L), (2L, 1L), (1L, 3L))), "111U" -> 1L))
+    assert(only(census(Set((2L, 1L), (2L, 3L))), "021D" -> 1L))
+    assert(only(census(Set((1L, 2L), (3L, 2L))), "021U" -> 1L))
+
+    // seeded directed graphs vs an all-triples brute-force replica through
+    // the same classifier table
+    for (seed <- Seq(7L, 8L)) {
+      val es = randWeighted(24, 0.12, seed).toSet
+      val verts = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val want = (for {
+        i <- verts.indices; j <- i + 1 until verts.size; k <- j + 1 until verts.size
+        (x, y, z) = (verts(i), verts(j), verts(k))
+      } yield {
+        def b(u: Long, v: Long) = if (es((u, v))) 1 else 0
+        TriadCensus.ClassOf(b(x, y) + 2 * b(y, x) + 4 * b(x, z) + 8 * b(z, x)
+          + 16 * b(y, z) + 32 * b(z, y))
+      }).groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
+      val got = census(es)
+      assert(got.filter(_._2 != 0L) == want.filter(_._2 != 0L),
+        s"seed $seed: got $got want $want")
+      val n = verts.size.toLong
+      assert(got.values.sum == n * (n - 1) * (n - 2) / 6)
+      assert(got.keySet == TriadCensus.Classes.toSet)
+    }
+  }
+
   /** Seeded directed pair list (may contain both directions). */
   private def randWeighted(n: Int, p: Double, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
