@@ -1084,6 +1084,10 @@ object SparkEntry {
         all.filter(col("doc_id") % 97 =!= 0),
         all.filter(col("doc_id") % 97 === 0), w = 3, threshold = 0.1)
     }),
+    // exact duplicated 7-gram span marking (ExactSubstr at token level):
+    // small shared vocab → real cross-doc repeats at every SF
+    "text_dup_spans" -> ((s, d) =>
+      TextStats.dupSpans(docs(s, d), w = 7, minCount = 2L)),
     // snapshot-incremental exact dedup: last decile of doc_ids is the delta
     "dedup_incremental" -> ((s, d) => {
       val all = docs(s, d)
@@ -1855,6 +1859,27 @@ object SparkEntry {
         |            CAST(coalesce(m.matched, 0) AS DOUBLE) / t.n_grams >= 0.1
         |            AS INT) AS contaminated
         |FROM base b LEFT JOIN tot t USING (doc_id) LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    // mirrors TextStats.dupSpans: w=7 grams with corpus count >= 2 mark
+    // their windows; overlapping-or-adjacent windows merge per doc
+    "text_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS tk FROM documents),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |        array_to_string(tk[i:i+6], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(tk) - 5)) AS u(i) WHERE len(tk) >= 7),
+        |hv AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |h AS (SELECT doc_id, pos, pos + 6 AS e FROM g
+        |      WHERE gram IN (SELECT gram FROM hv)),
+        |m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM h),
+        |i AS (SELECT doc_id, pos, e,
+        |        SUM(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(e) AS BIGINT) AS span_end
+        |FROM i GROUP BY doc_id, island""".stripMargin,
 
     // delta (doc_id%10 >= 8) content not present in the base snapshot
     "dedup_incremental" ->

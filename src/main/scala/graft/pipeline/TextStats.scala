@@ -469,4 +469,50 @@ object TextStats {
       .orderBy(col("bm25").desc, col("doc_id"))
     scores.withColumn("rk", row_number().over(w).cast("long"))
   }
+
+  /** Exact duplicated-substring span marking (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    * surface, at token granularity): every w-token gram occurring at least
+    * `minCount` times ANYWHERE in the corpus marks its w positions as
+    * duplicated; per document, overlapping-or-adjacent marked windows merge
+    * into maximal spans (doc_id, span_start, span_end) — the regions a
+    * training pipeline cuts out, the token-level analogue of the paper's
+    * suffix-array 50-char spans.
+    *
+    * Spark shape: one generate emits (doc_id, pos, gram) straight off the
+    * token array (no window, no self-join); the single wide stage is the
+    * gram-keyed count — keyed here on the gram TEXT so the DuckDB oracle is
+    * exact; at 100 TB the key would be a 128-bit gram hash with identical
+    * plan shape (and spans verified exactly, like the LSH pipelines). The
+    * position table then semi-joins the heavy grams (exchange reused — same
+    * key), and span merging is the classic gaps-and-islands running max
+    * inside a PER-DOC window, never a global sort.
+    */
+  def dupSpans(docs: DataFrame, w: Int = 7, minCount: Long = 2L): DataFrame = {
+    require(w >= 1 && minCount >= 1, s"bad dupSpans params w=$w minCount=$minCount")
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val grams = docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("tk")) >= w,
+          transform(sequence(lit(0), size(col("tk")) - w),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(w)))))
+        .otherwise(array())))
+      .toDF("doc_id", "pos", "gram")
+    val heavy = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("gram")
+    val hits = grams.join(heavy, Seq("gram"), "leftsemi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (col("pos") + (w - 1)).cast("long").as("e"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("e")).over(
+      byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    hits
+      .withColumn("island",
+        sum(when(prevMax.isNull || col("pos") > prevMax + 1L, 1L).otherwise(0L))
+          .over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
 }

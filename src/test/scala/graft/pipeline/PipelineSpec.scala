@@ -314,4 +314,41 @@ class PipelineSpec extends SparkTestBase {
     // doc 2 has no query terms — absent; doc 3 (most hits) is rank 1
     assert(!got.exists(_._1 == 2L) && got.minBy(_._3)._1 == 3L)
   }
+
+  test("dupSpans: hand spans (overlap/adjacent/within-doc/short-doc) + replica") {
+    def spans(d: org.apache.spark.sql.DataFrame, w: Int) =
+      TextStats.dupSpans(d, w = w, minCount = 2L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d = Seq(
+      (0L, "a b c d e f g"),              // shares "a b c"/"b c d" with doc 1
+      (1L, "x a b c d y z a b c d"),      // two hit regions
+      (2L, "p q r s p q r"),              // WITHIN-doc repeat, non-adjacent
+      (3L, "m n o m n o"),                // windows exactly adjacent -> merge
+      (4L, "q w")                         // shorter than w: no grams, no rows
+    ).toDF("doc_id", "text")
+    assert(spans(d, 3) == Set(
+      (0L, 0L, 3L), (1L, 1L, 4L), (1L, 7L, 10L),
+      (2L, 0L, 2L), (2L, 4L, 6L), (3L, 0L, 5L)))
+
+    // seeded random corpus over a 6-word vocab vs a driver-side replica
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val rnd = new scala.util.Random(11L)
+    val docs = (0L until 30L).map(i =>
+      (i, Seq.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(6))).mkString(" ")))
+    for (w <- Seq(3, 5)) {
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val cnt = toks.flatMap { case (_, ts) => ts.sliding(w).filter(_.size == w) }
+        .groupBy(identity).map { case (g, xs) => (g.toSeq, xs.size) }
+      val want = toks.flatMap { case (id, ts) =>
+        val hit = ts.sliding(w).zipWithIndex
+          .filter { case (g, _) => g.size == w && cnt(g.toSeq) >= 2 }
+          .map { case (_, p) => (p.toLong, (p + w - 1).toLong) }.toSeq
+        hit.foldLeft(List.empty[(Long, Long)]) {
+          case ((s0, e0) :: tl, (s, e)) if s <= e0 + 1 => (s0, math.max(e0, e)) :: tl
+          case (acc, (s, e)) => (s, e) :: acc
+        }.map { case (s, e) => (id, s, e) }
+      }.toSet
+      assert(spans(docs.toDF("doc_id", "text"), w) == want, s"w=$w")
+    }
+  }
 }
