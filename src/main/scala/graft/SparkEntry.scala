@@ -569,6 +569,18 @@ object SparkEntry {
       SSSP.run(s, e, source = 1L)
     }),
 
+    // §2.9 min-plus over SIGNED weights (Bellman-Ford, 8 synchronous
+    // rounds — the case SSSP's nonneg-only delta frontier excludes):
+    // w = (3·src+5·dst) mod 7 + pot(src) − pot(dst), pot(v) = 13·v mod 17.
+    // Negative edges everywhere, but the potential terms telescope away on
+    // any cycle, so no negative cycle exists and the fixpoint is finite
+    "algo_bellman8" -> ((s, d) => {
+      val e = edgesArithDirected(s, d).select(col("src"), col("dst"),
+        ((col("src") * 3 + col("dst") * 5) % 7
+          + (col("src") * 13) % 17 - (col("dst") * 13) % 17).as("w"))
+      BellmanFord.runFixed(s, e, source = 1L, k = 8)
+    }),
+
     // §2.10 label propagation communities (deterministic min tie-break)
     "algo_labelprop" -> ((s, d) => LabelPropagation.run(s, edgesSup(s, d), maxIter = 20)),
 
@@ -792,6 +804,13 @@ object SparkEntry {
     // in/out degree distribution of the directed fixture (power-law view)
     "gb_degree_hist" -> ((s, d) =>
       GraphStats.degreeHistogram(s, edgesArithDirected(s, d))),
+
+    // transitive reduction (minimal equivalent graph) of the dependency
+    // DAG: arith edges kept only where src < dst (strictly increasing =>
+    // acyclic) — the "prune redundant imports" op
+    "algo_transreduce" -> ((s, d) =>
+      TransitiveReduction.run(s,
+        edgesArithDirected(s, d).filter(col("src") < col("dst")))),
 
     // Holland-Leinhardt 16-class directed triad census (Batagelj-Mrvar
     // wedge enumeration + exact dyad corrections; Σ cnt = C(n,3))
@@ -1490,6 +1509,16 @@ object SparkEntry {
     "gb_assortativity" -> assortativitySql,
     "algo_msbfs" -> msbfsSql,
     "algo_triad_census" -> triadCensusSql,
+    "algo_transreduce" ->
+      s"""WITH RECURSIVE e AS MATERIALIZED (
+         |  SELECT src, dst FROM ($edgesArithDirSql) WHERE src < dst),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM e
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+         |p2 AS (SELECT DISTINCT e.src, r.b AS dst
+         |       FROM e JOIN reach r ON r.a = e.dst)
+         |SELECT src, dst FROM e ANTI JOIN p2 USING (src, dst)""".stripMargin,
     "algo_centrality" -> centralitySql,
     "algo_coloring" -> coloringUnrolledSql(32),
     "algo_matching" -> matchingUnrolledSql(32),
@@ -1652,6 +1681,8 @@ object SparkEntry {
          |y2 AS (SELECT src, dst, CASE WHEN w > 32 THEN 32 ELSE w END AS w
          |       FROM (SELECT src, dst, w + 0.1 AS w FROM y2p) WHERE w > 0)
          |SELECT src, dst, round(w, 6) AS w FROM y2""".stripMargin,
+
+    "algo_bellman8" -> bellmanUnrolledSql(8),
 
     "algo_sssp" ->
       s"""WITH RECURSIVE e AS (SELECT src, dst FROM ($edgesBiSql)),
@@ -3297,6 +3328,27 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     * bounded-depth recursive walk enumeration (the 300 cap ≫ any test-SF
     * diameter; UNION dedups (s,v,d) triples so the recursion terminates).
     */
+  /** Mirrors [[graft.algos.BellmanFord.runFixed]]: k unrolled synchronous
+    * min-plus rounds over the signed-weight arith graph (each round merges
+    * the previous table with every one-edge relaxation via UNION ALL + min —
+    * the same integer min the engine's outer-join/least computes).
+    */
+  private def bellmanUnrolledSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+         |  SELECT id, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst, d${i - 1}.dist + e.w FROM d${i - 1} JOIN e ON e.src = d${i - 1}.id)
+         |GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT src, dst,
+       |  (3*src + 5*dst) % 7 + (13*src) % 17 - (13*dst) % 17 AS w
+       |  FROM ($edgesArithDirSql)),
+       |d0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+       |$rounds
+       |SELECT id, dist FROM d$k""".stripMargin
+  }
+
   /** Mirrors [[TriadCensus.run]] by BRUTE FORCE: every C(n,3) triple of the
     * fixture classified through the SAME 64-entry code table the engine
     * uses — maximally independent of the engine's wedge+corrections scheme.

@@ -619,6 +619,41 @@ class Round4WebSpec extends SparkTestBase {
     }
   }
 
+  test("TransitiveReduction: chain/diamond hand cases + closure replica") {
+    import graft.algos.TransitiveReduction
+    def red(es: Set[(Long, Long)]): Set[(Long, Long)] =
+      TransitiveReduction.run(spark, edgesDF(es)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // shortcut edge over a chain is dropped; diamond keeps all four
+    assert(red(Set((1L, 2L), (2L, 3L), (1L, 3L))) == Set((1L, 2L), (2L, 3L)))
+    assert(red(Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+      == Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    // long shortcut: 1->5 implied through the chain
+    assert(red(Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L)))
+      == Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+
+    // random DAGs (src < dst is acyclic) vs a Floyd-Warshall replica
+    for (seed <- Seq(31L, 32L)) {
+      val es = randWeighted(20, 0.25, seed).collect {
+        case (u, v) if u < v => (u, v)
+      }.toSet
+      val verts = es.flatMap(e => Seq(e._1, e._2))
+      var reach = es
+      var grew = true
+      while (grew) {
+        val nxt = reach ++ (for ((a, b) <- reach; (c, d) <- reach if b == c)
+          yield (a, d))
+        grew = nxt.size > reach.size; reach = nxt
+      }
+      val want = es.filter { case (u, v) =>
+        !es.exists(e => e._1 == u && e._2 != v && reach((e._2, v)))
+      }
+      assert(red(es) == want, s"seed $seed")
+      assert(verts.nonEmpty)
+    }
+  }
+
   /** Seeded directed pair list (may contain both directions). */
   private def randWeighted(n: Int, p: Double, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)

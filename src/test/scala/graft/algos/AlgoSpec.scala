@@ -150,6 +150,38 @@ class AlgoSpec extends SparkTestBase {
     }
   }
 
+  test("BellmanFord: negative edges vs brute replica; fixpoint; cycle flag") {
+    import spark.implicits._
+    // signed weights via potentials (telescoping => no negative cycle)
+    def w(u: Long, v: Long): Long = (3 * u + 5 * v) % 7 + 13 * u % 17 - 13 * v % 17
+    val es = randGraph(30, 120, 21L).map { case (u, v) => (u, v, w(u, v)) }
+    assert(es.exists(_._3 < 0), "fixture must contain negative edges")
+    val df = es.toSeq.toDF("src", "dst", "w")
+    val src = es.head._1
+
+    // brute synchronous replica, k rounds
+    def brute(k: Int): Map[Long, Long] = {
+      var d = Map(src -> 0L)
+      for (_ <- 1 to k) {
+        val relaxed = es.toSeq.flatMap { case (u, v, wt) => d.get(u).map(x => v -> (x + wt)) }
+        d = (d.toSeq ++ relaxed).groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+      }
+      d
+    }
+    def collect(r: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(collect(BellmanFord.runFixed(spark, df, src, k = 4)) == brute(4))
+
+    // fixpoint run: matches the |V|-round brute table, no negative cycle
+    val (fix, neg) = BellmanFord.run(spark, df, src)
+    assert(!neg && collect(fix) == brute(30))
+
+    // planted negative cycle is detected
+    val cyc = (es.toSeq ++ Seq((900L, 901L, -5L), (901L, 900L, 2L),
+      (src, 900L, 1L))).toDF("src", "dst", "w")
+    assert(BellmanFord.run(spark, cyc, src)._2, "negative cycle undetected")
+  }
+
   test("MIS is independent and maximal") {
     for (es <- Seq(cover, randGraph(50, 200, 20L), hubSkew(500))) {
       val rows = MIS.run(spark, edgesDF(es)).collect()
