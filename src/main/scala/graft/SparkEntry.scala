@@ -881,6 +881,12 @@ object SparkEntry {
         round(col("ratio"), 6).as("ratio"), lit(eff.toLong).as("eff_diameter"))
     }),
 
+    // the ANF sketch dynamics under the DuckDB oracle: LCG sketch hashes
+    // (SQL re-derivable, like algo_mis_lcg), fixed 4 hops, per-(h, vertex)
+    // integer sketch summary rsum = Σ_j lowestZeroBit(FM word)
+    "algo_anf_lcg4" -> ((s, d) =>
+      ANF.runLcgTrace(s, edgesArithDirected(s, d), k = 16, hops = 4)),
+
     // Jones-Plassmann greedy coloring (LCG priorities → deterministic AND
     // SQL-mirrorable; run-to-convergence = the unrolled oracle's fixpoint)
     "algo_coloring" -> ((s, d) =>
@@ -994,6 +1000,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    // asymmetric doc-in-doc containment |Sa∩Sb|/|Sa| (Broder) — catches
+    // quote/boilerplate inclusion that symmetric Jaccard misses
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), threshold = 0.8)),
     // cluster-representative outputs (linear in cluster size — the scale
     // path for duplicate mega-clusters the pair queries cap away)
     "dedup_exact_clusters" -> ((s, d) => Dedup.exactClusters(docs(s, d))),
@@ -1509,6 +1519,37 @@ object SparkEntry {
     "gb_assortativity" -> assortativitySql,
     "algo_msbfs" -> msbfsSql,
     "algo_triad_census" -> triadCensusSql,
+    // re-derives the FULL sketch state: ≤4-step out-ball membership →
+    // per-(vertex, sketch) ρ bit sets → lowest missing bit → Σ_j
+    "algo_anf_lcg4" ->
+      s"""WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ($edgesArithDirSql)),
+         |verts AS MATERIALIZED (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |walk AS (
+         |  SELECT v, v AS u, 0 AS d FROM verts
+         |  UNION
+         |  SELECT w.v, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.u WHERE w.d < 4),
+         |dmin AS MATERIALIZED (SELECT v, u, MIN(d) AS d FROM walk GROUP BY v, u),
+         |js AS (SELECT CAST(j AS BIGINT) AS j FROM range(16) t(j)),
+         |rho AS MATERIALIZED (
+         |  SELECT u, j, CASE WHEN x = 0 THEN 62
+         |               ELSE CAST(log2(x & (-x)) AS BIGINT) END AS r
+         |  FROM (SELECT verts.v AS u, js.j,
+         |          ((verts.v % 1000000007) * 1000003 + 7919 * js.j + 12345)
+         |            % 1000000007 AS x
+         |        FROM verts CROSS JOIN js)),
+         |hs AS (SELECT CAST(h AS BIGINT) AS h FROM range(5) t(h)),
+         |bits AS MATERIALIZED (SELECT DISTINCT d.v, r.j, hs.h, r.r
+         |  FROM dmin d JOIN rho r ON r.u = d.u CROSS JOIN hs WHERE d.d <= hs.h),
+         |keys AS (SELECT DISTINCT v, j, h FROM bits),
+         |cs AS (SELECT CAST(c AS BIGINT) AS c FROM range(64) t(c)),
+         |grid AS (SELECT k.v, k.j, k.h, cs.c FROM keys k CROSS JOIN cs),
+         |low AS (SELECT g.v, g.j, g.h, MIN(g.c) AS r FROM grid g
+         |        ANTI JOIN bits b ON b.v = g.v AND b.j = g.j AND b.h = g.h AND b.r = g.c
+         |        GROUP BY 1, 2, 3)
+         |SELECT h, v AS id, CAST(SUM(r) AS BIGINT) AS rsum
+         |FROM low GROUP BY h, v""".stripMargin,
+
     "algo_transreduce" ->
       s"""WITH RECURSIVE e AS MATERIALIZED (
          |  SELECT src, dst FROM ($edgesArithDirSql) WHERE src < dst),
@@ -2118,6 +2159,31 @@ object SparkEntry {
          |SELECT i.a, i.b, round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) AS jaccard
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
          |WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5""".stripMargin,
+
+    // mirrors Dedup.containmentPairs: same shingles/candidates as the
+    // jaccard oracle, but both DIRECTED containment rows |Sa∩Sb|/|S_x|
+    "dedup_containment" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+         |       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |         WHERE df <= 1000),
+         |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM shc x JOIN shc y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.a, c.b, count(*) AS ic, any_value(sa.sz) AS sa, any_value(sb.sz) AS sb
+         |          FROM cand c JOIN sh x ON x.doc_id = c.a
+         |          JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+         |          JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+         |          GROUP BY 1, 2)
+         |SELECT contained, container, round(containment, 6) AS containment FROM (
+         |  SELECT a AS contained, b AS container, CAST(ic AS DOUBLE) / sa AS containment FROM inter
+         |  UNION ALL
+         |  SELECT b, a, CAST(ic AS DOUBLE) / sb FROM inter)
+         |WHERE containment >= 0.8""".stripMargin,
 
     // mirrors Similarity.bruteForceTopK: exact cosine, rank by (score desc,
     // id asc) — only the integer ranking is emitted, so the last-ULP

@@ -139,6 +139,71 @@ object ANF {
     (out, effDiam)
   }
 
+  /** SQL-mirrorable ANF sketch trace — the same monotone FM bit_or loop as
+    * [[run]], but with LCG-arithmetic sketch hashes
+    * x(v,j) = ((v mod P)·1000003 + 7919·j + 12345) mod P, P = 1000000007,
+    * a FIXED hop count, and the per-vertex sketch SUMMARY emitted per hop:
+    * rsum(v,h) = Σ_j lowestZeroBit(sketch_j of v's ≤h out-ball). Exactly the
+    * [[MIS.runLcg]] trick: xxhash64 is opaque to SQL, an LCG isn't, so a
+    * DuckDB oracle can re-derive every bit of the sketch dynamics (ball
+    * membership → ρ values → lowest missing position) and pin the engine's
+    * OR-propagation end to end. rsum is the integer the FM estimate
+    * 2^(rsum/k)/φ is a pure function of — the estimate math stays float-free
+    * here so the oracle compare is exact.
+    */
+  def runLcgTrace(spark: SparkSession, edges: DataFrame, k: Int = 16,
+                  hops: Int = 4): DataFrame =
+    Iterate.withoutAQE(spark)(lcgTraceLoop(spark, edges, k, hops))
+
+  private def lcgTraceLoop(spark: SparkSession, edges: DataFrame, k: Int,
+                           hops: Int): DataFrame = {
+    val P = 1000000007L
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val js = 0 until k
+
+    val adj = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(parts, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val initCols = js.map { j =>
+      val x = ((col("id") % P) * 1000003L + 7919L * j + 12345L) % P
+      initSketch(x).as(s"s$j")
+    }
+    val verts = adj.select(col("src").as("id"))
+      .unionByName(adj.select(col("dst").as("id"))).distinct()
+    var state = Iterate.cutKeyed(verts.select(col("id") +: initCols: _*),
+      parts, "id")
+
+    // Σ_j lowest-zero-bit position — integer-valued (log2 of a power of 2
+    // is IEEE-exact), cast long for the float-free oracle compare
+    val rsum = js.map { j =>
+      val lowZero = expr(s"(~s$j) & (s$j + 1L)")
+      when(lowZero < 0, lit(63.0)).otherwise(log2(lowZero.cast("double")))
+    }.reduce(_ + _).cast("long").as("rsum")
+
+    var trace = state.select(lit(0L).as("h"), col("id"), rsum)
+    for (h <- 1 to hops) {
+      val gathered = adj
+        .join(state.select(col("id").as("dst") +: js.map(j => col(s"s$j")): _*),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(expr(s"bit_or(s0)").as("n0"),
+          js.tail.map(j => expr(s"bit_or(s$j)").as(s"n$j")): _*)
+      val merged = state.join(gathered, Seq("id"), "left")
+        .select(col("id") +:
+          js.map(j => expr(s"s$j | coalesce(n$j, 0L)").as(s"s$j")): _*)
+      val next = Iterate.cutKeyed(merged, parts, "id")
+      trace = trace.unionByName(next.select(lit(h.toLong).as("h"), col("id"), rsum))
+      // no Iterate.free here: every hop's leaf stays referenced by the trace
+      // union until the caller consumes it (hops is small by contract)
+      state = next
+    }
+    adj.unpersist(false)
+    trace
+  }
+
   /** The initial FM word 1L<<ρ(h) IS the isolated lowest set bit h & -h —
     * no shift needed. ρ is capped at 62 (h=0, prob 2^-64, and lowest-bit-63
     * values both map to bit 62) so bit 63 stays clear and every later

@@ -309,4 +309,37 @@ object Dedup {
       .filter(col("a") < col("b")).select("a", "b").distinct()
     jaccardVerify(sh, cands, threshold)
   }
+
+  /** ASYMMETRIC n-gram containment C(x ⊆ y) = |Sx ∩ Sy| / |Sx| — the
+    * doc-in-doc detector (Broder's containment, the measure behind quote /
+    * boilerplate / sub-document duplication that symmetric Jaccard misses:
+    * a tweet quoted inside an article has tiny Jaccard but containment ≈ 1).
+    * Same df-capped inverted-index candidates and full-set exact verify as
+    * [[ngramJaccardPairs]]; each undirected candidate pair emits up to two
+    * directed rows (contained, container, containment ≥ threshold).
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, w: Int = 3,
+                       maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs, w).cache()
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val shCapped = sh.join(rare, Seq("sh"), "left_semi")
+    val cands = shCapped.select(col("doc_id").as("a"), col("sh"))
+      .join(shCapped.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(cands, Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+    inter.select(col("a").as("contained"), col("b").as("container"),
+        (col("inter").cast("double") / col("sa")).as("containment"))
+      .unionByName(inter.select(col("b").as("contained"), col("a").as("container"),
+        (col("inter").cast("double") / col("sb")).as("containment")))
+      .filter(col("containment") >= threshold)
+      .select(col("contained"), col("container"),
+        round(col("containment"), 6).as("containment"))
+  }
 }

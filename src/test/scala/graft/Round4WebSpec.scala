@@ -619,6 +619,36 @@ class Round4WebSpec extends SparkTestBase {
     }
   }
 
+  test("ANF runLcgTrace: exact sketch replica on seeded digraphs") {
+    import graft.algos.ANF
+    val P = 1000000007L
+    def rho(u: Long, j: Int): Long = {
+      val x = ((u % P) * 1000003L + 7919L * j + 12345L) % P
+      if (x == 0L) 62L else java.lang.Long.numberOfTrailingZeros(x).toLong
+    }
+    for (seed <- Seq(41L, 42L)) {
+      val es = randWeighted(18, 0.15, seed).filter(e => e._1 != e._2).toSet
+      val verts = es.flatMap(e => Seq(e._1, e._2))
+      val adj = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+      var ball: Map[Long, Set[Long]] = verts.map(v => v -> Set(v)).toMap
+      val want = scala.collection.mutable.Map[(Long, Long), Long]()
+      for (h <- 0 to 3) {
+        if (h > 0) ball = ball.map { case (v, b) =>
+          v -> (b ++ b.flatMap(u => adj.getOrElse(u, Set.empty))) }
+        for (v <- verts) {
+          val rs = (0 until 16).map { j =>
+            val bits = ball(v).map(u => rho(u, j))
+            Iterator.from(0).map(_.toLong).find(c => !bits(c)).get
+          }
+          want((h.toLong, v)) = rs.sum
+        }
+      }
+      val got = ANF.runLcgTrace(spark, edgesDF(es), k = 16, hops = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want.toMap, s"seed $seed")
+    }
+  }
+
   test("TransitiveReduction: chain/diamond hand cases + closure replica") {
     import graft.algos.TransitiveReduction
     def red(es: Set[(Long, Long)]): Set[(Long, Long)] =

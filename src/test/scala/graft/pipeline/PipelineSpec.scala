@@ -315,6 +315,20 @@ class PipelineSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 2L) && got.minBy(_._3)._1 == 3L)
   }
 
+  test("containmentPairs: quoted doc has containment 1.0, tiny jaccard") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val article = ("intro words here " * 8) + quote + (" closing remarks now" * 8)
+    val d = Seq((0L, quote), (1L, article), (2L, "totally unrelated text body here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, threshold = 0.8, w = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 0's shingles all appear inside doc 1 => containment exactly 1.0,
+    // one direction only (the article is NOT contained in the quote)
+    assert(got.toSeq == Seq((0L, 1L, 1.0)), got.toSeq.toString)
+    // and symmetric jaccard misses it at the same threshold
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.8, w = 3).count() == 0L)
+  }
+
   test("dupSpans: hand spans (overlap/adjacent/within-doc/short-doc) + replica") {
     def spans(d: org.apache.spark.sql.DataFrame, w: Int) =
       TextStats.dupSpans(d, w = w, minCount = 2L).collect()
