@@ -1004,6 +1004,11 @@ object SparkEntry {
     // quote/boilerplate inclusion that symmetric Jaccard misses
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(docs(s, d), threshold = 0.8)),
+    // the flagship MinHash+LSH path with SQL-re-derivable hashes: DuckDB
+    // replays shingle ids -> 32 LCG permutations -> banded fold buckets ->
+    // capped candidates -> exact Jaccard, end to end
+    "dedup_minhash_lcg" -> ((s, d) =>
+      Dedup.minhashNearDupsLcg(docs(s, d), threshold = 0.5)),
     // cluster-representative outputs (linear in cluster size — the scale
     // path for duplicate mega-clusters the pair queries cap away)
     "dedup_exact_clusters" -> ((s, d) => Dedup.exactClusters(docs(s, d))),
@@ -2184,6 +2189,40 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT b, a, CAST(ic AS DOUBLE) / sb FROM inter)
          |WHERE containment >= 0.8""".stripMargin,
+
+    // mirrors Dedup.minhashNearDupsLcg bit for bit: dense-rank shingle ids,
+    // 32 LCG permutations mod 2^31-1, 8 bands × 4 rows folded
+    // (acc·8191 + sig) mod p, 1000-cap, exact full-set Jaccard ≥ 0.5
+    "dedup_minhash_lcg" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+         |       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+         |vocab AS (SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) - 1 AS BIGINT) AS sid
+         |          FROM (SELECT DISTINCT sh FROM sh)),
+         |shs AS (SELECT s.doc_id, v.sid FROM sh s JOIN vocab v USING (sh)),
+         |js AS (SELECT CAST(j AS BIGINT) AS j FROM range(32) t(j)),
+         |sig AS MATERIALIZED (SELECT doc_id, j,
+         |    MIN(((48271*j + 16807) % 2147483647 * (sid % 2147483647)
+         |         + (69621*j + 12345) % 2147483647) % 2147483647) AS m
+         |  FROM shs CROSS JOIN js GROUP BY doc_id, j),
+         |bl AS (SELECT doc_id, CAST(j // 4 AS BIGINT) AS band,
+         |         list(m ORDER BY j) AS l FROM sig GROUP BY doc_id, band),
+         |bk AS (SELECT doc_id, band,
+         |  ((((l[1]*8191 + l[2]) % 2147483647) * 8191 + l[3]) % 2147483647
+         |    * 8191 + l[4]) % 2147483647 AS bkt FROM bl),
+         |pop AS (SELECT band, bkt FROM bk GROUP BY band, bkt HAVING count(*) <= 1000),
+         |cap AS (SELECT b.doc_id, b.band, b.bkt FROM bk b JOIN pop USING (band, bkt)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM cap x JOIN cap y
+         |         ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.a, c.b, count(*) AS ic FROM cand c
+         |          JOIN sh x ON x.doc_id = c.a
+         |          JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh GROUP BY 1, 2)
+         |SELECT i.a, i.b, round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5""".stripMargin,
 
     // mirrors Similarity.bruteForceTopK: exact cosine, rank by (score desc,
     // id asc) — only the integer ranking is emitted, so the last-ULP

@@ -310,6 +310,55 @@ object Dedup {
     jaccardVerify(sh, cands, threshold)
   }
 
+  /** MinHash+LSH near-dup with every hash SQL-RE-DERIVABLE — the
+    * [[graft.algos.MIS.runLcg]] trick applied to the flagship dedup path, so
+    * a DuckDB oracle replays the ENTIRE pipeline (shingle ids → 32 LCG
+    * permutations → banded bucket codes → capped candidates → exact Jaccard)
+    * and pins it end to end, where the xxhash64 production path
+    * ([[minhashNearDups]]) is rows-only by nature. Differences from the
+    * production path, both deliberate: shingles stay strings and are mapped
+    * to dense-rank ids (ONE global-ordered rank over the distinct-shingle
+    * vocabulary — fine at oracle scale, the production path hashes instead),
+    * and band buckets are an arithmetic fold (acc·8191 + sig) mod p rather
+    * than a hash of the band slice. Same banding math, same cap discipline,
+    * same full-set exact verify.
+    */
+  def minhashNearDupsLcg(docs: DataFrame, threshold: Double = 0.5,
+                         numPerm: Int = 32, bands: Int = 8, w: Int = 3,
+                         maxBucket: Int = 1000): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val P = 2147483647L // 2^31 - 1 (prime): sig < 2^31, fold stays < 2^44
+    val r = numPerm / bands
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val sh = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= w,
+        array_distinct(transform(sequence(lit(0), size(col("toks")) - w),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+        .otherwise(array().cast("array<string>"))).as("sh")).cache()
+    val vocab = sh.select("sh").distinct()
+      .withColumn("sid", (dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy("sh")) - 1).cast("long"))
+    val shs = sh.join(vocab, "sh").select("doc_id", "sid")
+    val sig = transform(sequence(lit(0), lit(numPerm - 1)), j => {
+      val a = (lit(48271L) * j + 16807L) % P
+      val b = (lit(69621L) * j + 12345L) % P
+      array_min(transform(col("sids"), x => (a * pmod(x, lit(P)) + b) % P))
+    })
+    val sigs = shs.groupBy("doc_id").agg(collect_list(col("sid")).as("sids"))
+      .select(col("doc_id"), sig.as("sig"))
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        aggregate(slice(col("sig"), b * r + 1, lit(r)), lit(0L),
+          (acc, x) => (acc * 8191L + x) % P)))).toDF("doc_id", "band", "bkt")
+    val capped = capBuckets(buckets, Seq("band", "bkt"), maxBucket)
+    val cands = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    jaccardVerify(sh, cands, threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** ASYMMETRIC n-gram containment C(x ⊆ y) = |Sx ∩ Sy| / |Sx| — the
     * doc-in-doc detector (Broder's containment, the measure behind quote /
     * boilerplate / sub-document duplication that symmetric Jaccard misses:

@@ -315,6 +315,27 @@ class PipelineSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 2L) && got.minBy(_._3)._1 == 3L)
   }
 
+  test("minhashNearDupsLcg: planted dup + near-dup found, unrelated not") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val d = Seq(
+      (0L, base), (1L, base),                     // exact dup: jaccard 1.0
+      (2L, base + " tail1"),                      // superset: jaccard 10/11
+      (3L, "zz yy xx ww vv uu tt ss rr qq")       // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsLcg(d, threshold = 0.5, w = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((0L, 1L)) == 1.0)
+    // identical docs share EVERY band, so the pair cannot be missed; the
+    // 10/11-jaccard superset misses a band with prob (1-(10/11)^4)^8 ≈ 1e-4
+    assert(got.contains((0L, 2L)) && got.contains((1L, 2L)))
+    assert(math.abs(got((0L, 2L)) - 10.0 / 11.0) < 1e-6)
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // deterministic under repartition
+    val again = Dedup.minhashNearDupsLcg(d.repartition(7), threshold = 0.5, w = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(again == got)
+  }
+
   test("containmentPairs: quoted doc has containment 1.0, tiny jaccard") {
     val quote = "alpha beta gamma delta epsilon zeta"
     val article = ("intro words here " * 8) + quote + (" closing remarks now" * 8)
