@@ -1079,6 +1079,9 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
     "text_langid" -> ((s, d) => TextStats.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
+    // LCG fold over dense-rank token ids — the fingerprint chain a DuckDB
+    // oracle replays exactly (list_reduce), unlike the xxhash64 production one
+    "text_fingerprint_lcg" -> ((s, d) => TextStats.fingerprintsLcg(docs(s, d))),
     // top-5 terms per doc by smoothed tf-idf (sklearn idf smoothing)
     "text_tfidf" -> ((s, d) => TextStats.tfidfTopTerms(docs(s, d), topK = 5)),
     // BM25 retrieval, fixed query, dyadic k1=5/4 b=3/4 (exact constants)
@@ -1111,6 +1114,9 @@ object SparkEntry {
     // synthetic corpus's small vocabulary
     "text_unigram_lm" -> ((s, d) =>
       TextStats.unigramLogProb(docs(s, d), vocabSize = 20, k = 0.5)),
+    // interpolated bigram LM (λ=3/4, k=1/2 — dyadic, bit-identical floats)
+    "text_bigram_lm" -> ((s, d) =>
+      TextStats.bigramLogProb(docs(s, d), vocabSize = 20, k = 0.5, lambda = 0.75)),
     // benchmark decontamination: every 97th doc plays the eval set
     "text_contamination" -> ((s, d) => {
       val all = docs(s, d)
@@ -1914,6 +1920,54 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
         |       round(avg(nlp), 6) AS mean_nlp
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // mirrors TextStats.fingerprintsLcg: dense-rank token ids in position
+    // order, LCG fold replayed via list_reduce with a prepended 0 seed
+    "text_fingerprint_lcg" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS tk FROM documents),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS tok
+        |      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        |vocab AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS sid
+        |          FROM (SELECT DISTINCT tok FROM s)),
+        |m AS (SELECT s.doc_id, s.pos, v.sid FROM s JOIN vocab v USING (tok))
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(sid ORDER BY pos)),
+        |    (a, x) -> (a * 8191 + x + 1) % 2147483647) AS fingerprint,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM m GROUP BY doc_id""".stripMargin,
+
+    // interpolated bigram LM over the same OOV-mapped stream; identical
+    // expression tree (λ·(a/b) + (1−λ)·(c/d), parenthesized divisions) so
+    // the doubles match bit-for-bit before the final round
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS tk FROM documents),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS tok
+        |      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        |c AS (SELECT tok, count(*) AS c FROM s GROUP BY tok),
+        |vb AS (SELECT tok FROM c ORDER BY c DESC, tok ASC LIMIT 20),
+        |m AS (SELECT s.doc_id, s.pos,
+        |        CASE WHEN vb.tok IS NULL THEN '<oov>' ELSE s.tok END AS m
+        |      FROM s LEFT JOIN vb ON vb.tok = s.tok),
+        |uni AS (SELECT m, count(*) AS cu FROM m GROUP BY m),
+        |tot AS (SELECT (SELECT sum(cu) FROM uni) AS n_total,
+        |               (SELECT count(*) FROM uni) AS v),
+        |tr AS (SELECT x.doc_id, x.m AS p, y.m AS q FROM m x
+        |       JOIN m y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+        |bi AS (SELECT p, q, count(*) AS cb FROM tr GROUP BY p, q),
+        |sc AS (SELECT tr.doc_id,
+        |    -ln(0.75 * ((CAST(cb AS DOUBLE) + 0.5) /
+        |          (CAST(up.cu AS DOUBLE) + 0.5 * (CAST(tot.v AS DOUBLE) + 1.0)))
+        |      + 0.25 * ((CAST(uq.cu AS DOUBLE) + 0.5) /
+        |          (CAST(tot.n_total AS DOUBLE) + 0.5 * (CAST(tot.v AS DOUBLE) + 1.0)))) AS nlp
+        |  FROM tr JOIN bi USING (p, q)
+        |  JOIN uni up ON up.m = tr.p JOIN uni uq ON uq.m = tr.q, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+        |       round(avg(nlp), 6) AS mean_nlp
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     // decontamination vs the doc_id%97 eval slice: distinct 3-grams per doc,
     // matched = grams also present anywhere in the eval slice

@@ -333,6 +333,80 @@ object TextStats {
       round(col("mean_nlp"), 6).as("mean_nlp"))
   }
 
+  /** Interpolated bigram-LM scoring — one smoothing notch above
+    * [[unigramLogProb]] toward real KenLM perplexity filtering:
+    * p(wᵢ|wᵢ₋₁) = λ·(c(wᵢ₋₁wᵢ)+k)/(c(wᵢ₋₁)+k(V+1))
+    *           + (1−λ)·(c(wᵢ)+k)/(N+k(V+1))
+    * over the OOV-mapped token stream (top `vocabSize` types, rest one
+    * bucket), scored as mean −ln p per transition. λ and k default DYADIC
+    * (3/4, 1/2) so both engines do the identical float arithmetic from
+    * identical integer counts.
+    *
+    * Plan shape at 100 TB: same two corpus passes as the unigram scorer —
+    * token counts, then a re-stream mapped through the BROADCAST vocab; the
+    * transition stream is a (doc, pos)-keyed self-join (co-partitioned, one
+    * exchange) and the bigram count table shuffles (type, type, n) rows
+    * only. Docs with < 2 tokens have no transitions and are absent.
+    */
+  def bigramLogProb(docs: DataFrame, vocabSize: Int = 32768, k: Double = 0.5,
+                    lambda: Double = 0.75): DataFrame = {
+    require(vocabSize > 0 && k > 0 && lambda >= 0 && lambda <= 1,
+      "need vocabSize > 0, k > 0, lambda in [0,1]")
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val tokStream = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val counts = tokStream.groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("inv"))
+    val mapped = tokStream.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("inv").isNotNull, col("tok")).otherwise(lit("<oov>")).as("m"))
+    val uni = mapped.groupBy("m").agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum(col("cu")).as("n_total"), count(lit(1)).as("v"))
+    val trans = mapped.as("x").join(mapped.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("y.pos") === col("x.pos") + 1)
+      .select(col("x.doc_id").as("doc_id"), col("x.m").as("p"), col("y.m").as("q"))
+    val denomK = lit(k) * (col("v").cast("double") + 1.0)
+    val prob =
+      lit(lambda) * ((col("cb").cast("double") + k) /
+        (col("cup").cast("double") + denomK)) +
+      lit(1 - lambda) * ((col("cuq").cast("double") + k) /
+        (col("n_total").cast("double") + denomK))
+    trans
+      .join(trans.groupBy("p", "q").agg(count(lit(1)).as("cb")), Seq("p", "q"))
+      .join(broadcast(uni.select(col("m").as("p"), col("cu").as("cup"))), Seq("p"))
+      .join(broadcast(uni.select(col("m").as("q"), col("cu").as("cuq"))), Seq("q"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nlp", -log(prob))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), round(avg(col("nlp")), 6).as("mean_nlp"))
+  }
+
+  /** SQL-re-derivable document fingerprint: the rolling hash of
+    * [[fingerprints]] with the opaque xxhash64 chain swapped for an LCG fold
+    * acc ← (acc·8191 + sid + 1) mod 2³¹−1 over DENSE-RANK token ids in
+    * position order — order-sensitive, whitespace-insensitive, and exactly
+    * replayable by a DuckDB oracle (list_reduce over list(sid ORDER BY pos)).
+    * The global-ordered vocabulary rank is the oracle-scale concession, as
+    * in [[graft.pipeline.Dedup.minhashNearDupsLcg]]; production fingerprints
+    * stay on the xxhash path.
+    */
+  def fingerprintsLcg(docs: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val tokStream = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val vocab = tokStream.select("tok").distinct()
+      .withColumn("sid", (dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1).cast("long"))
+    tokStream.join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("sid")))),
+            s => s.getField("sid")),
+          lit(0L), (acc, x) => (acc * 8191L + x + 1L) % P).as("fingerprint"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Document fingerprint: 64-bit rolling hash of the normalized token
     * stream — xxhash64-chained (hash of (acc, token) per step) so it is
     * order-sensitive and whitespace-insensitive without the long-overflow a

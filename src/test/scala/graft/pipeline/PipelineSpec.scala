@@ -315,6 +315,34 @@ class PipelineSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 2L) && got.minBy(_._3)._1 == 3L)
   }
 
+  test("fingerprintsLcg: replica fold, order-sensitive, whitespace-insensitive") {
+    val d = Seq((0L, "b a c"), (1L, "a b c"), (2L, " a   b  c "))
+      .toDF("doc_id", "text")
+    val got = TextStats.fingerprintsLcg(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def fold(sids: Seq[Long]) =
+      sids.foldLeft(0L)((a, x) => (a * 8191L + x + 1L) % 2147483647L)
+    // corpus vocab sorted: a->0, b->1, c->2
+    assert(got(0L) == ((fold(Seq(1L, 0L, 2L)), 3L)))
+    assert(got(1L) == ((fold(Seq(0L, 1L, 2L)), 3L)))
+    assert(got(2L) == got(1L), "whitespace must not matter")
+    assert(got(0L)._1 != got(1L)._1, "token order must matter")
+  }
+
+  test("bigramLogProb: exact interpolated add-k arithmetic on a hand corpus") {
+    val d = Seq((0L, "a b a"), (1L, "b b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextStats.bigramLogProb(d, vocabSize = 2, k = 0.5, lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // vocab = {b(3), a(2)}; c -> <oov>; uni a:2 b:3 oov:1, N=6, V=3
+    def p(cb: Double, cup: Double, cuq: Double) =
+      0.75 * ((cb + 0.5) / (cup + 0.5 * 4)) + 0.25 * ((cuq + 0.5) / (6 + 0.5 * 4))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d0 = (-math.log(p(1, 2, 3)) - math.log(p(1, 3, 2))) / 2
+    assert(got(0L) == ((2L, r6(d0))))
+    assert(got(1L) == ((1L, r6(-math.log(p(1, 3, 3))))))
+    assert(!got.contains(2L), "single-token doc has no transitions")
+  }
+
   test("minhashNearDupsLcg: planted dup + near-dup found, unrelated not") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val d = Seq(
