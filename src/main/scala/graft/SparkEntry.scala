@@ -1064,6 +1064,10 @@ object SparkEntry {
 
     // deterministic JL random projection to 8 dims (zero-shuffle map scan)
     "ann_project_jl" -> ((s, d) => Similarity.projectJL(embs(s, d), dp = 8)),
+    // top principal component, bit-exact pipeline: 10^4 quantization makes
+    // the Gram/covariance exact integers; power-iteration floats are ordered
+    // left folds mirrored by list_reduce in the oracle
+    "ann_pca3" -> ((s, d) => Similarity.pcaTopComponent(embs(s, d), iters = 3)),
 
     // pipeline: text analysis
     "text_tokens" -> ((s, d) => TextStats.tokenCounts(docs(s, d))),
@@ -2291,6 +2295,12 @@ object SparkEntry {
          |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
          |  FROM s) WHERE rn <= 5""".stripMargin,
 
+    // mirrors Similarity.pcaTopComponent BIT for BIT: exact integer
+    // quantized sums/Gram, C = n·g − s·sᵀ exact under 2^53, and every float
+    // reduction a list_reduce left fold over an ORDER BY dim list — the
+    // same fold order as the engine's driver-side foldLeft
+    "ann_pca3" -> pcaUnrolledSql(3),
+
     // mirrors Similarity.quantizeInt8 op-for-op: scale = max|x|/127 (exact
     // double), codes = clamp(floor(x/scale + 0.5), ±127) — every code is an
     // exact integer, so the checksums compare exactly; scale rounds at 8dp
@@ -3487,6 +3497,43 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
     * bounded-depth recursive walk enumeration (the 300 cap ≫ any test-SF
     * diameter; UNION dedups (s,v,d) triples so the recursion terminates).
     */
+  /** Mirrors [[graft.pipeline.Similarity.pcaTopComponent]] bit for bit —
+    * see that scaladoc for the exactness argument. Every float fold is
+    * `list_reduce(list_prepend(0.0, list(… ORDER BY dim)), +)`, the SQL
+    * spelling of the engine's ascending-dim foldLeft.
+    */
+  private def pcaUnrolledSql(iters: Int): String = {
+    def fold(expr: String, order: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($expr ORDER BY $order)), (a, x) -> a + x)"
+    val rounds = (1 to iters).map { i =>
+      s"""w$i AS (SELECT c.p, ${fold(s"c.c * v${i - 1}.v", "c.q")} AS w
+         |        FROM c JOIN v${i - 1} ON v${i - 1}.p = c.q GROUP BY c.p),
+         |l$i AS (SELECT ${fold("abs(w)", "p")} AS l FROM w$i),
+         |v$i AS (SELECT p, w / (SELECT l FROM l$i) AS v FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |pe AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS p,
+       |        CAST(round(e[i] * 10000.0) AS BIGINT) AS x
+       |      FROM e, UNNEST(range(1, len(e) + 1)) AS u(i)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |s AS MATERIALIZED (SELECT p, sum(x) AS s FROM pe GROUP BY p),
+       |g AS (SELECT a.p AS p, b.p AS q, sum(a.x * b.x) AS g
+       |      FROM pe a JOIN pe b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |c AS MATERIALIZED (SELECT g.p, g.q, CAST(nn.n * g.g - sa.s * sb.s AS DOUBLE) AS c
+       |     FROM g JOIN s sa ON sa.p = g.p JOIN s sb ON sb.p = g.q, nn),
+       |v0 AS (SELECT p, 1.0 AS v FROM s),
+       |$rounds,
+       |sg AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg FROM v$iters
+       |       ORDER BY abs(v) DESC, p ASC LIMIT 1),
+       |vf AS (SELECT p, v * (SELECT sg FROM sg) AS v FROM v$iters),
+       |md AS (SELECT ${fold("CAST(s.s AS DOUBLE) * vf.v", "s.p")}
+       |         / (SELECT CAST(n AS DOUBLE) FROM nn) AS m
+       |       FROM s JOIN vf ON vf.p = s.p),
+       |rd AS (SELECT pe.vec_id, ${fold("CAST(pe.x AS DOUBLE) * vf.v", "pe.p")} AS r
+       |       FROM pe JOIN vf ON vf.p = pe.p GROUP BY pe.vec_id)
+       |SELECT vec_id, round((r - (SELECT m FROM md)) / 10000.0, 6) AS pc1 FROM rd""".stripMargin
+  }
+
   /** Mirrors [[graft.algos.BellmanFord.runFixed]]: k unrolled synchronous
     * min-plus rounds over the signed-weight arith graph (each round merges
     * the previous table with every one-edge relaxation via UNION ALL + min —

@@ -278,4 +278,64 @@ object Similarity {
     corpus.select(col("vec_id"), posexplode(proj).as(Seq("dim", "y")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
   }
+
+  /** Top principal component by power iteration — the embedding-drift /
+    * dominant-direction diagnostic, BIT-EXACTLY oracle-mirrorable:
+    *
+    *  1. quantize each coordinate to q = round(x·10⁴) (long) — from here on
+    *     every corpus-wide sum is EXACT integer arithmetic at any
+    *     parallelism: s(p) = Σᵢ qᵢₚ, Gram g(p,q) = Σᵢ qᵢₚqᵢ_q; the 10⁴
+    *     scale keeps n·g and s·s under 2⁵³ for corpora to ~10⁸ rows of
+    *     unit-range coordinates, so the scaled covariance
+    *     C = n·g − s·sᵀ is exact as a long AND as the double it seeds;
+    *  2. `iters` power steps w = C·v with L1 renormalization, every
+    *     reduction an ORDERED LEFT FOLD (ascending dim) — dim² driver-side
+    *     flops on the constant-size C summary, like the IVF centroid
+    *     collect; sign fixed at the max-|v| component (min dim on ties);
+    *  3. per-row score = fold_p(qᵢₚ·vₚ) − fold_p(sₚ·vₚ)/n, rescaled by 10⁻⁴
+    *     — one distributed projection pass, v a broadcast literal.
+    *
+    * A DuckDB oracle replays every stage bit for bit (integer sums;
+    * list_reduce over ORDER BY dim lists for every float fold).
+    *
+    * 100 TB shape: two corpus passes — (dim, q)/(dim, dim, q·q) partial-
+    * aggregated integer sums (≤ dim² rows cross an exchange), then the
+    * scoring projection; nothing data-sized ever reaches the driver.
+    */
+  def pcaTopComponent(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val quant = transform(col("embedding"),
+      x => round(x.cast("double") * 1e4, 0).cast("long"))
+    val q = embeddings.select(col("vec_id"), quant.as("q")).cache()
+    val n = q.count()
+    val pe = q.select(col("vec_id"), posexplode(col("q")).as(Seq("p", "x")))
+    val s = pe.groupBy("p").agg(sum(col("x")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dim = s.keys.max + 1
+    val sv = (0 until dim).map(p => s(p))
+    val gRows = pe.as("a").join(pe.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.p").as("p"), col("b.p").as("q"))
+      .agg(sum(col("a.x") * col("b.x")).as("g")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // C = n·g − s·sᵀ: exact long (bounded 2^53 by the 10⁴ quantization),
+    // hence the double is the same number
+    val c = Array.tabulate(dim, dim)((p, pq) =>
+      (n * gRows((p, pq)) - sv(p) * sv(pq)).toDouble)
+
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to iters) {
+      // ordered left folds, ascending dim — the oracle's list_reduce order
+      val w = Array.tabulate(dim)(p =>
+        (0 until dim).foldLeft(0.0)((acc, pq) => acc + c(p)(pq) * v(pq)))
+      val l1 = w.indices.foldLeft(0.0)((acc, p) => acc + math.abs(w(p)))
+      v = w.map(_ / l1)
+    }
+    val pSign = v.indices.minBy(p => (-math.abs(v(p)), p))
+    if (v(pSign) < 0) v = v.map(x => -x)
+    val mdot = v.indices.foldLeft(0.0)((acc, p) => acc + sv(p).toDouble * v(p)) / n
+
+    val vLit = typedLit(v.toSeq)
+    val rowdot = aggregate(zip_with(col("q"), vLit, (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x)
+    q.select(col("vec_id"), round((rowdot - mdot) / 1e4, 6).as("pc1"))
+  }
 }

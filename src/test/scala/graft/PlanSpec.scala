@@ -139,4 +139,32 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("InMemoryTableScan"),
       s"ranked adjacency not served from cache:\n$plan")
   }
+
+  test("dupSpans: per-doc window only, heavy grams semi-joined") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.pipeline.TextStats.dupSpans(docs, w = 7, minCount = 2L)
+    val plan = finalPlan(df)
+    // every windowspec is doc-partitioned — the span merge never sorts the
+    // corpus globally
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
+      s"non-doc-partitioned window in:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"heavy-gram filter should be a semi-join:\n$plan")
+  }
+
+  test("bigramLogProb: vocab and count tables broadcast, no cartesian blowup") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = finalPlan(
+      graft.pipeline.TextStats.bigramLogProb(docs, vocabSize = 20))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"count sides should broadcast:\n$plan")
+    // the only product with no join keys is the 1-row totals crossJoin
+    val cartesians = plan.linesIterator
+      .count(_.replaceAll("^[\\s:+-]*", "").startsWith("CartesianProduct"))
+    assert(cartesians == 0, s"cartesian in LM plan:\n$plan")
+  }
 }

@@ -315,6 +315,27 @@ class PipelineSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 2L) && got.minBy(_._3)._1 == 3L)
   }
 
+  test("pcaTopComponent: recovers the planted direction; repartition-stable") {
+    val rnd = new scala.util.Random(5L)
+    val rows = (0L until 60L).map { i =>
+      val t = (i.toDouble - 30) / 10 // dominant spread along (1,1,0,0)
+      Seq(t + rnd.nextDouble() * 0.01, t + rnd.nextDouble() * 0.01,
+        rnd.nextDouble() * 0.01, rnd.nextDouble() * 0.01).map(_.toFloat)
+    }.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponent(df, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // projection onto the top PC is monotone in the planted t (either sign)
+    val xs = (0L until 60L).map(got)
+    assert(xs.sliding(2).forall(p => p(0) <= p(1)) ||
+           xs.sliding(2).forall(p => p(0) >= p(1)), xs.take(10).toString)
+    // mean-centered: scores sum to ~0
+    assert(math.abs(xs.sum) < 1e-3, s"not centered: ${xs.sum}")
+    val again = Similarity.pcaTopComponent(df.repartition(7), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got, "not bit-stable under repartition")
+  }
+
   test("fingerprintsLcg: replica fold, order-sensitive, whitespace-insensitive") {
     val d = Seq((0L, "b a c"), (1L, "a b c"), (2L, " a   b  c "))
       .toDF("doc_id", "text")
