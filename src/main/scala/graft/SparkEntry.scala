@@ -1144,6 +1144,16 @@ object SparkEntry {
       Events.windowedCounts(s.read.parquet(s"$d/events.parquet"))),
     "events_sessions" -> ((s, d) =>
       Events.sessions(s.read.parquet(s"$d/events.parquet"), gapMinutes = 30)),
+    // ordered conversion funnel signup -> click -> purchase (strictly-after)
+    "events_funnel" -> ((s, d) =>
+      Events.funnel(s.read.parquet(s"$d/events.parquet"),
+        Seq("signup", "click", "purchase"))),
+    // day-grain retention triangle
+    "events_retention" -> ((s, d) =>
+      Events.retention(s.read.parquet(s"$d/events.parquet"))),
+    // KMV distinct-user sketch per type (LCG hash — oracle replays exactly)
+    "events_kmv_distinct" -> ((s, d) =>
+      Events.kmvDistinct(s.read.parquet(s"$d/events.parquet"), k = 8)),
 
     // §2.10 remaining @GrB utility surface
     "gb_eye" -> ((s, _) => GBMatrix.eye(s, 30, 20, -3).df),
@@ -2368,6 +2378,47 @@ object SparkEntry {
         |round(sum(value), 6) AS sum_value,
         |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // ordered funnel: each stage's first hit must be STRICTLY after the
+    // user's previous-stage first hit (timestamp order == micros order)
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 'signup' AS funnel_stage,
+        |       CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+        |UNION ALL SELECT 'signup>click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 'signup>click>purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |           FROM events GROUP BY user_id)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+        |       CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM events e JOIN f ON f.user_id = e.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // KMV sketch replayed exactly: same LCG hash, same k smallest, same
+    // (k-1)·P/kth estimator (or the exact count when fewer than k survive)
+    "events_kmv_distinct" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type,
+        |        (user_id % 1000000007 * 48271 + 11213) % 1000000007 AS h FROM du),
+        |rk AS (SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+        |k AS (SELECT event_type, count(*) AS n_kept,
+        |        max(CASE WHEN rk = 8 THEN h END) AS kth
+        |      FROM rk WHERE rk <= 8 GROUP BY event_type)
+        |SELECT event_type, n_kept,
+        |  CASE WHEN n_kept < 8 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE round(7.0 * 1000000007 / kth, 6) END AS est_distinct
+        |FROM k""".stripMargin,
 
     "gb_eye" ->
       """SELECT CAST(i AS BIGINT) AS src, CAST(i - 3 AS BIGINT) AS dst,

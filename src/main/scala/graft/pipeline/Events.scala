@@ -51,4 +51,74 @@ object Events {
         round(sum(col("value")), 6).as("sum_value"),
         date_format(min(col("ts")), TsFmt).as("start_ts"))
   }
+
+  /** Sequential funnel: users reaching stage i must hit `stages(i)` STRICTLY
+    * AFTER their first qualifying hit of stage i−1 (the classic ordered
+    * conversion funnel, not a bag-of-events one). One row per prefix:
+    * (funnel_stage "a>b>…", users).
+    *
+    * Scale: each stage is one user-keyed aggregation joined against the
+    * shrinking reached-set — stage tables are ≤ |users| rows, and the event
+    * scan is filtered to one type before anything wide happens.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("t"))
+    var reached = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("t")).as("t"))
+    val out = scala.collection.mutable.ListBuffer(
+      (stages.head, reached.count()))
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      reached = e.filter(col("event_type") === st).as("e")
+        .join(reached.as("r"),
+          col("e.user_id") === col("r.user_id") && col("e.t") > col("r.t"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.t")).as("t"))
+      out += ((stages.take(i + 2).mkString(">"), reached.count()))
+    }
+    out.toSeq.toDF("funnel_stage", "users")
+  }
+
+  /** Day-grain retention cohorts: cohort = the user's first active day,
+    * offset = days since it; (cohort_day, offset, active_users). The
+    * standard DAU-retention triangle, two user/(cohort,offset)-keyed
+    * aggregations.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val first = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset").cast("long").as("offset"), col("active_users"))
+  }
+
+  /** K-minimum-values distinct-count sketch per event type — the
+    * bounded-memory cardinality estimator family (Bar-Yossef et al. 2002),
+    * with an LCG hash so a SQL oracle replays the sketch EXACTLY: keep the k
+    * smallest distinct hash values; if fewer than k exist the count is
+    * exact, else est = (k−1)·P / kth_min. At scale the min-k fold is a
+    * per-type aggregate over (type, user) pairs — nothing user-cardinality-
+    * sized leaves the executors (the fixture uses the window form; the
+    * estimate depends only on the k survivors either way).
+    */
+  def kmvDistinct(events: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val P = 1000000007L
+    val du = events.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", (col("user_id") % P * 48271L + 11213L) % P)
+    val w = Window.partitionBy("event_type").orderBy("h")
+    du.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rk") === k, col("h"))).as("kth"))
+      .select(col("event_type"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * P / col("kth"), 6))
+          .as("est_distinct"))
+  }
 }

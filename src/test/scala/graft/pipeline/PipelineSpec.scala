@@ -315,6 +315,45 @@ class PipelineSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 2L) && got.minBy(_._3)._1 == 3L)
   }
 
+  test("events funnel/retention/kmv: hand fixtures + estimator replica") {
+    import graft.pipeline.Events
+    def ev(rows: (Long, String, String)*): org.apache.spark.sql.DataFrame =
+      rows.zipWithIndex.map { case ((u, ty, ts), i) => (i.toLong, ts, u, ty, 1.0) }
+        .toDF("event_id", "s", "user_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("s"))).drop("s")
+
+    // u1 full funnel; u2's click precedes signup; u3 skips click; u4 stops
+    val f = Events.funnel(ev(
+      (1L, "signup", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      (2L, "click", "2024-01-01 09:00:00"), (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 11:00:00"),
+      (3L, "signup", "2024-01-01 10:00:00"), (3L, "purchase", "2024-01-01 11:00:00"),
+      (4L, "signup", "2024-01-01 10:00:00"), (4L, "click", "2024-01-01 11:00:00")),
+      Seq("signup", "click", "purchase")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("signup" -> 4L, "signup>click" -> 2L,
+      "signup>click>purchase" -> 1L), f.toString)
+
+    val r = Events.retention(ev(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "view", "2024-01-03 10:00:00"),
+      (2L, "view", "2024-01-02 10:00:00"))).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set(("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)), r.toString)
+
+    // KMV: 20 users of one type -> estimator path; 3 of another -> exact
+    val P = 1000000007L
+    val rows = (0L until 20L).map(u => (u, "click", "2024-01-01 10:00:00")) ++
+      (0L until 3L).map(u => (u, "view", "2024-01-01 10:00:00"))
+    val kmv = Events.kmvDistinct(ev(rows: _*), k = 8).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    val kth = (0L until 20L).map(u => (u % P * 48271L + 11213L) % P).sorted.apply(7)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kmv("click") == ((8L, r6(7.0 * P / kth))))
+    assert(kmv("view") == ((3L, 3.0)))
+  }
+
   test("pcaTopComponent: recovers the planted direction; repartition-stable") {
     val rnd = new scala.util.Random(5L)
     val rows = (0L until 60L).map { i =>
