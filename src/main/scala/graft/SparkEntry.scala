@@ -812,6 +812,20 @@ object SparkEntry {
       TransitiveReduction.run(s,
         edgesArithDirected(s, d).filter(col("src") < col("dst")))),
 
+    // topological layering of the same dependency DAG: layer = longest
+    // path from a source ((max,+) level), ord = rank by (layer, id) — a
+    // concrete deterministic linearization / parallel schedule
+    "algo_toposort" -> ((s, d) =>
+      Toposort.run(s, edgesArithDirected(s, d).filter(col("src") < col("dst")))),
+
+    // earliest-arrival time-respecting reachability from vertex 0 over the
+    // directed arith graph with deterministic edge timestamps
+    // ts = (37·src + 53·dst) mod 16 — paths must strictly increase in ts
+    "algo_temporal" -> ((s, d) =>
+      TemporalReach.run(s, edgesArithDirected(s, d)
+        .withColumn("ts", (col("src") * 37L + col("dst") * 53L) % 16L),
+        source = 0L)),
+
     // Holland-Leinhardt 16-class directed triad census (Batagelj-Mrvar
     // wedge enumeration + exact dyad corrections; Σ cnt = C(n,3))
     "algo_triad_census" -> ((s, d) =>
@@ -1585,6 +1599,36 @@ object SparkEntry {
          |p2 AS (SELECT DISTINCT e.src, r.b AS dst
          |       FROM e JOIN reach r ON r.a = e.dst)
          |SELECT src, dst FROM e ANTI JOIN p2 USING (src, dst)""".stripMargin,
+    // longest-path layering: self-referential recursive CTE (UNION dedups
+    // there), layer = max path length ending at the vertex
+    "algo_toposort" ->
+      s"""WITH RECURSIVE e AS MATERIALIZED (
+         |  SELECT src, dst FROM ($edgesArithDirSql) WHERE src < dst),
+         |v AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |p AS (
+         |  SELECT id, CAST(0 AS BIGINT) AS len FROM v
+         |  UNION
+         |  SELECT e.dst, p.len + 1 FROM p JOIN e ON e.src = p.id),
+         |l AS (SELECT id, max(len) AS layer FROM p GROUP BY id)
+         |SELECT id, layer,
+         |  CAST(row_number() OVER (ORDER BY layer, id) AS BIGINT) AS ord
+         |FROM l""".stripMargin,
+
+    // earliest arrival enumerates every (vertex, arrival-time) event of a
+    // strictly-increasing-ts path, then mins; equal to the engine's gated
+    // min-arrival relaxation because earliest arrival at u enables a
+    // SUPERSET of the departures any later arrival does
+    "algo_temporal" ->
+      s"""WITH RECURSIVE e AS MATERIALIZED (
+         |  SELECT src, dst, (37*src + 53*dst) % 16 AS ts
+         |  FROM ($edgesArithDirSql)),
+         |r AS (
+         |  SELECT CAST(0 AS BIGINT) AS id, CAST(-1 AS BIGINT) AS t
+         |  UNION
+         |  SELECT e.dst, e.ts FROM r JOIN e ON e.src = r.id AND e.ts > r.t)
+         |SELECT id, CAST(min(t) AS BIGINT) AS arrival FROM r GROUP BY id""".stripMargin,
+
     "algo_centrality" -> centralitySql,
     "algo_coloring" -> coloringUnrolledSql(32),
     "algo_matching" -> matchingUnrolledSql(32),
