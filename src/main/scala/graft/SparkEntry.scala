@@ -164,6 +164,27 @@ object SparkEntry {
     e0.filter(col("src") =!= col("dst")).distinct()
   }
 
+  /** Shared DuckDB replay of `Corpus.synthesizeArith(500)` →
+    * `deriveEdgesNamed`: a CTE list `base, tgt, named` where `named` has one
+    * row per resolved import occurrence (pre-grouping). Names are injective
+    * in the file index, so the name self-loop filter equals `i <> t`.
+    */
+  private val corpusNamedCte =
+    """base AS (SELECT range AS i FROM range(0, 500)),
+      |tgt AS (
+      |  SELECT b.i,
+      |    CASE WHEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 4 = 0
+      |      THEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % greatest(1, b.i // 16 + 1)
+      |      ELSE ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 500 END AS t
+      |  FROM base b CROSS JOIN (SELECT range AS k FROM range(0, 4)) kk),
+      |named AS (
+      |  SELECT
+      |    'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS src_repo,
+      |    'src/f' || CAST(i // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(i % 5) + 1] AS src_path,
+      |    'org' || CAST((t % 13) % 7 AS VARCHAR) || '/repo' || CAST(t % 13 AS VARCHAR) AS dst_repo,
+      |    'src/f' || CAST(t // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(t % 5) + 1] AS dst_path
+      |  FROM tgt WHERE i <> t)""".stripMargin
+
   private val edgesArithDirSql =
     """SELECT DISTINCT u AS src, v AS dst FROM (
       |  WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS i FROM supplier),
@@ -985,6 +1006,18 @@ object SparkEntry {
     // orphan sweep: files nothing imports (in-degree 0 in the file graph)
     "corpus_dead_files" -> ((s, _) =>
       Corpus.deadFiles(Corpus.synthesizeArith(s, 500))),
+
+    // cyclic dependency groups among repos (SCC of the repo quotient graph)
+    "corpus_repo_cycles" -> ((s, _) =>
+      Corpus.repoCycles(s, Corpus.synthesizeArith(s, 500))),
+
+    // ctags-style symbol index: every `def` declaration + definer fan-in
+    "corpus_symbol_xref" -> ((s, _) =>
+      Corpus.symbolXref(Corpus.synthesizeArith(s, 500))),
+
+    // Martin afferent/efferent coupling + instability per repo
+    "corpus_coupling" -> ((s, _) =>
+      Corpus.couplingMetrics(Corpus.synthesizeArith(s, 500))),
     "corpus_pagerank" -> ((s, _) => {
       val c = Corpus.synthesize(s, 2000)
       val res = PageRank.run(s, Corpus.deriveEdges(c), tol = 1e-6)
@@ -2119,6 +2152,63 @@ object SparkEntry {
         |rk AS (SELECT doc_id, bm25,
         |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM scores)
         |SELECT doc_id, bm25, CAST(rk AS BIGINT) AS rk FROM rk WHERE rk <= 20""".stripMargin,
+
+    // SCC of the repo quotient graph: transitive closure (self-referential
+    // CTE dedups) + mutual-reachability pairs; a repo's cycle = its mutual
+    // set plus itself — identical to the engine's SCC min-label grouping
+    "corpus_repo_cycles" ->
+      s"""WITH RECURSIVE $corpusNamedCte,
+         |redges AS (SELECT DISTINCT src_repo, dst_repo FROM named
+         |           WHERE src_repo <> dst_repo),
+         |repos AS (SELECT DISTINCT
+         |  'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS repo
+         |  FROM base),
+         |reach AS (
+         |  SELECT src_repo AS a, dst_repo AS b FROM redges
+         |  UNION
+         |  SELECT r.a, e.dst_repo FROM reach r JOIN redges e ON e.src_repo = r.b),
+         |mutual AS (SELECT x.a, x.b FROM reach x
+         |           JOIN reach y ON y.a = x.b AND y.b = x.a),
+         |members AS (SELECT repo, repo AS m FROM repos
+         |            UNION ALL SELECT a, b FROM mutual)
+         |SELECT repo, min(m) AS cycle_rep,
+         |  CAST(count(DISTINCT m) AS BIGINT) AS cycle_size
+         |FROM members GROUP BY repo""".stripMargin,
+
+    // symbol index: the arith corpus declares exactly `def body_<i>` per
+    // file, so the regexp extraction replays as 'body_' || i; fan-in counts
+    // DISTINCT importing files (deriveEdgesNamed's grouped rows)
+    "corpus_symbol_xref" ->
+      s"""WITH $corpusNamedCte,
+         |fpairs AS (SELECT DISTINCT src_repo, src_path, dst_repo, dst_path FROM named),
+         |fanin AS (SELECT dst_repo AS repo, dst_path AS path, count(*) AS fi
+         |          FROM fpairs GROUP BY 1, 2),
+         |defs AS (SELECT
+         |  'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS repo,
+         |  'src/f' || CAST(i // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(i % 5) + 1] AS path,
+         |  'body_' || CAST(i AS VARCHAR) AS symbol FROM base)
+         |SELECT d.symbol, d.repo, d.path,
+         |  CAST(coalesce(f.fi, 0) AS BIGINT) AS fan_in
+         |FROM defs d LEFT JOIN fanin f USING (repo, path)""".stripMargin,
+
+    // Martin coupling: Ca/Ce from the distinct cross-repo quotient edges,
+    // instability from the exact integer counts, rounded to 6 dp
+    "corpus_coupling" ->
+      s"""WITH $corpusNamedCte,
+         |redges AS (SELECT DISTINCT src_repo, dst_repo FROM named
+         |           WHERE src_repo <> dst_repo),
+         |repos AS (SELECT DISTINCT
+         |  'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS repo
+         |  FROM base),
+         |ce AS (SELECT src_repo AS repo, count(*) AS ce FROM redges GROUP BY 1),
+         |ca AS (SELECT dst_repo AS repo, count(*) AS ca FROM redges GROUP BY 1)
+         |SELECT r.repo, CAST(coalesce(ca.ca, 0) AS BIGINT) AS ca,
+         |  CAST(coalesce(ce.ce, 0) AS BIGINT) AS ce,
+         |  CASE WHEN coalesce(ca.ca, 0) + coalesce(ce.ce, 0) = 0 THEN NULL
+         |       ELSE round(CAST(coalesce(ce.ce, 0) AS DOUBLE)
+         |                  / (coalesce(ca.ca, 0) + coalesce(ce.ce, 0)), 6)
+         |  END AS instability
+         |FROM repos r LEFT JOIN ca USING (repo) LEFT JOIN ce USING (repo)""".stripMargin,
 
     // mirrors Corpus.synthesizeArith + deriveEdgesNamed: DuckDB re-derives
     // the identical edge table from the same Lehmer formulas — the oracle

@@ -214,6 +214,84 @@ object Corpus {
       .join(tgt, Seq("repo", "path"), "left_anti")
   }
 
+  /** Cyclic dependency groups among REPOS — the strongly connected
+    * components of the repo quotient graph. A cross-repo import cycle means
+    * no repo in the group can be built/vendored/deleted independently; the
+    * per-repo report (repo, cycle_rep, cycle_size) is the "untangle these
+    * first" worklist a monorepo-decomposition pass starts from.
+    *
+    * Scale shape: the quotient graph has one vertex per REPO (orders of
+    * magnitude below the file table), so the SCC runs on a tiny projection;
+    * the only corpus-sized work is the same parse+join edge derivation every
+    * other corpus op shares. Repo names map to dense ids by a sorted rank
+    * over the distinct-repo table (small by construction) and back at the
+    * end — the SCC loop itself never carries strings.
+    */
+  def repoCycles(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val re = deriveEdgesNamed(corpus)
+      .filter(col("src_repo") =!= col("dst_repo"))
+      .select(col("src_repo"), col("dst_repo")).distinct()
+    val repos = corpus.select(col("repo")).distinct()
+    // dense ids over the (small) distinct-repo table; single-partition
+    // window is fine exactly because the quotient vertex set is small
+    val ranked = repos.withColumn("rid", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("repo"))).cast("long"))
+    val eid = re
+      .join(ranked.select(col("repo").as("src_repo"), col("rid").as("src")), Seq("src_repo"))
+      .join(ranked.select(col("repo").as("dst_repo"), col("rid").as("dst")), Seq("dst_repo"))
+      .select(col("src"), col("dst"))
+    val scc = graft.algos.SCC.run(spark, eid) // (id, scc) over edge endpoints
+    val assigned = ranked.join(scc.select(col("id").as("rid"), col("scc").as("comp")), Seq("rid"), "left")
+      .select(col("repo"), coalesce(col("comp"), col("rid")).as("comp")) // isolated repo = own cycle
+    val groups = assigned.groupBy("comp")
+      .agg(min(col("repo")).as("cycle_rep"), count(lit(1)).as("cycle_size"))
+    assigned.join(groups, Seq("comp"))
+      .select(col("repo"), col("cycle_rep"), col("cycle_size"))
+  }
+
+  /** Symbol cross-reference index (the ctags/LSIF primitive): every `def`
+    * declaration in the corpus with its defining file and the file's import
+    * fan-in (how many files import the definer — a proxy for how widely the
+    * symbol is consumable). Pure codegen'd regexp extraction + one reuse of
+    * the shared edge derivation; no UDFs.
+    *
+    * @return (symbol, repo, path, fan_in), one row per declaration.
+    */
+  def symbolXref(corpus: DataFrame): DataFrame = {
+    val defs = corpus.select(col("repo"), col("path"),
+        explode(expr("regexp_extract_all(content, 'def ([a-zA-Z0-9_]+)', 1)")).as("symbol"))
+    val fanIn = deriveEdgesNamed(corpus)
+      .groupBy(col("dst_repo").as("repo"), col("dst_path").as("path"))
+      .agg(count(lit(1)).as("fan_in"))
+    defs.join(fanIn, Seq("repo", "path"), "left")
+      .select(col("symbol"), col("repo"), col("path"),
+        coalesce(col("fan_in"), lit(0L)).as("fan_in"))
+  }
+
+  /** Martin coupling metrics per repo: Ca (afferent — distinct repos that
+    * depend on it), Ce (efferent — distinct repos it depends on), and
+    * instability I = Ce/(Ca+Ce) ∈ [0,1] (Martin, "OO Design Quality
+    * Metrics", 1994). High-I repos are safe to change; high-Ca low-I repos
+    * are the load-bearing ones a migration must sequence around. One
+    * repo-quotient aggregation; I is computed from the exact integer counts
+    * and rounded to 6 dp so any engine reproduces it bit-for-bit.
+    */
+  def couplingMetrics(corpus: DataFrame): DataFrame = {
+    val re = deriveEdgesNamed(corpus)
+      .filter(col("src_repo") =!= col("dst_repo"))
+      .select(col("src_repo"), col("dst_repo")).distinct()
+    val ce = re.groupBy(col("src_repo").as("repo")).agg(count(lit(1)).as("ce"))
+    val ca = re.groupBy(col("dst_repo").as("repo")).agg(count(lit(1)).as("ca"))
+    corpus.select(col("repo")).distinct()
+      .join(ca, Seq("repo"), "left").join(ce, Seq("repo"), "left")
+      .select(col("repo"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("ce"), lit(0L)).as("ce"))
+      .withColumn("instability",
+        when(col("ca") + col("ce") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("ce").cast("double") / (col("ca") + col("ce")), 6)))
+  }
+
   /** Per-row provenance: sha256(content) equality against the source table
     * (north rule). Returns rows that FAIL the check — empty means verified.
     */

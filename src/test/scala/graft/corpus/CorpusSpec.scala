@@ -156,4 +156,49 @@ class CorpusSpec extends SparkTestBase {
     assert(deadGot == deadWant, s"dead sizes got=${deadGot.size} want=${deadWant.size}")
     c.unpersist()
   }
+
+  test("repo cycles: hand fixture (3-cycle + 2-cycle + isolated repo)") {
+    import spark.implicits._
+    // a→b→c→a (3-cycle), d↔e (2-cycle), f imports a (acyclic tail),
+    // g has no cross-repo edges at all (isolated singleton)
+    val c = Seq(
+      ("a/r", "x.c", "import b/r/x.c"), ("b/r", "x.c", "import c/r/x.c"),
+      ("c/r", "x.c", "import a/r/x.c"),
+      ("d/r", "x.c", "import e/r/x.c"), ("e/r", "x.c", "import d/r/x.c"),
+      ("f/r", "x.c", "import a/r/x.c"), ("g/r", "x.c", "")
+    ).map { case (r, p, ct) => (r, p, "1", "c", ct) }
+      .toDF("repo", "path", "commit", "lang", "content")
+    val got = Corpus.repoCycles(spark, c).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a/r" -> (("a/r", 3L)), "b/r" -> (("a/r", 3L)), "c/r" -> (("a/r", 3L)),
+      "d/r" -> (("d/r", 2L)), "e/r" -> (("d/r", 2L)),
+      "f/r" -> (("f/r", 1L)), "g/r" -> (("g/r", 1L))), got.toString)
+  }
+
+  test("symbol xref + coupling metrics: hand fixture with multi-def file") {
+    import spark.implicits._
+    // lib declares two symbols and is imported by both apps; app1 also
+    // imports app2 (so app2 has Ca=1, Ce=1); lib has Ca=2, Ce=0 (stable)
+    val c = Seq(
+      ("lib/r", "l.c", "def alpha(): 1\ndef beta(): 2"),
+      ("app1/r", "a.c", "import lib/r/l.c\nimport app2/r/b.c\ndef main_a(): 3"),
+      ("app2/r", "b.c", "import lib/r/l.c\ndef main_b(): 4")
+    ).map { case (r, p, ct) => (r, p, "1", "c", ct) }
+      .toDF("repo", "path", "commit", "lang", "content")
+
+    val xref = Corpus.symbolXref(c).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(xref == Set(
+      ("alpha", "lib/r", "l.c", 2L), ("beta", "lib/r", "l.c", 2L),
+      ("main_a", "app1/r", "a.c", 0L), ("main_b", "app2/r", "b.c", 1L)), xref.toString)
+
+    val m = Corpus.couplingMetrics(c).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(m == Map(
+      "lib/r" -> ((2L, 0L, 0.0)),          // maximally stable
+      "app1/r" -> ((0L, 2L, 1.0)),         // maximally unstable
+      "app2/r" -> ((1L, 1L, 0.5))), m.toString)
+  }
 }
