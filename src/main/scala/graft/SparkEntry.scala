@@ -1051,6 +1051,9 @@ object SparkEntry {
     // quote/boilerplate inclusion that symmetric Jaccard misses
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(docs(s, d), threshold = 0.8)),
+    // exact-tail stage of the dedup cascade: prefix-blocked (capped)
+    // candidate pairs scored by true Levenshtein over a 256-char window
+    "dedup_edit_verify" -> ((s, d) => Dedup.editVerify(docs(s, d))),
     // the flagship MinHash+LSH path with SQL-re-derivable hashes: DuckDB
     // replays shingle ids -> 32 LCG permutations -> banded fold buckets ->
     // capped candidates -> exact Jaccard, end to end
@@ -1133,6 +1136,13 @@ object SparkEntry {
     // LCG fold over dense-rank token ids — the fingerprint chain a DuckDB
     // oracle replays exactly (list_reduce), unlike the xxhash64 production one
     "text_fingerprint_lcg" -> ((s, d) => TextStats.fingerprintsLcg(docs(s, d))),
+    // RAG sliding-window chunking: 64-token chunks every 48 (16 overlap),
+    // tail-anchored; zero shuffles — pure per-doc array expressions
+    "text_chunks" -> ((s, d) =>
+      TextStats.chunkOverlap(docs(s, d), chunkSize = 64, overlap = 16)),
+    // MOSS winnowing (k=4 token grams, w=5 windows, rightmost-min picks)
+    // over the LCG gram hash a DuckDB oracle replays bit-for-bit
+    "text_winnow" -> ((s, d) => TextStats.winnowLcg(docs(s, d), k = 4, w = 5)),
     // top-5 terms per doc by smoothed tf-idf (sklearn idf smoothing)
     "text_tfidf" -> ((s, d) => TextStats.tfidfTopTerms(docs(s, d), topK = 5)),
     // BM25 retrieval, fixed query, dyadic k1=5/4 b=3/4 (exact constants)
@@ -2028,6 +2038,61 @@ object SparkEntry {
         |    (a, x) -> (a * 8191 + x + 1) % 2147483647) AS fingerprint,
         |  CAST(count(*) AS BIGINT) AS n_tokens
         |FROM m GROUP BY doc_id""".stripMargin,
+
+    // sliding-window chunking replayed with list_slice; chunk count is the
+    // same exact-integer ceil((n-64)/48) both sides
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0) AS tk FROM documents),
+        |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+        |      FROM t WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, tk, CAST(j AS BIGINT) AS chunk_id
+        |      FROM b, UNNEST(range(0, (greatest(0, n - 64) + 47) // 48 + 1)) AS u(j))
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |  CAST(len(list_slice(tk, chunk_id*48 + 1, chunk_id*48 + 64)) AS BIGINT) AS n_tok_chunk,
+        |  array_to_string(list_slice(tk, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    // winnowing: LCG gram hashes as rows, frame min over w=5 grams,
+    // rightmost minimal picked by a frame-bounded join — the same two-phase
+    // relational plan the engine runs
+    "text_winnow" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS tk FROM documents),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS tok
+        |      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        |vocab AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS sid
+        |          FROM (SELECT DISTINCT tok FROM s)),
+        |sl AS (SELECT doc_id, list(sid ORDER BY pos) AS sids
+        |       FROM s JOIN vocab USING (tok) GROUP BY doc_id),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sids, i, i + 3)),
+        |          (a, x) -> (a * 8191 + x + 1) % 2147483647) AS gh
+        |      FROM sl, UNNEST(range(1, len(sids) - 4 + 2)) AS u(i)
+        |      WHERE len(sids) >= 4),
+        |f AS (SELECT doc_id, gpos, gh,
+        |        min(gh) OVER (PARTITION BY doc_id ORDER BY gpos
+        |                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS minh,
+        |        count(*) OVER (PARTITION BY doc_id) AS ng
+        |      FROM g),
+        |wf AS (SELECT * FROM f WHERE gpos <= ng - 5),
+        |p AS (SELECT wf.doc_id, wf.gpos AS ws, wf.minh AS fp, max(g2.gpos) AS pos
+        |      FROM wf JOIN g g2 ON g2.doc_id = wf.doc_id
+        |        AND g2.gpos BETWEEN wf.gpos AND wf.gpos + 4 AND g2.gh = wf.minh
+        |      GROUP BY 1, 2, 3)
+        |SELECT DISTINCT doc_id, pos, fp FROM p""".stripMargin,
+
+    // prefix-blocked exact Levenshtein verify (capped blocks, a < b)
+    "dedup_edit_verify" ->
+      """WITH k AS (SELECT doc_id, substring(text, 1, 32) AS blk,
+        |                  substring(text, 1, 256) AS head FROM documents),
+        |cap AS (SELECT blk FROM k GROUP BY blk HAVING count(*) <= 64),
+        |c AS (SELECT k.* FROM k JOIN cap USING (blk))
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(levenshtein(x.head, y.head) AS BIGINT) AS dist
+        |FROM c x JOIN c y ON x.blk = y.blk AND x.doc_id < y.doc_id""".stripMargin,
 
     // interpolated bigram LM over the same OOV-mapped stream; identical
     // expression tree (λ·(a/b) + (1−λ)·(c/d), parenthesized divisions) so

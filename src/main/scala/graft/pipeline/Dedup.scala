@@ -391,4 +391,32 @@ object Dedup {
       .select(col("contained"), col("container"),
         round(col("containment"), 6).as("containment"))
   }
+
+  /** Prefix-blocked edit-distance verification — the exact-tail stage of a
+    * dedup cascade: block documents on their first `prefixLen` characters
+    * (templated / boilerplate near-dups share long prefixes), cap block
+    * population like every other bucketed method here, and score each
+    * intra-block pair with true Levenshtein distance over the first
+    * `window` characters. Output is every candidate pair with its distance
+    * — thresholding is the caller's policy, auditing wants the scores.
+    *
+    * Scale shape: the only quadratic work is inside capped blocks (≤
+    * maxBucket² per block); the pair join carries the truncated text once.
+    * Levenshtein is O(window²) per pair — `window` bounds the cost
+    * independent of document length, which is exactly why the exact stage
+    * sits BEHIND the cheap blocking, never on the raw corpus.
+    *
+    * @return (a, b, dist) for a < b in a shared block
+    */
+  def editVerify(docs: DataFrame, prefixLen: Int = 32, window: Int = 256,
+                 maxBucket: Int = 64): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("blk"),
+      substring(col("text"), 1, window).as("head"))
+    val capped = capBuckets(keyed, Seq("blk"), maxBucket)
+    capped.as("x").join(capped.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        levenshtein(col("x.head"), col("y.head")).cast("long").as("dist"))
+  }
 }

@@ -589,4 +589,92 @@ object TextStats {
       .agg(min("pos").as("span_start"), max("e").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
+
+  /** Sliding-window chunking with overlap — the RAG / context-window
+    * splitter: whitespace tokens, chunks of `chunkSize` tokens starting
+    * every `stride = chunkSize − overlap`, last chunk anchored so it covers
+    * the document tail (the HF text-splitter convention: the final start is
+    * the largest j·stride with j ≤ ⌈(n − chunkSize)/stride⌉, so no chunk is
+    * a strict suffix of its predecessor). Zero-token docs emit nothing.
+    *
+    * Pure per-doc array expressions (slice/sequence/array_join) after one
+    * narrow projection — no shuffle at all; chunk text re-joins tokens with
+    * single spaces, so the output is whitespace-normalized by construction.
+    *
+    * @return (doc_id, chunk_id, start_tok, n_tok_chunk, chunk_text)
+    */
+  def chunkOverlap(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val stride = (chunkSize - overlap).toLong
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val base = docs.select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .withColumn("n", size(col("tk")).cast("long"))
+    // ceil((n - chunkSize)/stride) in exact integer arithmetic, floored at 0
+    // (Column./ is double division; floor+cast is exact for these magnitudes)
+    val jmax = floor((greatest(lit(0L), col("n") - chunkSize) + (stride - 1L)) / stride)
+      .cast("long")
+    base.select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L), jmax)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("piece",
+        slice(col("tk"), (col("start_tok") + 1L).cast("int"), lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("piece")).cast("long").as("n_tok_chunk"),
+        array_join(col("piece"), " ").as("chunk_text"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS code-plagiarism sketch) at token level: hash every k-gram of
+    * the token stream, slide a window of `w` consecutive gram hashes, and in
+    * each window pick the minimum hash (RIGHTMOST occurrence on ties); the
+    * output is the distinct picked (position, hash) set per document. Any
+    * shared substring of ≥ w+k−1 tokens between two documents is guaranteed
+    * to share a fingerprint — the property exact-dup spans and MinHash both
+    * lack at this granularity.
+    *
+    * Gram hash = the [[fingerprintsLcg]] LCG fold over DENSE-RANK token ids,
+    * so a SQL oracle replays every pick bit-for-bit (the global-rank
+    * vocabulary is the documented oracle-scale concession; production use
+    * swaps xxhash64 grams, same plan shape). Spark shape: gram hashes are
+    * ROWS (doc_id, gpos, gh); the window min is one frame aggregate over the
+    * per-doc ordering and the rightmost-tie pick is one self-join bounded to
+    * the w-row frame — all relational, skew-free (per-doc work ∝ doc length).
+    * Docs shorter than k+w−1 tokens emit nothing (no full window exists).
+    *
+    * @return (doc_id, pos, fp) — pos = gram start offset in the token stream
+    */
+  def winnowLcg(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k,w >= 1, got $k/$w")
+    val P = 2147483647L
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val tokStream = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val vocab = tokStream.select("tok").distinct()
+      .withColumn("sid", (dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1).cast("long"))
+    val sids = tokStream.join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sid")))),
+        s => s.getField("sid")).as("sids"))
+      .filter(size(col("sids")) >= k)
+    val grams = sids.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("sids")) - k), i =>
+        aggregate(slice(col("sids"), i + 1, lit(k)), lit(0L),
+          (a, x) => (a * 8191L + x + 1L) % P))).as(Seq("gpos", "gh")))
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val frame = perDoc.orderBy("gpos").rowsBetween(0, w - 1)
+    val windows = grams
+      .withColumn("minh", min(col("gh")).over(frame))
+      .withColumn("ng", count(lit(1)).over(perDoc))
+      .filter(col("gpos") <= col("ng") - w) // only complete windows
+    windows.as("f").join(grams.as("g"),
+        col("g.doc_id") === col("f.doc_id") &&
+        col("g.gpos").between(col("f.gpos"), col("f.gpos") + (w - 1)) &&
+        col("g.gh") === col("f.minh"))
+      .groupBy(col("f.doc_id").as("doc_id"), col("f.gpos").as("ws"),
+        col("f.minh").as("fp"))
+      .agg(max(col("g.gpos")).cast("long").as("pos")) // rightmost minimal in the window
+      .select(col("doc_id"), col("pos"), col("fp")).distinct()
+  }
 }

@@ -354,6 +354,74 @@ class PipelineSpec extends SparkTestBase {
     assert(kmv("view") == ((3L, 3.0)))
   }
 
+  test("chunkOverlap: tail-anchored windows, exact starts, text roundtrip") {
+    val d = Seq((7L, (1 to 10).map(i => s"t$i").mkString("  "))) // messy ws
+      .toDF("doc_id", "text")
+    val got = TextStats.chunkOverlap(d, chunkSize = 4, overlap = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    // n=10, stride=2, jmax=ceil(6/2)=3 -> starts 0,2,4,6; all full chunks
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 2L, 4L), (2L, 4L, 4L), (3L, 6L, 4L)))
+    assert(got.head._4 == "t1 t2 t3 t4" && got.last._4 == "t7 t8 t9 t10")
+    // short doc: single chunk, truncated
+    val s = TextStats.chunkOverlap(Seq((8L, "a b")).toDF("doc_id", "text"),
+      chunkSize = 4, overlap = 2).collect()
+    assert(s.length == 1 && s.head.getLong(3) == 2L)
+    // empty doc: nothing
+    assert(TextStats.chunkOverlap(Seq((9L, "  ")).toDF("doc_id", "text"),
+      chunkSize = 4, overlap = 2).count() == 0L)
+  }
+
+  test("winnowLcg: brute replica + shared-substring guarantee") {
+    val k = 3; val w = 4
+    val a = "x1 x2 x3 x4 SHARED RUN OF COMMON TOKENS HERE y1 y2 y3"
+    val b = "z1 z2 SHARED RUN OF COMMON TOKENS HERE z3 z4 z5 z6 z7"
+    val d = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val got = TextStats.winnowLcg(d, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute replica: same dense-rank vocab across the corpus
+    val P = 2147483647L
+    val tokss = Seq(a, b).map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val vocab = tokss.flatten.distinct.sorted.zipWithIndex.toMap
+    val want = (for ((toks, did) <- tokss.zipWithIndex) yield {
+      val sids = toks.map(t => vocab(t).toLong)
+      val grams = sids.sliding(k).map(_.foldLeft(0L)((acc, x) =>
+        (acc * 8191L + x + 1L) % P)).toIndexedSeq
+      (0 to grams.size - w).map { j =>
+        val win = grams.slice(j, j + w)
+        val mn = win.min
+        val pos = (j until j + w).filter(grams(_) == mn).max
+        (did.toLong, pos.toLong, mn)
+      }
+    }).flatten.toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+
+    // guarantee: the shared >= w+k-1 token substring forces a common (pos-
+    // independent) fingerprint value between the two docs
+    val fpsA = got.collect { case (0L, _, f) => f }
+    val fpsB = got.collect { case (1L, _, f) => f }
+    assert(fpsA.intersect(fpsB).nonEmpty, "winnowing guarantee violated")
+  }
+
+  test("editVerify: prefix blocks, exact distances, cap drops mega-blocks") {
+    val common = "PREFIXPREFIXPREFIXPREFIXPREFIXPX " // 33 chars: block key
+    val d = Seq(
+      (0L, common + "alpha beta gamma"),
+      (1L, common + "alpha beta gamna"),         // 1 substitution vs 0
+      (2L, common + "totally different tail xx"),
+      (3L, "other block entirely, no partner here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editVerify(d, prefixLen = 32, window = 256, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((0L, 1L, 1L)), got.toString) // one char apart
+    assert(got.size == 3, "3 intra-block pairs expected") // (0,1),(0,2),(1,2)
+    // cap: a 3-doc block with maxBucket=2 emits nothing
+    assert(Dedup.editVerify(d, prefixLen = 32, window = 256, maxBucket = 2)
+      .count() == 0L)
+  }
+
   test("pcaTopComponent: recovers the planted direction; repartition-stable") {
     val rnd = new scala.util.Random(5L)
     val rows = (0L until 60L).map { i =>
