@@ -45,3 +45,44 @@ case class FrexpE(child: Expression) extends SpecialUnary {
   override protected def withNewChildInternal(c: Expression): FrexpE = copy(child = c)
 }
 
+/** SQL-surface registration for the special-function expressions, so the
+  * reference's scalar-op tail is reachable from `spark.sql(...)` as well as
+  * the typed Column API: `gb_erf/gb_erfc/gb_gamma/gb_lgamma/gb_frexpx/
+  * gb_frexpe`. Two entry points, one function list:
+  *
+  *  - [[SpecialFunctionRegistry.register]] — add to an EXISTING session's
+  *    function registry (session-scoped, the notebook/REPL path);
+  *  - [[graft.GraftExtensions]] — a `SparkSessionExtensions` injector for
+  *    `spark-submit --conf spark.sql.extensions=graft.GraftExtensions`
+  *    (cluster-wide, applied at session build).
+  *
+  * Both produce the same codegen'd Expressions the Column API uses — the
+  * SQL path pays zero extra cost.
+  */
+object SpecialFunctionRegistry {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def unary(name: String, f: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[SpecialUnary].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects exactly 1 argument, got ${args.length}")
+        f(args.head)
+      })
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    unary("gb_erf", Erf), unary("gb_erfc", Erfc),
+    unary("gb_gamma", Gamma), unary("gb_lgamma", LGamma),
+    unary("gb_frexpx", FrexpX), unary("gb_frexpe", FrexpE))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    all.foreach(ext.injectFunction)
+}
+

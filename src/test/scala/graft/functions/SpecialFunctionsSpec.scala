@@ -78,4 +78,35 @@ class SpecialFunctionsSpec extends SparkTestBase {
       .select(graft.core.Ops.unary("erf")(col("x"))).collect()(0).getDouble(0)
     assert(math.abs(viaRegistry - 0.5204998778130465) < 1e-12)
   }
+
+  test("SQL surface: SpecialFunctionRegistry + GraftExtensions resolve gb_* functions") {
+    import org.apache.spark.sql.SparkSession
+    import graft.functions.SpecialMath
+    // path 1: register into the existing session
+    org.apache.spark.sql.graft.SpecialFunctionRegistry.register(spark)
+    val r = spark.sql(
+      "SELECT gb_gamma(4.0D) g, gb_erf(0.5D) e, gb_lgamma(10.0D) l, " +
+      "gb_erfc(2.0D) c, gb_frexpx(24.0D) mx, gb_frexpe(24.0D) ex").collect()(0)
+    assert(r.getDouble(0) == SpecialMath.gamma(4.0) && math.abs(r.getDouble(0) - 6.0) < 1e-12)
+    assert(r.getDouble(1) == SpecialMath.erf(0.5))
+    assert(r.getDouble(2) == SpecialMath.lgamma(10.0))
+    assert(r.getDouble(3) == SpecialMath.erfc(2.0))
+    assert(r.getDouble(4) == 0.75 && r.getDouble(5) == 5.0)
+    // wrong arity is rejected at analysis
+    intercept[Exception](spark.sql("SELECT gb_erf(1.0D, 2.0D)").collect())
+
+    // path 2: a fresh session built with the extensions injector (shares
+    // the test SparkContext; extensions are per-session state)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
+      val v = s2.sql("SELECT gb_gamma(5.0D) g").collect()(0).getDouble(0)
+      assert(math.abs(v - 24.0) < 1e-11, s"gamma(5) via extensions: $v")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
