@@ -137,4 +137,41 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
     assert(got.values.sum == timed.size)
   }
+
+  test("EventStream.sessions: closed sessions equal the batch sessionization") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(h: Int, min: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+    // user 1: two sessions (65-min gap > 30); user 2: one session
+    val evs = Seq(
+      (1L, t(10, 0), 1.5), (1L, t(10, 20), 2.5), // session A: 2 events
+      (2L, t(10, 5), 1.0),                       // session C: 1 event
+      (1L, t(11, 25), 4.0),                      // session B (gap 65 min)
+      (2L, t(10, 30), 3.0))                      // joins C (gap 25 min)
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    val q = graft.streaming.EventStream.sessions(
+        mem.toDS().toDF("user_id", "ts", "value"),
+        gapMinutes = 30, lateness = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(evs.take(3)); q.processAllAvailable()
+    mem.addData(evs.drop(3)); q.processAllAvailable()
+    // advance the watermark far past every session's last+gap, then run two
+    // empty-ish batches so timeouts fire and the closures land
+    mem.addData(Seq((99L, t(20, 0), 0.0))); q.processAllAvailable()
+    mem.addData(Seq((99L, t(21, 0), 0.0))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .filter(_._1 != 99L).toSet // 99 is only the watermark-advancer
+    // batch replica over the same events (event_id = arrival index)
+    val batch = graft.pipeline.Events.sessions(
+        evs.zipWithIndex.map { case ((u, ts, v), i) => (i.toLong, ts, u, v) }
+          .toDF("event_id", "ts", "user_id", "value"), gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got.size == 3 && got.contains((1L, 2L, 4.0, "2026-01-01 10:00:00")))
+  }
 }
