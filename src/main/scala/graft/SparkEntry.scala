@@ -1086,6 +1086,15 @@ object SparkEntry {
       Similarity.ivfTopK(e, q, k = 5, nlist = 32, nprobe = 8)
         .select(col("qid"), col("id"), col("rank"))
     }),
+    // product quantization + ADC: m=4 subspaces × 8 centroids (decimal-exact
+    // Lloyd, deterministic at any parallelism); corpus embeddings are never
+    // read at query time — only the 4-byte codes
+    "ann_pq_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 8)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
     // driver embeddings are uniform-random (max pairwise cosine ~0.5), so the
     // near-dup threshold is 0.35 with 6-bit buckets × 8 tables; multiprobe
     // (1-bit-flip neighbor buckets) lifts recall to ≈0.91 at the threshold

@@ -24,6 +24,12 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Squared L2 distance ‖a − b‖² as a Column (double). */
+  def sqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. Queries are broadcast (small side); ranking is a window
     * per query with deterministic (score desc, id asc) tie-break.
@@ -337,5 +343,95 @@ object Similarity {
     val rowdot = aggregate(zip_with(col("q"), vLit, (a, b) => a.cast("double") * b),
       lit(0.0), (acc, x) => acc + x)
     q.select(col("vec_id"), round((rowdot - mdot) / 1e4, 6).as("pc1"))
+  }
+
+  /** Product quantization codebook + codes (Jégou, Douze & Schmid, PAMI
+    * 2011): split each d-dim vector into `m` contiguous d/m-dim subvectors
+    * and vector-quantize each subspace independently against `ksub`
+    * centroids — a vector compresses to m small codes (m·log₂ksub bits),
+    * the standard 10–100× memory/bandwidth step beyond [[quantizeInt8]] for
+    * billion-scale ANN.
+    *
+    * Determinism is the [[ivfIndex]] recipe per subspace: hash-sampled seed
+    * centroids refined by decimal-exact Lloyd steps (order-independent
+    * sums), so codebook and codes are identical at any parallelism. All m
+    * subspaces train in ONE plan — the subspace index is just another group
+    * key. The codebook is m·ksub rows, localized and broadcast; assignment
+    * never shuffles the corpus.
+    *
+    * @return (codes: (vec_id, sub, code), codebook: (sub, code, ce))
+    */
+  def pqIndex(corpus: DataFrame, m: Int = 4, ksub: Int = 8, seed: Long = 7L,
+              lloydSteps: Int = 1): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val e0 = corpus.select(col("vec_id"), col("embedding"))
+    // (vec_id, sub, sv): the m subvectors, sliced by contiguous position
+    val dsub = size(col("embedding")) / m
+    val sub = e0.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        slice(col("embedding"), (col("sub") * dsub + 1).cast("int"), dsub.cast("int")).as("sv"))
+
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+    // seed: per subspace, the ksub hash-least corpus subvectors
+    val seedWin = Window.partitionBy("sub").orderBy(col("h"), col("vec_id"))
+    var book = localize(sub
+      .select(col("sub"), col("sv"), col("vec_id"),
+        xxhash64(col("vec_id"), col("sub"), lit(seed)).as("h"))
+      .withColumn("rn", row_number().over(seedWin)).filter(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).as("code"), col("sv").as("ce")))
+
+    // nearest centroid per (vector, subspace) by L2 (tie: low code). Dot
+    // would degenerate here — it is scale-sensitive, so the largest-norm
+    // centroid swallows every vector; k-means geometry needs the distance.
+    def assign(b: DataFrame): DataFrame =
+      sub.join(broadcast(b), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"), sqdist(col("sv"), col("ce")).as("d"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+    for (_ <- 1 to lloydSteps) {
+      book = localize(assign(book)
+        .join(sub, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
+        .groupBy("sub", "code", "p")
+        .agg((sum(col("x").cast("decimal(38,15)")) / count(lit(1)))
+          .cast("double").as("mm"))
+        .groupBy("sub", "code").agg(transform(
+          array_sort(collect_list(struct(col("p"), col("mm")))),
+          s => s.getField("mm").cast("float")).as("ce")))
+    }
+    (assign(book), book)
+  }
+
+  /** ANN by asymmetric distance computation (ADC) over the PQ codes: the
+    * query stays full-precision; score(q, v) ≈ Σ_sub ⟨q_sub, ce(sub,
+    * code_v[sub])⟩, i.e. the inner product against v's RECONSTRUCTION. The
+    * per-query work is one m·ksub lookup table (broadcast — it is tiny) plus
+    * a code-indexed sum per corpus vector; the corpus embeddings themselves
+    * are never read at query time — that is the entire point at 100 TB.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             ksub: Int = 8, seed: Long = 7L): DataFrame = {
+    val (codes, book) = pqIndex(corpus, m, ksub, seed)
+    val dsub = size(col("embedding")) / m
+    val qsub = queries.select(col("vec_id").as("qid"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("qid"), col("sub").cast("int").as("sub"),
+        slice(col("embedding"), (col("sub") * dsub + 1).cast("int"), dsub.cast("int")).as("qv"))
+    // ADC lookup table of squared L2 distances: |queries|·m·ksub rows —
+    // broadcast side
+    val lut = qsub.join(broadcast(book), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), sqdist(col("qv"), col("ce")).as("c"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id").as("id"))
+      // decimal sum: the m-term ADC total is order-independent, so ranks
+      // are stable at any partitioning (double partial-aggs would not be)
+      .agg(sum(col("c").cast("decimal(38,15)")).cast("double").as("dist"))
+      .filter(col("qid") =!= col("id"))
+    val win = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }
 }

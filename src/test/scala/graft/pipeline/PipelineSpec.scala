@@ -112,6 +112,31 @@ class PipelineSpec extends SparkTestBase {
     assert(c1.count() == c2.count())
   }
 
+  test("PQ/ADC top-k: same-cluster recall on clustered data; codes deterministic") {
+    val q = embs.filter(col("vec_id") < 6)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cluster identity survives 4x compression: every ADC hit is same-cluster
+    val approx = Similarity.pqTopK(embs, q, k = 5, m = 4, ksub = 6)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(approx.length == 30)
+    for ((qid, id) <- approx)
+      assert(qid % 3 == id % 3, s"PQ matched cross-cluster: $qid -> $id")
+    // and recall vs exact is high on this easy geometry
+    val exact = keyset(Similarity.bruteForceTopK(embs, q, k = 5).select("qid", "id"))
+    val recall = exact.intersect(approx.toSet).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall $recall")
+    // codes and codebook are pure functions of the data (any partitioning)
+    val (k1, b1) = Similarity.pqIndex(embs, m = 4, ksub = 6)
+    val (k2, b2) = Similarity.pqIndex(embs.repartition(7), m = 4, ksub = 6)
+    assert(k1.collect().toSet == k2.collect().toSet)
+    assert(b1.select("sub", "code").collect().toSet ==
+      b2.select("sub", "code").collect().toSet)
+    // every vector gets exactly m codes in [0, ksub)
+    val perVec = k1.groupBy("vec_id").count().collect().map(_.getLong(1)).toSet
+    assert(perVec == Set(4L))
+  }
+
   test("LSH top-k recall >= 0.8 vs brute force on clustered data") {
     val q = embs.filter(col("vec_id") < 6)
     def keyset(df: org.apache.spark.sql.DataFrame) =
