@@ -15,20 +15,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sum of elementwise products as a Column (double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v.cast("double"))
+  import org.apache.spark.sql.graft.{GraftSqlInternals => GI, VecDot, VecSqDist}
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + (v * v).cast("double")))
+  /** Sum of elementwise double products Σ aᵢ·bᵢ — a fused codegen'd kernel
+    * (`VecDot`): one loop, double accumulator, no intermediate array. The
+    * HOF spelling `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` is the
+    * readable spec; the Expression is the same fold without the per-row
+    * product-array allocation — the version you want under a 10⁹-vector scan.
+    */
+  def dot(a: Column, b: Column): Column =
+    GI.column(VecDot(GI.expression(a), GI.expression(b)))
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Squared L2 distance ‖a − b‖² as a Column (double). */
+  /** Squared L2 distance ‖a − b‖² (fused kernel, same shape as [[dot]]). */
   def sqdist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double"); d * d
-    }), lit(0.0), (acc, v) => acc + v)
+    GI.column(VecSqDist(GI.expression(a), GI.expression(b)))
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. Queries are broadcast (small side); ranking is a window
