@@ -1141,6 +1141,25 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1))
         .select(col("doc_id"), col("lang"))),
     "text_langid" -> ((s, d) => TextStats.langId(docs(s, d))),
+    // exact tie-aware ROC-AUC (Mann-Whitney, tie-corrected) of a signed
+    // Lehmer fold over the int8-quantized embedding codes vs label==0 —
+    // integer rank sums, one final division, bit-identical in any engine
+    "eval_auc" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(embs(s, d))
+      val scored = q.select(col("vec_id"), posexplode(col("qvec")).as(Seq("p", "x")))
+        .withColumn("sgn",
+          when(((col("p") + 1) * 48271L % 1000003L) % 2L === 0L, 1L).otherwise(-1L))
+        .groupBy("vec_id").agg(sum(col("x") * col("sgn")).as("score"))
+        .join(embs(s, d).select(col("vec_id"), (col("label") === 0).as("positive")),
+          Seq("vec_id"))
+      Eval.auc(scored)
+    }),
+    // language-ID confusion matrix vs the documents table's lang truth
+    "eval_langid_confusion" -> ((s, d) =>
+      Eval.confusion(
+        docs(s, d).select(col("doc_id"), col("lang"))
+          .join(TextStats.langId(docs(s, d)), Seq("doc_id")),
+        truthCol = "lang", predCol = "pred_lang")),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
     // LCG fold over dense-rank token ids — the fingerprint chain a DuckDB
     // oracle replays exactly (list_reduce), unlike the xxhash64 production one
@@ -1299,6 +1318,28 @@ object SparkEntry {
        |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
        |round(sum(x), 6) AS w FROM t GROUP BY 1, 2""".stripMargin
   }
+
+  /** DuckDB replay of TextStats.langId — shared by the text_langid oracle
+    * and the eval_langid_confusion one. */
+  private val langidSql: String =
+    s"""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS h_de,
+      |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','it','with','for'], x))) AS h_en,
+      |  len(list_filter(toks, x -> list_contains(['el','la','los','las','que','y','es','en','un','una','por'], x))) AS h_es,
+      |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une','dans','pour'], x))) AS h_fr,
+      |  len(list_filter(toks, x -> list_contains(['il','la','che','di','e','un','una','per','non','sono'], x))) AS h_it
+      |  FROM t),
+      |x AS (SELECT doc_id, greatest(h_de, h_en, h_es, h_fr, h_it) AS mx,
+      |      h_de, h_en, h_es, h_fr, h_it FROM h)
+      |SELECT doc_id,
+      |  CASE WHEN mx > 0 THEN (CASE WHEN h_de = mx THEN 'de' WHEN h_en = mx THEN 'en'
+      |    WHEN h_es = mx THEN 'es' WHEN h_fr = mx THEN 'fr' ELSE 'it' END)
+      |  ELSE 'und' END AS pred_lang,
+      |  CAST(mx AS BIGINT) AS marker_hits
+      |FROM x""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "gb_build" -> edgesBiSql,
@@ -2399,25 +2440,50 @@ object SparkEntry {
 
     // mirrors TextStats.langId: marker-word hits per language, argmax with
     // alphabetical tie-break (the CASE checks in alphabetical order)
-    "text_langid" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), x -> len(x) > 0) AS toks
-         |  FROM documents),
-         |h AS (SELECT doc_id,
-         |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS h_de,
-         |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','it','with','for'], x))) AS h_en,
-         |  len(list_filter(toks, x -> list_contains(['el','la','los','las','que','y','es','en','un','una','por'], x))) AS h_es,
-         |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une','dans','pour'], x))) AS h_fr,
-         |  len(list_filter(toks, x -> list_contains(['il','la','che','di','e','un','una','per','non','sono'], x))) AS h_it
-         |  FROM t),
-         |x AS (SELECT doc_id, greatest(h_de, h_en, h_es, h_fr, h_it) AS mx,
-         |      h_de, h_en, h_es, h_fr, h_it FROM h)
-         |SELECT doc_id,
-         |  CASE WHEN mx > 0 THEN (CASE WHEN h_de = mx THEN 'de' WHEN h_en = mx THEN 'en'
-         |    WHEN h_es = mx THEN 'es' WHEN h_fr = mx THEN 'fr' ELSE 'it' END)
-         |  ELSE 'und' END AS pred_lang,
-         |  CAST(mx AS BIGINT) AS marker_hits
-         |FROM x""".stripMargin,
+    "text_langid" -> langidSql,
+
+    // exact tie-aware ROC-AUC (Mann-Whitney with tie correction) of an
+    // integer-exact score: signed Lehmer fold over the int8-quantized codes,
+    // positives = label 0. Every count is an integer; one final division
+    "eval_auc" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN scale > 0
+        |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+        |       ELSE list_transform(e, x -> 0.0) END AS qv
+        |  FROM m),
+        |xx AS (SELECT vec_id, CAST(i AS BIGINT) AS p, CAST(qv[i] AS BIGINT) AS x
+        |       FROM q, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+        |sc AS (SELECT vec_id,
+        |  sum(x * (CASE WHEN (p * 48271) % 1000003 % 2 = 0 THEN 1 ELSE -1 END)) AS score
+        |  FROM xx GROUP BY vec_id),
+        |lab AS (SELECT sc.score, (emb.label = 0) AS pos
+        |        FROM sc JOIN embeddings emb USING (vec_id)),
+        |g AS (SELECT score AS s,
+        |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p_cnt,
+        |        sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_cnt
+        |      FROM lab GROUP BY 1),
+        |cumt AS (SELECT s, p_cnt, n_cnt,
+        |  sum(n_cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n_le
+        |  FROM g)
+        |SELECT CAST(sum(p_cnt) AS BIGINT) AS p, CAST(sum(n_cnt) AS BIGINT) AS n,
+        |  CAST(sum(p_cnt * (2*(cum_n_le - n_cnt) + n_cnt)) AS DOUBLE)
+        |    / (2.0 * sum(p_cnt) * sum(n_cnt)) AS auc
+        |FROM cumt""".stripMargin,
+
+    // language-ID confusion matrix against the documents table's lang truth
+    "eval_langid_confusion" ->
+      s"""WITH pred AS ($langidSql),
+         |j AS (SELECT d.lang AS truth, p.pred_lang AS pred
+         |      FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+         |counts AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM j GROUP BY 1, 2),
+         |tot AS (SELECT truth, CAST(sum(cnt) AS BIGINT) AS truth_total
+         |        FROM counts GROUP BY 1)
+         |SELECT c.truth, c.pred, c.cnt, t.truth_total
+         |FROM counts c JOIN tot t USING (truth)""".stripMargin,
 
     // mirrors Dedup.ngramJaccardPairs: distinct 3-word shingles, df-capped
     // inverted-index candidates, exact Jaccard on the FULL shingle sets
