@@ -208,6 +208,20 @@ object SparkEntry {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Shared scored table for the eval_* queries: an integer-exact signed
+    * Lehmer fold over the int8-quantized embedding codes as the score,
+    * label==0 as the positive class — every engine reproduces it exactly.
+    */
+  private def int8FoldScored(s: SparkSession, d: String): DataFrame = {
+    val q = Similarity.quantizeInt8(embs(s, d))
+    q.select(col("vec_id"), posexplode(col("qvec")).as(Seq("p", "x")))
+      .withColumn("sgn",
+        when(((col("p") + 1) * 48271L % 1000003L) % 2L === 0L, 1L).otherwise(-1L))
+      .groupBy("vec_id").agg(sum(col("x") * col("sgn")).as("score"))
+      .join(embs(s, d).select(col("vec_id"), (col("label") === 0).as("positive")),
+        Seq("vec_id"))
+  }
+
   /** Flagship: PageRank to 1e-6 on the sf0.001-derived bipartite graph. */
   def entry(spark: SparkSession): DataFrame = {
     val e = edgesBi(spark, "/root/testdata/sf0.001")
@@ -1144,16 +1158,29 @@ object SparkEntry {
     // exact tie-aware ROC-AUC (Mann-Whitney, tie-corrected) of a signed
     // Lehmer fold over the int8-quantized embedding codes vs label==0 —
     // integer rank sums, one final division, bit-identical in any engine
-    "eval_auc" -> ((s, d) => {
-      val q = Similarity.quantizeInt8(embs(s, d))
-      val scored = q.select(col("vec_id"), posexplode(col("qvec")).as(Seq("p", "x")))
-        .withColumn("sgn",
-          when(((col("p") + 1) * 48271L % 1000003L) % 2L === 0L, 1L).otherwise(-1L))
-        .groupBy("vec_id").agg(sum(col("x") * col("sgn")).as("score"))
-        .join(embs(s, d).select(col("vec_id"), (col("label") === 0).as("positive")),
-          Seq("vec_id"))
-      Eval.auc(scored)
-    }),
+    "eval_auc" -> ((s, d) => Eval.auc(int8FoldScored(s, d))),
+    // PR curve at every distinct threshold of the same integer score —
+    // running integer tp/fp over the distinct-score groups, descending
+    "eval_pr_curve" -> ((s, d) =>
+      Eval.prCurve(int8FoldScored(s, d))
+        .select(col("threshold"), col("tp"), col("fp"),
+          round(col("precision"), 8).as("precision"),
+          round(col("recall"), 8).as("recall"))),
+    // calibration-curve bins (ECE inputs) of the min-max-normalized integer
+    // score vs label==0 — integer per-bin sums, bit-identical in any engine
+    "eval_calibration" -> ((s, d) =>
+      Eval.calibrationBins(int8FoldScored(s, d), bins = 10)
+        .select(col("bin"), col("cnt"), col("pos_cnt"),
+          round(col("acc"), 8).as("acc"), round(col("conf"), 8).as("conf"))),
+    // exact tie-aware Spearman rho between two integer document statistics
+    // (char length vs whitespace token count) — doubled average ranks keep
+    // every moment an integer; DECIMAL(38,0) cross products; one division
+    "eval_spearman" -> ((s, d) =>
+      Eval.spearman(
+        docs(s, d).select(length(col("text")).cast("long").as("x"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast("long").as("y")))
+        .select(col("n"), round(col("rho"), 8).as("rho"))),
     // language-ID confusion matrix vs the documents table's lang truth
     "eval_langid_confusion" -> ((s, d) =>
       Eval.confusion(
@@ -1321,6 +1348,27 @@ object SparkEntry {
 
   /** DuckDB replay of TextStats.langId — shared by the text_langid oracle
     * and the eval_langid_confusion one. */
+  /** Shared oracle CTE chain for the eval_* queries — mirrors
+    * [[int8FoldScored]]: int8 quantization, signed Lehmer fold, label==0.
+    * Ends defining `lab(score, pos)`; embed as `WITH $int8FoldScoredSql, …`.
+    */
+  private val int8FoldScoredSql: String =
+    """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |m AS (SELECT vec_id, e,
+      |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c),
+      |q AS (SELECT vec_id,
+      |  CASE WHEN scale > 0
+      |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+      |       ELSE list_transform(e, x -> 0.0) END AS qv
+      |  FROM m),
+      |xx AS (SELECT vec_id, CAST(i AS BIGINT) AS p, CAST(qv[i] AS BIGINT) AS x
+      |       FROM q, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+      |sc AS (SELECT vec_id,
+      |  sum(x * (CASE WHEN (p * 48271) % 1000003 % 2 = 0 THEN 1 ELSE -1 END)) AS score
+      |  FROM xx GROUP BY vec_id),
+      |lab AS (SELECT sc.score, (emb.label = 0) AS pos
+      |        FROM sc JOIN embeddings emb USING (vec_id))""".stripMargin
+
   private val langidSql: String =
     s"""WITH t AS (SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), x -> len(x) > 0) AS toks
@@ -2446,21 +2494,7 @@ object SparkEntry {
     // integer-exact score: signed Lehmer fold over the int8-quantized codes,
     // positives = label 0. Every count is an integer; one final division
     "eval_auc" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |m AS (SELECT vec_id, e,
-        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c),
-        |q AS (SELECT vec_id,
-        |  CASE WHEN scale > 0
-        |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
-        |       ELSE list_transform(e, x -> 0.0) END AS qv
-        |  FROM m),
-        |xx AS (SELECT vec_id, CAST(i AS BIGINT) AS p, CAST(qv[i] AS BIGINT) AS x
-        |       FROM q, UNNEST(range(1, len(qv) + 1)) AS u(i)),
-        |sc AS (SELECT vec_id,
-        |  sum(x * (CASE WHEN (p * 48271) % 1000003 % 2 = 0 THEN 1 ELSE -1 END)) AS score
-        |  FROM xx GROUP BY vec_id),
-        |lab AS (SELECT sc.score, (emb.label = 0) AS pos
-        |        FROM sc JOIN embeddings emb USING (vec_id)),
+      s"""WITH $int8FoldScoredSql,
         |g AS (SELECT score AS s,
         |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p_cnt,
         |        sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_cnt
@@ -2472,6 +2506,63 @@ object SparkEntry {
         |  CAST(sum(p_cnt * (2*(cum_n_le - n_cnt) + n_cnt)) AS DOUBLE)
         |    / (2.0 * sum(p_cnt) * sum(n_cnt)) AS auc
         |FROM cumt""".stripMargin,
+
+    // PR curve per distinct threshold: cumulative integer tp/fp descending
+    "eval_pr_curve" ->
+      s"""WITH $int8FoldScoredSql,
+        |g AS (SELECT score AS threshold,
+        |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p_cnt,
+        |        sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_cnt
+        |      FROM lab GROUP BY 1),
+        |cumt AS (SELECT threshold,
+        |  sum(p_cnt) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |  sum(n_cnt) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+        |  FROM g)
+        |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  round(CAST(tp AS DOUBLE) / (tp + fp), 8) AS "precision",
+        |  round(CAST(tp AS DOUBLE) / (SELECT sum(p_cnt) FROM g), 8) AS recall
+        |FROM cumt""".stripMargin,
+
+    // calibration bins: min-max normalize the integer score, 10 equal bins
+    // (top edge closed), per-bin integer sums -> acc/conf
+    "eval_calibration" ->
+      s"""WITH $int8FoldScoredSql,
+        |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM lab),
+        |b AS (SELECT
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE least(9, CAST(floor(CAST(score - mn AS DOUBLE) / (mx - mn) * 10) AS INT))
+        |  END AS bin,
+        |  score - mn AS off, mx - mn AS rng,
+        |  CASE WHEN pos THEN 1 ELSE 0 END AS posi
+        |  FROM lab, mm)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(posi) AS BIGINT) AS pos_cnt,
+        |  round(CAST(sum(posi) AS DOUBLE) / count(*), 8) AS acc,
+        |  round(CASE WHEN max(rng) = 0 THEN 0.0
+        |        ELSE CAST(sum(off) AS DOUBLE) / (count(*) * max(rng)) END, 8) AS conf
+        |FROM b GROUP BY bin""".stripMargin,
+
+    // exact tie-aware Spearman rho via doubled average ranks (integers) and
+    // DECIMAL(38,0) cross products — bit-identical arithmetic to the engine
+    "eval_spearman" ->
+      """WITH rows_xy AS (SELECT CAST(length(text) AS BIGINT) AS x,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS y
+        |  FROM documents),
+        |gx AS (SELECT x AS v, count(*) AS cnt FROM rows_xy GROUP BY 1),
+        |rx AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) + cnt + 1 AS ra FROM gx),
+        |gy AS (SELECT y AS v, count(*) AS cnt FROM rows_xy GROUP BY 1),
+        |ry AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) + cnt + 1 AS rb FROM gy),
+        |r AS (SELECT rx.ra, ry.rb FROM rows_xy t
+        |      JOIN rx ON rx.v = t.x JOIN ry ON ry.v = t.y),
+        |s AS (SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+        |        sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+        |        sum(ra * rb) AS sab
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(CAST(n AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE)
+        |         * CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DOUBLE)), 8) AS rho
+        |FROM s""".stripMargin,
 
     // language-ID confusion matrix against the documents table's lang truth
     "eval_langid_confusion" ->

@@ -43,6 +43,109 @@ object Eval {
         (col("num2").cast("double") / (lit(2.0) * col("p") * col("n"))).as("auc"))
   }
 
+  /** Exact tie-aware Spearman rank correlation between two numeric columns —
+    * Pearson over AVERAGE ranks, with every intermediate an integer: the
+    * average rank of a tie group is `cum_below + (cnt+1)/2`, a half-integer,
+    * so DOUBLED ranks `2a = 2·cum_below + cnt + 1` are exact longs. The five
+    * rank-moment sums stay in int64 (Σ(2a)² ≤ 4n³ — fine to n ≈ 10⁶); the
+    * three cross products promote to DECIMAL(38,0) (exact to n ≈ 3·10⁸);
+    * one final double division. Any engine reproduces the value bit-for-bit.
+    *
+    * Scale shape: ranks come from ONE groupBy per column plus a window over
+    * the DISTINCT-VALUE table (never a global sort of raw rows), joined back
+    * by value; the moment pass is a single corpus-sized aggregate.
+    *
+    * @param rows (x: numeric, y: numeric)
+    * @return one row (n, rho)
+    */
+  def spearman(rows: DataFrame, xCol: String = "x", yCol: String = "y"): DataFrame = {
+    def ranks2(c: String, out: String) = {
+      val g = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_le", sum(col("cnt")).over(w))
+        .select(col("v").as(c),
+          (lit(2L) * (col("cum_le") - col("cnt")) + col("cnt") + lit(1L)).as(out))
+    }
+    val ranked = rows.join(ranks2(xCol, "ra"), Seq(xCol))
+      .join(ranks2(yCol, "rb"), Seq(yCol))
+    val dec = "decimal(38,0)"
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+        sum(col("ra") * col("ra")).as("saa"),
+        sum(col("rb") * col("rb")).as("sbb"),
+        sum(col("ra") * col("rb")).as("sab"))
+      .select(col("n"),
+        ((col("n").cast(dec) * col("sab").cast(dec)
+            - col("sa").cast(dec) * col("sb").cast(dec)).cast("double")
+          / sqrt((col("n").cast(dec) * col("saa").cast(dec)
+              - col("sa").cast(dec) * col("sa").cast(dec)).cast("double")
+            * (col("n").cast(dec) * col("sbb").cast(dec)
+              - col("sb").cast(dec) * col("sb").cast(dec)).cast("double")))
+          .as("rho"))
+  }
+
+  /** Calibration-curve bins for an INTEGER score against a boolean label:
+    * min-max-normalize the score to a confidence in [0,1], drop it into
+    * `bins` equal-width bins (top edge closed), and report per-bin count,
+    * positive count, accuracy, and mean confidence — the inputs to ECE
+    * (Σ_b cnt_b/n · |acc_b − conf_b|), which the caller folds in one pass.
+    * Per-bin confidence averages `Σ(score−min) / (cnt·(max−min))` come from
+    * integer sums, so every engine agrees bit-for-bit.
+    *
+    * Scale shape: one 2-row-broadcast min/max join, one corpus-sized groupBy.
+    *
+    * @param scored (score: integral, positive: boolean)
+    * @return one row per non-empty bin (bin, cnt, pos_cnt, acc, conf)
+    */
+  def calibrationBins(scored: DataFrame, bins: Int = 10,
+                      scoreCol: String = "score",
+                      labelCol: String = "positive"): DataFrame = {
+    val mm = scored.agg(min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
+    val conf = (col(scoreCol) - col("mn")).cast("double") /
+      (col("mx") - col("mn")).cast("double")
+    scored.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(bins - 1), floor(conf * bins).cast("int"))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos_cnt"),
+        sum((col(scoreCol) - col("mn")).cast("long")).as("num"),
+        first(col("mx") - col("mn")).as("rng"))
+      .select(col("bin"), col("cnt"), col("pos_cnt"),
+        (col("pos_cnt").cast("double") / col("cnt")).as("acc"),
+        when(col("rng") === 0, lit(0.0))
+          .otherwise(col("num").cast("double")
+            / (col("cnt") * col("rng")).cast("double")).as("conf"))
+  }
+
+  /** Precision-recall curve at every distinct score threshold (predict
+    * positive when score ≥ t, one row per candidate t): running positive /
+    * negative counts over the distinct-score group table, descending —
+    * integer cumulative sums, two final divisions. The companion of [[auc]]
+    * over the same grouped shape (window over distinct scores, never raw
+    * rows).
+    *
+    * @return (threshold, tp, fp, precision, recall) per distinct score
+    */
+  def prCurve(scored: DataFrame, scoreCol: String = "score",
+              labelCol: String = "positive"): DataFrame = {
+    val groups = scored.groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p_cnt"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_cnt"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = groups.agg(sum(col("p_cnt")).as("p_tot"))
+    groups.withColumn("tp", sum(col("p_cnt")).over(w))
+      .withColumn("fp", sum(col("n_cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / col("p_tot").cast("double")).as("recall"))
+  }
+
   /** Classifier confusion matrix + per-class exact counts: one row per
     * (truth, predicted) pair with its count and the truth-class total —
     * recall per class is `cnt/truth_total` for the diagonal rows, derivable

@@ -32,6 +32,62 @@ class EvalSpec extends SparkTestBase {
     assert(Eval.auc(d.repartition(5)).collect()(0).getDouble(2) == 5.0 / 6.0)
   }
 
+  test("spearman: hand cases — monotone, inverted, tie-corrected") {
+    // perfectly monotone and perfectly inverted
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 25L)).toDF("x", "y")
+    assert(Eval.spearman(mono).collect()(0).getDouble(1) == 1.0)
+    val inv = Seq((1L, 9L), (2L, 5L), (3L, 1L)).toDF("x", "y")
+    assert(Eval.spearman(inv).collect()(0).getDouble(1) == -1.0)
+
+    // tie case, hand-computed: x = (1,2,2,3), y = (1,3,2,4)
+    // avg ranks: ax = (1, 2.5, 2.5, 4), ay = (1, 3, 2, 4); both means 2.5
+    // deviations dx = (-1.5, 0, 0, 1.5), dy = (-1.5, .5, -.5, 1.5)
+    // Σdxdy = 4.5, Σdx² = 4.5, Σdy² = 5  => rho = 4.5/sqrt(4.5·5)
+    val tied = Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 4L)).toDF("x", "y")
+    val rho = Eval.spearman(tied).collect()(0).getDouble(1)
+    assert(math.abs(rho - 4.5 / math.sqrt(4.5 * 5.0)) < 1e-15, rho.toString)
+
+    // partitioning-invariant (integer moments)
+    assert(Eval.spearman(tied.repartition(7)).collect()(0).getDouble(1) == rho)
+  }
+
+  test("calibrationBins: hand case — bin edges, acc, conf; degenerate range") {
+    // scores 0..10, mn=0 mx=10: conf = s/10; bins of width 0.1; score 10 -> bin 9
+    val d = Seq((0L, false), (1L, false), (5L, true), (9L, true), (10L, true))
+      .toDF("score", "positive")
+    val got = Eval.calibrationBins(d, bins = 10).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set(0, 1, 5, 9), got.toString)
+    assert(got(0) == ((1L, 0L, 0.0, 0.0)))
+    assert(got(1) == ((1L, 0L, 0.0, 0.1)))
+    assert(got(5) == ((1L, 1L, 1.0, 0.5)))
+    // bin 9 holds scores 9 and 10: conf = (9+10)/(2*10) = 0.95, acc = 1
+    assert(got(9) == ((2L, 2L, 1.0, 0.95)), got(9).toString)
+
+    // ECE from the bins: sum cnt/n * |acc-conf|
+    val n = got.values.map(_._1).sum
+    val ece = got.values.map { case (c, _, a, cf) => c.toDouble / n * math.abs(a - cf) }.sum
+    assert(math.abs(ece - (0.2 * 0.0 + 0.2 * 0.1 + 0.2 * 0.5 + 0.4 * 0.05)) < 1e-15)
+
+    // all-equal scores collapse to bin 0 with conf 0
+    val flat = Seq((7L, true), (7L, false)).toDF("score", "positive")
+    val f = Eval.calibrationBins(flat).collect()
+    assert(f.length == 1 && f(0).getInt(0) == 0 && f(0).getDouble(4) == 0.0)
+  }
+
+  test("prCurve: hand case — thresholds descending, exact tp/fp") {
+    // scores: pos {3, 2}, neg {2, 1}
+    val d = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("score", "positive")
+    val got = Eval.prCurve(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(3L) == ((1L, 0L, 1.0, 0.5)))          // t=3: only the top pos
+    assert(got(2L) == ((2L, 1L, 2.0 / 3.0, 1.0)))    // t=2: both pos, one neg
+    assert(got(1L) == ((2L, 2L, 0.5, 1.0)))          // t=1: everything
+  }
+
   test("confusion: counts and truth totals on a hand case") {
     val d = Seq(("en", "en"), ("en", "en"), ("en", "de"),
       ("de", "de"), ("fr", "en")).toDF("lang", "pred_lang")
