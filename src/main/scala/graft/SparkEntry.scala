@@ -766,6 +766,19 @@ object SparkEntry {
           round(col("conductance"), 8).as("conductance"))
     }),
 
+    // ACL sweep cut: conductance profile of the degree-descending ordering
+    // (the local-clustering certificate scan; integral scores keep every
+    // prefix statistic an exact integer). rangeSize=64 forces the sf0.01
+    // run through MULTIPLE ranges of the two-level prefix scan
+    "algo_sweep" -> ((s, d) => {
+      val e = edgesArith(s, d)
+      val deg = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("score"))
+      GraphStats.sweepCut(s, e, deg, rangeSize = 64)
+        .select(col("pos"), col("id"), col("score"), col("vol"), col("cut"),
+          round(col("conductance"), 8).as("conductance"))
+    }),
+
     // 1-WL color refinement, 3 exact rounds (arithmetic multiset combiner
     // mod the largest prime < 2^31 — engine-independent colors)
     "algo_wl_refine" -> ((s, d) =>
@@ -1782,6 +1795,35 @@ object SparkEntry {
     "algo_spam_mass" -> spamMassSql,
     "algo_antitrust5" -> antiTrustSql(5),
     "gb_conductance" -> conductanceSql,
+
+    // mirrors GraphStats.sweepCut over the degree-descending ordering:
+    // row_number rank, edge enters at its later endpoint's rank, prefix
+    // sums of degree/internal edges, one final division
+    "algo_sweep" ->
+      s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
+         |und AS (SELECT src AS v FROM canon UNION ALL SELECT dst FROM canon),
+         |deg AS (SELECT v AS id, count(*) AS score FROM und GROUP BY 1),
+         |rk AS (SELECT id, score,
+         |         row_number() OVER (ORDER BY score DESC, id ASC) AS pos
+         |       FROM deg),
+         |eh AS (SELECT greatest(ra.pos, rb.pos) AS pos, count(*) AS icnt
+         |       FROM canon c
+         |       JOIN rk ra ON ra.id = c.src JOIN rk rb ON rb.id = c.dst
+         |       GROUP BY 1),
+         |mm AS (SELECT count(*) AS m FROM canon),
+         |base AS (SELECT rk.pos, rk.id, rk.score, rk.score AS deg,
+         |           coalesce(eh.icnt, 0) AS icnt
+         |         FROM rk LEFT JOIN eh USING (pos)),
+         |cum AS (SELECT pos, id, score,
+         |          sum(deg) OVER (ORDER BY pos) AS vol,
+         |          sum(icnt) OVER (ORDER BY pos) AS inte
+         |        FROM base)
+         |SELECT CAST(pos AS BIGINT) AS pos, id, CAST(score AS BIGINT) AS score,
+         |  CAST(vol AS BIGINT) AS vol, CAST(vol - 2*inte AS BIGINT) AS cut,
+         |  round(CASE WHEN least(vol, 2*mm.m - vol) = 0 THEN 0.0
+         |        ELSE CAST(vol - 2*inte AS DOUBLE) / least(vol, 2*mm.m - vol)
+         |        END, 8) AS conductance
+         |FROM cum, mm""".stripMargin,
     "algo_wl_refine" -> wlRefineSql(3),
     "gb_4cliques" -> fourCliquesSql,
     "algo_tricount_est" -> tricountEstSql(2),

@@ -140,6 +140,77 @@ object GraphStats {
     out
   }
 
+  /** ACL-style SWEEP CUT — the conductance profile of a vertex ordering
+    * (Andersen-Chung-Lang local clustering: order vertices by a score,
+    * usually a personalized-PageRank vector normalized by degree, and scan
+    * prefixes S_1 ⊂ S_2 ⊂ … reporting φ(S_k); the best prefix is the local
+    * cluster certificate). Ordering is (score DESC, id ASC) — ties
+    * deterministic. For prefix S_k: vol = Σ deg, internal = #edges with BOTH
+    * endpoints ranked ≤ k (an edge enters exactly at the LATER endpoint's
+    * rank — so the edge pass is one groupBy(max(ra,rb)), never per-prefix),
+    * cut = vol − 2·internal, φ = cut / min(vol, 2m − vol).
+    *
+    * Plan shape at scale: the global order comes from [[graft.core.Ranking]]
+    * (range-partition + per-partition index — no single-task window); the
+    * two running sums are textbook two-level scans (per-range window +
+    * broadcast range offsets, same shape as TextStats.packSequences); the
+    * edge pass is one join to the rank table and one groupBy. Everything is
+    * exact integer arithmetic except the one final division.
+    *
+    * @param scores (id, score) — must cover every vertex incident to edges;
+    *               integral scores make the output engine-exact
+    * @return (pos, id, score, vol, cut, conductance), pos 1-based
+    */
+  def sweepCut(spark: SparkSession, edges: DataFrame, scores: DataFrame,
+               rangeSize: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = canon.count()
+
+    val ranked = graft.core.Ranking.denseRank(
+        scores.select(col("id"), col("score"), (-col("score")).as("neg")),
+        "rk0", "neg", "id")
+      .select(col("id"), col("score"), (col("rk0") + 1).as("rank"),
+        expr(s"rk0 DIV ${rangeSize}L").as("rng"))
+
+    val deg = canon.select(col("a").as("id")).unionByName(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ehist = canon
+      .join(ranked.select(col("id").as("a"), col("rank").as("ra")), Seq("a"))
+      .join(ranked.select(col("id").as("b"), col("rank").as("rb")), Seq("b"))
+      .groupBy(greatest(col("ra"), col("rb")).as("rank"))
+      .agg(count(lit(1)).as("icnt"))
+    val base = ranked.join(deg, Seq("id"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      .join(ehist, Seq("rank"), "left")
+      .withColumn("icnt", coalesce(col("icnt"), lit(0L)))
+
+    val w = Window.partitionBy("rng").orderBy("rank")
+    val local = base
+      .withColumn("ldeg", sum(col("deg")).over(w))
+      .withColumn("lint", sum(col("icnt")).over(w))
+    val w2 = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy("rng")
+      .agg(sum("deg").as("dtot"), sum("icnt").as("itot"))
+      .withColumn("doff", coalesce(sum(col("dtot")).over(w2), lit(0L)))
+      .withColumn("ioff", coalesce(sum(col("itot")).over(w2), lit(0L)))
+      .select("rng", "doff", "ioff")
+
+    val vol = col("doff") + col("ldeg")
+    val cut = vol - lit(2L) * (col("ioff") + col("lint"))
+    val denom = least(vol, lit(2L * m) - vol)
+    val out = local.join(broadcast(offs), Seq("rng"))
+      .select(col("rank").as("pos"), col("id"), col("score"),
+        vol.as("vol"), cut.as("cut"),
+        when(denom === 0L, lit(0.0))
+          .otherwise(cut.cast("double") / denom.cast("double")).as("conductance"))
+    out.cache(); out.count(); canon.unpersist(false)
+    out
+  }
+
   /** Degree assortativity r of an undirected graph: the Pearson correlation
     * of (deg(u), deg(v)) over the DIRECTED pair list (each edge both ways —
     * Newman 2002's definition; r∈[-1,1], −1 for a star, +1 for

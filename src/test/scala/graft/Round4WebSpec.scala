@@ -684,6 +684,54 @@ class Round4WebSpec extends SparkTestBase {
     }
   }
 
+  test("sweepCut: PPR ordering finds the planted cluster; brute force profile") {
+    import graft.algos.{GraphStats, PageRank}
+    import spark.implicits._
+    // two triangles bridged by one edge; PPR seeded in the left triangle.
+    // The degree-normalized PPR sweep must hit its best conductance (1/7)
+    // exactly at prefix {0,1,2}
+    val es = Set((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val e = edgesDF(es)
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val ppr = PageRank.runFixed(spark, und, k = 10, seeds = Seq(0L))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val scores = ppr.join(deg, Seq("id"))
+      .select(col("id"), (col("r") / col("deg")).as("score"))
+    val prof = GraphStats.sweepCut(spark, e, scores).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(prof(3L)._4 == 1.0 / 7.0, prof.toString)             // φ({0,1,2}) = 1/7
+    assert((1L to 3L).map(prof(_)._1).toSet == Set(0L, 1L, 2L)) // the planted cluster
+    // best PROPER prefix (the whole graph has φ = 0 by convention)
+    assert((1L to 5L).map(prof(_)._4).min == 1.0 / 7.0)
+    assert(prof(6L)._4 == 0.0)                                  // whole graph: φ = 0
+
+    // brute force on a seeded graph with an arbitrary deterministic score,
+    // tiny rangeSize so the two-level scan crosses ranges
+    val res = randWeighted(30, 0.15, 97L)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      .filter(e2 => e2._1 != e2._2)
+    val verts = res.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val sc = (v: Long) => (v * 37 + 11) % 101
+    val order = verts.sortBy(v => (-sc(v), v))
+    val degM = verts.map(v => v -> res.count(p => p._1 == v || p._2 == v).toLong).toMap
+    val m = res.size.toLong
+    var vol = 0L
+    val want = order.zipWithIndex.map { case (v, i) =>
+      vol += degM(v)
+      val pre = order.take(i + 1).toSet
+      val internal = res.count(p => pre(p._1) && pre(p._2)).toLong
+      val cut = vol - 2 * internal
+      val den = math.min(vol, 2 * m - vol)
+      (i + 1).toLong -> ((v, vol, cut, if (den == 0) 0.0 else cut.toDouble / den))
+    }.toMap
+    val sdf = verts.map(v => (v, sc(v))).toDF("id", "score")
+    val got = GraphStats.sweepCut(spark, edgesDF(res), sdf, rangeSize = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got == want, s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   /** Seeded directed pair list (may contain both directions). */
   private def randWeighted(n: Int, p: Double, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
