@@ -1157,6 +1157,16 @@ object SparkEntry {
 
     // pipeline: text analysis
     "text_tokens" -> ((s, d) => TextStats.tokenCounts(docs(s, d))),
+    // BPE tokenizer TRAINING (Sennrich-style, word-frequency weighted,
+    // lexicographic tie-break, greedy left-to-right rewrite): the learned
+    // 4-merge schedule — the DuckDB oracle unrolls all four rounds and
+    // replays the carry-fold rewrite bit-for-bit
+    "text_bpe_train" -> ((s, d) => Bpe.train(s, docs(s, d), k = 4)),
+    // tokenize with the learned schedule: per-doc word + BPE token counts
+    "text_bpe_apply" -> ((s, d) => {
+      val m = Bpe.trainMerges(s, docs(s, d), 4).map(x => (x._2, x._3))
+      Bpe.tokenCounts(s, docs(s, d), m)
+    }),
     "text_quality" -> ((s, d) => TextStats.qualityScores(docs(s, d))),
     "text_repetition" -> ((s, d) => TextStats.repetitionScores(docs(s, d))),
     // rangeSize=100 forces the sf0.01 run through MULTIPLE ranges, so the
@@ -1381,6 +1391,45 @@ object SparkEntry {
       |  FROM xx GROUP BY vec_id),
       |lab AS (SELECT sc.score, (emb.label = 0) AS pos
       |        FROM sc JOIN embeddings emb USING (vec_id))""".stripMargin
+
+  /** Unrolled DuckDB replay of the k-round BPE training schedule — the CTE
+    * chain w0/s0, then (p_r, b_r, s_r) per round: p_r counts adjacent
+    * symbol pairs weighted by word frequency, b_r picks the winner
+    * (cnt DESC, l, r), s_r rewrites the vocabulary with the SAME greedy
+    * left-to-right carry fold the engine uses (list_reduce over a
+    * "merged-prefix|carry" state string — bit-identical replay).
+    */
+  private def bpeChainSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS (SELECT w, count(*) AS wcnt FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                t -> len(t) > 0)) AS w FROM documents) GROUP BY 1),
+        |s0 AS (SELECT w,
+        |  list_append(list_transform(range(1, length(w) + 1), i -> w[i:i]), '</w>') AS syms,
+        |  wcnt FROM w0)""".stripMargin)
+    for (r <- 1 to k) {
+      sb.append(s""",
+        |p$r AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(wcnt) AS cnt
+        |       FROM s${r - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |b$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+        |s$r AS (SELECT w, string_split(
+        |    CASE WHEN string_split(acc,'|')[2] = '' THEN string_split(acc,'|')[1]
+        |         WHEN string_split(acc,'|')[1] = '' THEN string_split(acc,'|')[2]
+        |         ELSE string_split(acc,'|')[1] || ' ' || string_split(acc,'|')[2] END, ' ') AS syms,
+        |  wcnt FROM (
+        |    SELECT w, wcnt, list_reduce(list_prepend('|', syms), (acc, x) ->
+        |      CASE WHEN string_split(acc,'|')[2] = b.l AND x = b.r THEN
+        |             (CASE WHEN string_split(acc,'|')[1] = '' THEN b.l || b.r
+        |                   ELSE string_split(acc,'|')[1] || ' ' || b.l || b.r END) || '|'
+        |           WHEN string_split(acc,'|')[2] = '' THEN string_split(acc,'|')[1] || '|' || x
+        |           ELSE (CASE WHEN string_split(acc,'|')[1] = '' THEN string_split(acc,'|')[2]
+        |                      ELSE string_split(acc,'|')[1] || ' ' || string_split(acc,'|')[2] END) || '|' || x
+        |      END) AS acc
+        |    FROM s${r - 1}, b$r b))""".stripMargin)
+    }
+    sb.toString
+  }
 
   private val langidSql: String =
     s"""WITH t AS (SELECT doc_id,
@@ -2000,6 +2049,25 @@ object SparkEntry {
         |CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> len(t) > 0)) AS BIGINT) AS alnum_runs,
         |CAST(ceil(len(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT) AS bpe_est
         |FROM documents""".stripMargin,
+
+    // the learned 4-merge BPE schedule, full unrolled replay
+    "text_bpe_train" -> {
+      val rows = (1 to 4).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS lft, r AS rgt, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+        .mkString("\nUNION ALL ")
+      s"WITH ${bpeChainSql(4)}\n$rows"
+    },
+
+    // tokenize with the learned schedule: join word occurrences to the
+    // round-4 rewritten vocabulary, sum symbol counts per document
+    "text_bpe_apply" ->
+      s"""WITH ${bpeChainSql(4)},
+         |dw AS (SELECT doc_id,
+         |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         |         t -> len(t) > 0)) AS w FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS words,
+         |  CAST(sum(len(s4.syms)) AS BIGINT) AS bpe_tokens
+         |FROM dw JOIN s4 USING (w) GROUP BY doc_id""".stripMargin,
 
     // mirrors TextStats.qualityScores exactly (same op order so the float
     // results are bit-identical; round(,6) on both sides regardless)
