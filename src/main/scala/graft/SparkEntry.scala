@@ -1140,6 +1140,11 @@ object SparkEntry {
         aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
         aggregate(col("qvec"), lit(0L), (a, x) => a + (x * x).cast("long")).as("qnorm2"))
     }),
+    // EXACT integer k-means over the int8 codes (sum/count centroids,
+    // rational distances, one shared IEEE division, smallest-cid ties) —
+    // the oracle replays both Lloyd rounds bit-for-bit
+    "ann_kmeans" -> ((s, d) =>
+      Similarity.kmeansInt8(embs(s, d), k = 4, steps = 2)),
     // top-k over the dequantized int8 corpus (the 1/4-bytes scan path)
     "ann_quantized_topk" -> ((s, d) => {
       val e = embs(s, d)
@@ -1277,6 +1282,10 @@ object SparkEntry {
     // pipeline: stream-shaped event analytics (batch form; SURVEY.md §2.11)
     "events_windowed" -> ((s, d) =>
       Events.windowedCounts(s.read.parquet(s"$d/events.parquet"))),
+    // exact per-type value quantiles (smallest v with cum ≥ ⌈q·n⌉) —
+    // distinct-value histogram + window, never a raw-row global sort
+    "events_quantiles" -> ((s, d) =>
+      Events.quantiles(s.read.parquet(s"$d/events.parquet"))),
     "events_sessions" -> ((s, d) =>
       Events.sessions(s.read.parquet(s"$d/events.parquet"), gapMinutes = 30)),
     // ordered conversion funnel signup -> click -> purchase (strictly-after)
@@ -1375,7 +1384,9 @@ object SparkEntry {
     * [[int8FoldScored]]: int8 quantization, signed Lehmer fold, label==0.
     * Ends defining `lab(score, pos)`; embed as `WITH $int8FoldScoredSql, …`.
     */
-  private val int8FoldScoredSql: String =
+  /** int8 quantization alone (ends defining `q(vec_id, qv)`) — shared by
+    * the eval fold chain and the exact-k-means oracle. */
+  private val int8QuantSql: String =
     """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |m AS (SELECT vec_id, e,
       |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c),
@@ -1383,7 +1394,10 @@ object SparkEntry {
       |  CASE WHEN scale > 0
       |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
       |       ELSE list_transform(e, x -> 0.0) END AS qv
-      |  FROM m),
+      |  FROM m)""".stripMargin
+
+  private val int8FoldScoredSql: String =
+    s"""$int8QuantSql,
       |xx AS (SELECT vec_id, CAST(i AS BIGINT) AS p, CAST(qv[i] AS BIGINT) AS x
       |       FROM q, UNNEST(range(1, len(qv) + 1)) AS u(i)),
       |sc AS (SELECT vec_id,
@@ -1429,6 +1443,37 @@ object SparkEntry {
         |    FROM s${r - 1}, b$r b))""".stripMargin)
     }
     sb.toString
+  }
+
+  /** Unrolled DuckDB replay of [[Similarity.kmeansInt8]]: integer (sum,
+    * count) centroids, exact rational distances compared as the same one
+    * IEEE division, smallest-cid tie-break, k smallest vec_ids as init. */
+  private def kmeansSql(k: Int, steps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""$int8QuantSql,
+      |qi AS (SELECT vec_id, list_transform(qv, v -> CAST(v AS BIGINT)) AS x FROM q),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS s,
+      |         CAST(1 AS BIGINT) AS cnt FROM qi ORDER BY vec_id LIMIT $k)""".stripMargin)
+    for (r <- 1 to steps) {
+      sb.append(s""",
+        |d$r AS (SELECT vec_id, x, cid, cnt,
+        |  list_sum(list_transform(range(1, len(x)+1), i -> x[i]*x[i])) AS A,
+        |  list_sum(list_transform(range(1, len(x)+1), i -> x[i]*s[i])) AS B,
+        |  list_sum(list_transform(range(1, len(s)+1), i -> s[i]*s[i])) AS D
+        |  FROM qi, c${r - 1}),
+        |a$r AS (SELECT vec_id, x, cid FROM (
+        |  SELECT vec_id, x, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+        |    CAST(A*cnt*cnt - 2*B*cnt + D AS DOUBLE) / (cnt*cnt) ASC, cid ASC) AS rn
+        |  FROM d$r) WHERE rn = 1)""".stripMargin)
+      if (r < steps) sb.append(s""",
+        |n$r AS (SELECT cid, count(*) AS cnt FROM a$r GROUP BY 1),
+        |u$r AS (SELECT cid, i AS pos, sum(x[i]) AS sv
+        |        FROM a$r, UNNEST(range(1, len(x)+1)) AS t(i) GROUP BY 1, 2),
+        |c$r AS (SELECT u.cid, list(u.sv ORDER BY u.pos) AS s, n$r.cnt AS cnt
+        |        FROM u$r u JOIN n$r USING (cid) GROUP BY u.cid, n$r.cnt)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a$steps")
+    s"WITH ${sb.toString}"
   }
 
   private val langidSql: String =
@@ -2815,6 +2860,9 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm2
         |FROM q""".stripMargin,
 
+    // the exact-k-means schedule, both rounds unrolled
+    "ann_kmeans" -> kmeansSql(4, 2),
+
     // mirrors Similarity.quantizedTopK: dequantize (code · scale), exact
     // cosine, rank by (score desc, id asc) — integer ranks only, like
     // ann_brute_topk
@@ -2881,6 +2929,23 @@ object SparkEntry {
 
     // KMV sketch replayed exactly: same LCG hash, same k smallest, same
     // (k-1)·P/kth estimator (or the exact count when fewer than k survive)
+    // mirrors Events.quantiles: distinct-value cumulative histogram per
+    // type, lower quantile at target ceil(q*n)
+    "events_quantiles" ->
+      """WITH g AS (SELECT event_type AS k, value AS v, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |cum AS (SELECT k, v, cnt,
+        |  sum(cnt) OVER (PARTITION BY k ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g),
+        |n AS (SELECT k, sum(cnt) AS n FROM g GROUP BY 1),
+        |t AS (SELECT k, n, q, CAST(ceil(q * n) AS BIGINT) AS target
+        |      FROM n, UNNEST([0.5, 0.9, 0.99]) AS u(q))
+        |SELECT t.k AS event_type, t.q AS q, CAST(t.n AS BIGINT) AS n,
+        |  min(c.v) AS quantile
+        |FROM cum c JOIN t ON c.k = t.k AND c.cum >= t.target
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "events_kmv_distinct" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
         |h AS (SELECT event_type,

@@ -19,6 +19,36 @@ object Events {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** EXACT distributed quantiles of `value` per event type — lower
+    * quantile: the smallest v whose ≤-cumulative count reaches ⌈q·n⌉.
+    * No approximation and no raw-row global sort: one corpus-sized
+    * groupBy(type, value), a window over the DISTINCT-VALUE table, and a
+    * broadcast of the per-type (q, target) pairs. Values are selected, not
+    * computed, so the output is engine-exact; the only float op is ⌈q·n⌉,
+    * identical IEEE everywhere. The percentile companion of the KMV sketch:
+    * use this when exactness matters and value cardinality is bounded, the
+    * sketch when it is not.
+    *
+    * @return (event_type, q, n, quantile) per type × requested quantile
+    */
+  def quantiles(events: DataFrame,
+                qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must be in (0,1]")
+    val g = events.groupBy(col("event_type").as("k"), col("value").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cum", sum(col("cnt")).over(w))
+    val t = g.groupBy("k").agg(sum(col("cnt")).as("n"))
+      .select(col("k"), col("n"), explode(array(qs.map(lit(_)): _*)).as("q"))
+      .withColumn("target", ceil(col("q") * col("n")).cast("long"))
+    cum.join(broadcast(t), Seq("k"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("k", "q")
+      .agg(max(col("n")).as("n"), min(col("v")).as("quantile"))
+      .select(col("k").as("event_type"), col("q"), col("n"), col("quantile"))
+  }
+
   /** Tumbling 1-hour window × event type: event count + value sum. Window
     * start is emitted as a formatted string so engine-vs-oracle timestamp
     * encodings can never diverge.

@@ -438,4 +438,79 @@ object Similarity {
     val win = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }
+
+  /** EXACT-arithmetic k-means over the int8-quantized codes — the
+    * oracle-backed face of the Lloyd machinery the IVF/PQ indexes use
+    * internally (those train on float vectors; this variant is engine-exact
+    * end to end, so any engine replays the full clustering bit-for-bit).
+    *
+    * The integer trick: keep each centroid as (SUM vector, COUNT) instead
+    * of a fractional mean. Squared distance to centroid j is then the exact
+    * rational (A·c_j² − 2·B_j·c_j + D_j) / c_j² with A=‖x‖², B_j=x·S_j,
+    * D_j=‖S_j‖² all integers; the one double division is identical IEEE in
+    * every engine, and ties break on the smallest centroid id. Init:
+    * centroids 0..k−1 are the k smallest vec_ids' codes. Clusters that
+    * empty out drop (standard Lloyd).
+    *
+    * Scale shape: centroids are K·dim driver-side integers (precedent:
+    * [[ivfIndex]]); each step is one broadcast-literal assignment pass
+    * (zip_with folds, no shuffle) plus one (cluster,pos)-keyed sum whose
+    * result is K·dim rows. Never a vector-sized shuffle.
+    *
+    * @return (vec_id, cluster) after `steps` assignment rounds
+    */
+  def kmeansInt8(corpus: DataFrame, k: Int, steps: Int): DataFrame = {
+    require(k >= 1 && steps >= 1, "k and steps must be >= 1")
+    val dec = "decimal(38,0)"
+    val q = quantizeInt8(corpus)
+      .select(col("vec_id"), transform(col("qvec"), _.cast("long")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // init: (cid, sumVector, count=1) from the k smallest vec_ids
+    var cents: Seq[(Int, Array[Long], Long)] =
+      q.orderBy("vec_id").limit(k).collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Long](1).toArray, 1L)
+      }.toSeq
+
+    def assignExpr: Column = {
+      val a = aggregate(transform(col("x"), v => v * v), lit(0L), _ + _).cast(dec)
+      val scored = cents.map { case (cid, s, c) =>
+        val b = aggregate(zip_with(col("x"), array(s.map(lit(_)): _*),
+          (u, v) => u * v), lit(0L), _ + _).cast(dec)
+        // driver-side centroid constants in BigInt — ‖S‖² overflows long
+        // once a cluster passes ~10⁶ members of ±127·10⁶-scale sums
+        val dSq = s.map(v => BigInt(v) * BigInt(v)).sum
+        val c2 = BigInt(c) * BigInt(c)
+        val num = a * lit(BigDecimal(c2)).cast(dec) -
+          lit(2L).cast(dec) * b * lit(c).cast(dec) +
+          lit(BigDecimal(dSq)).cast(dec)
+        // divisor replays the oracle's exact-int-then-cast c² (c ≤ 3·10⁹)
+        (cid, num.cast("double") / lit(c * c).cast("double"))
+      }
+      scored.tail.foldLeft(
+        struct(scored.head._2.as("d"), lit(scored.head._1).as("cid"))) {
+        case (best, (cid, d)) =>
+          when(d < best.getField("d"), struct(d.as("d"), lit(cid).as("cid")))
+            .otherwise(best)
+      }.getField("cid")
+    }
+
+    var assigned: DataFrame = null
+    for (_ <- 1 to steps) {
+      assigned = q.withColumn("cluster", assignExpr)
+      val cnts = assigned.groupBy("cluster").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(sum("v").as("sv"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+        }
+      cents = cnts.keys.toSeq.sorted.map(cid => (cid, sums(cid), cnts(cid)))
+    }
+    val out = assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    out.cache(); out.count(); q.unpersist(false)
+    out
+  }
 }

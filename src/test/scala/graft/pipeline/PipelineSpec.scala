@@ -340,6 +340,37 @@ class PipelineSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 2L) && got.minBy(_._3)._1 == 3L)
   }
 
+  test("quantiles: exact lower quantiles — hand fixture, ties, brute replica") {
+    import graft.pipeline.Events
+    def evq(rows: (String, Double)*): org.apache.spark.sql.DataFrame =
+      rows.zipWithIndex.map { case ((ty, v), i) => (i.toLong, ty, i.toLong, v) }
+        .toDF("event_id", "event_type", "user_id", "value")
+
+    // type a: values 1..10 -> q50=5 (ceil(5)=5th), q90=9, q99=10;
+    // type b: all-tied 7.0 at any q
+    val d = evq(((1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 7.0), ("b", 7.0), ("b", 7.0))): _*)
+    val got = Events.quantiles(d).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(("a", 0.5)) == ((10L, 5.0)), got.toString)
+    assert(got(("a", 0.9)) == ((10L, 9.0)))
+    assert(got(("a", 0.99)) == ((10L, 10.0)))
+    assert(Seq(0.5, 0.9, 0.99).forall(q => got(("b", q)) == ((3L, 7.0))))
+
+    // brute replica on seeded values with heavy duplication
+    val rnd = new scala.util.Random(5L)
+    val vals = Seq.fill(200)(("x", (rnd.nextInt(20) + 1).toDouble))
+    val want = Seq(0.5, 0.9, 0.99).map { q =>
+      val sorted = vals.map(_._2).sorted
+      val target = math.ceil(q * sorted.size).toInt
+      q -> sorted(target - 1)
+    }.toMap
+    val got2 = Events.quantiles(evq(vals: _*).repartition(7)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    assert(got2 == want, s"got=$got2 want=$want")
+  }
+
   test("events funnel/retention/kmv: hand fixtures + estimator replica") {
     import graft.pipeline.Events
     def ev(rows: (Long, String, String)*): org.apache.spark.sql.DataFrame =
@@ -566,5 +597,64 @@ class PipelineSpec extends SparkTestBase {
       }.toSet
       assert(spans(docs.toDF("doc_id", "text"), w) == want, s"w=$w")
     }
+  }
+
+  /** Driver-side replica of kmeansInt8: same quantization, same BigInt
+    * rational distances compared through the same one double division,
+    * same smallest-cid tie-break and k-smallest-ids init. */
+  private def kmeansReplica(vecs: Seq[(Long, Array[Float])], k: Int,
+                            steps: Int): Map[Long, Long] = {
+    val q = vecs.sortBy(_._1).map { case (id, v) =>
+      val d = v.map(_.toDouble)
+      val mx = if (d.isEmpty) 0.0 else d.map(math.abs).max
+      val s = mx / 127.0
+      id -> (if (s > 0)
+        d.map(x => math.max(-127.0, math.min(127.0, math.floor(x / s + 0.5))).toLong)
+      else d.map(_ => 0L))
+    }
+    var cents: Seq[(Int, Array[Long], Long)] =
+      q.take(k).zipWithIndex.map { case ((_, x), i) => (i, x, 1L) }
+    var assign = Map.empty[Long, Long]
+    for (_ <- 1 to steps) {
+      assign = q.map { case (id, x) =>
+        val ds = cents.map { case (cid, sv, c) =>
+          val a = x.map(v => BigInt(v) * BigInt(v)).sum
+          val b = x.zip(sv).map { case (u, v) => BigInt(u) * BigInt(v) }.sum
+          val dd = sv.map(v => BigInt(v) * BigInt(v)).sum
+          val num = a * c * c - 2 * b * c + dd
+          (cid, num.toDouble / (c * c).toDouble)
+        }
+        var best = ds.head
+        for (cand <- ds.tail) if (cand._2 < best._2) best = cand
+        id -> best._1.toLong
+      }.toMap
+      val groups = q.groupBy { case (id, _) => assign(id) }
+      cents = groups.keys.toSeq.sorted.map { cid =>
+        val xs = groups(cid).map(_._2)
+        (cid.toInt, xs.map(_.toSeq).transpose.map(_.sum).toArray, xs.size.toLong)
+      }
+    }
+    assign
+  }
+
+  test("kmeansInt8: separates planted clusters, replica-exact, partition-invariant") {
+    val got = Similarity.kmeansInt8(embs, k = 3, steps = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each planted cluster lands whole in one k-means cluster, all distinct
+    for (c <- 0 until 3) {
+      val ids = (0 until 60).filter(_ % 3 == c).map(_.toLong)
+      assert(ids.map(got).toSet.size == 1, s"planted cluster $c split")
+    }
+    assert((0L until 3L).map(got).toSet.size == 3)
+
+    // bit-exact vs the driver-side replica
+    val local = embs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(got == kmeansReplica(local.toSeq, k = 3, steps = 3))
+
+    // invariant to input partitioning (integer sums, deterministic ties)
+    val got2 = Similarity.kmeansInt8(embs.repartition(7), 3, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
   }
 }
