@@ -1228,6 +1228,21 @@ object SparkEntry {
     "text_winnow" -> ((s, d) => TextStats.winnowLcg(docs(s, d), k = 4, w = 5)),
     // top-5 terms per doc by smoothed tf-idf (sklearn idf smoothing)
     "text_tfidf" -> ((s, d) => TextStats.tfidfTopTerms(docs(s, d), topK = 5)),
+    // adjacent-bigram PMI collocations (exact integer counts, one ln of an
+    // exact rational)
+    "text_pmi" -> ((s, d) =>
+      TextStats.pmiBigrams(docs(s, d))
+        .select(col("t1"), col("t2"), col("c12"), col("c1"), col("c2"),
+          round(col("pmi"), 8).as("pmi"))),
+    // TextRank keywords: 5 weighted PageRank iterations over the word
+    // co-occurrence graph — the oracle reuses the unrolled PageRank chain
+    // with the word graph as its edge CTE
+    "text_textrank5" -> ((s, d) => {
+      val tr = TextStats.textrank(s, docs(s, d), k = 5)
+      val tot = tr.agg(sum(col("r")).as("tot"))
+      tr.crossJoin(broadcast(tot))
+        .select(col("term"), round(col("r") / col("tot"), 8).as("r"))
+    }),
     // BM25 retrieval, fixed query, dyadic k1=5/4 b=3/4 (exact constants)
     "text_bm25" -> ((s, d) =>
       TextStats.bm25(docs(s, d), Seq("spark", "shuffle", "partition"), topK = 20)),
@@ -2429,6 +2444,44 @@ object SparkEntry {
         |  (SELECT text FROM documents WHERE doc_id % 10 < 8)
         |GROUP BY text""".stripMargin,
 
+    // mirrors TextStats.pmiBigrams: exact integer counts, one ln
+    "text_pmi" ->
+      """WITH tkt AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                    t -> len(t) > 0) AS tk FROM documents),
+        |pairs AS (SELECT tk[i] AS t1, tk[i+1] AS t2
+        |          FROM tkt, UNNEST(range(1, len(tk))) AS u0(i)),
+        |big AS (SELECT t1, t2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |toks AS (SELECT t, count(*) AS c
+        |         FROM (SELECT unnest(tk) AS t FROM tkt) GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c12) FROM big) AS nb,
+        |               (SELECT sum(c) FROM toks) AS nt)
+        |SELECT b.t1, b.t2, CAST(b.c12 AS BIGINT) AS c12,
+        |  CAST(a1.c AS BIGINT) AS c1, CAST(a2.c AS BIGINT) AS c2,
+        |  round(ln(CAST(CAST(b.c12 AS DECIMAL(38,0)) * nt * nt AS DOUBLE)
+        |        / CAST(CAST(nb AS DECIMAL(38,0)) * a1.c * a2.c AS DOUBLE)), 8) AS pmi
+        |FROM big b JOIN toks a1 ON a1.t = b.t1 JOIN toks a2 ON a2.t = b.t2, tot
+        |WHERE b.c12 >= 2""".stripMargin,
+
+    // TextRank = the unrolled weighted-PageRank chain over the word graph
+    "text_textrank5" -> {
+      val base =
+        """SELECT least(tk[i], tk[i+1]) AS u, greatest(tk[i], tk[i+1]) AS v
+          |FROM (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+          |             t -> len(t) > 0) AS tk FROM documents),
+          |UNNEST(range(1, len(tk))) AS u0(i)
+          |WHERE tk[i] <> tk[i+1]""".stripMargin
+      val canon = s"SELECT u, v, CAST(count(*) AS DOUBLE) AS w FROM ($base) GROUP BY 1, 2"
+      val wordEdges =
+        s"SELECT u AS src, v AS dst, w FROM ($canon) UNION ALL SELECT v, u, w FROM ($canon)"
+      // scores are L1-normalized before rounding: the count-normalized
+      // weighted iteration grows mass to ~1e7, where 8-dp rounding would
+      // sit below fp-noise; shares are O(1e-2) with noise at 1e-17
+      s"""SELECT id AS term, round(r / (SELECT sum(r) FROM (${pagerankUnrolledSql(
+        5, weighted = true, edgesSql = wordEdges, rawFinal = true)})), 8) AS r
+         |FROM (${pagerankUnrolledSql(5, weighted = true, edgesSql = wordEdges,
+        rawFinal = true)})""".stripMargin
+    },
+
     // mirrors TextStats.tfidfTopTerms: same tokenization, sklearn idf
     // smoothing, rank on the ROUNDED score with term tie-break
     "text_tfidf" ->
@@ -3064,7 +3117,9 @@ object SparkEntry {
     * pagerank.m:74-85 — while d stays the out-degree count).
     */
   private def pagerankUnrolledSql(k: Int, weighted: Boolean = false,
-                                  seeds: Seq[Long] = Nil): String = {
+                                  seeds: Seq[Long] = Nil,
+                                  edgesSql: String = edgesBiSql,
+                                  rawFinal: Boolean = false): String = {
     val term = if (weighted) "r%d.r / deg.d * e.w" else "r%d.r / deg.d"
     // personalized: teleport + sink mass land on the seed set only
     val ns = seeds.size
@@ -3077,7 +3132,7 @@ object SparkEntry {
       s"""CASE WHEN verts.id IN ($seedList)
          |THEN 0.15 / $ns + 0.85 * COALESCE(s$i.m, 0) / $ns ELSE 0.0 END""".stripMargin
     val prelude =
-      s"""WITH e AS MATERIALIZED (SELECT src, dst, w FROM ($edgesBiSql)),
+      s"""WITH e AS MATERIALIZED (SELECT src, dst, w FROM ($edgesSql)),
          |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
          |deg AS MATERIALIZED (SELECT verts.id, COALESCE(o.d, 1.0) AS d, o.d IS NULL AS sink
@@ -3095,7 +3150,9 @@ object SparkEntry {
          |        FROM verts CROSS JOIN n CROSS JOIN s$i
          |        LEFT JOIN c$i ON c$i.id = verts.id)""".stripMargin
     }.mkString(",\n")
-    s"$prelude,\n$iters\nSELECT id, round(r, 8) AS r FROM r$k"
+    val fin = if (rawFinal) s"SELECT id, r FROM r$k"
+      else s"SELECT id, round(r, 8) AS r FROM r$k"
+    s"$prelude,\n$iters\n$fin"
   }
 
   // --- link-analysis oracle SQL over the sparse arithmetic fixture -------

