@@ -496,18 +496,20 @@ object Similarity {
     }
 
     var assigned: DataFrame = null
-    for (_ <- 1 to steps) {
+    for (step <- 1 to steps) {
       assigned = q.withColumn("cluster", assignExpr)
-      val cnts = assigned.groupBy("cluster").agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos").agg(sum("v").as("sv"))
-        .collect().groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
-        }
-      cents = cnts.keys.toSeq.sorted.map(cid => (cid, sums(cid), cnts(cid)))
+      if (step < steps) { // the last round's assignment IS the output —
+        val cnts = assigned.groupBy("cluster").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val sums = assigned
+          .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos").agg(sum("v").as("sv"))
+          .collect().groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+          }
+        cents = cnts.keys.toSeq.sorted.map(cid => (cid, sums(cid), cnts(cid)))
+      }
     }
     val out = assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
     out.cache(); out.count(); q.unpersist(false)
