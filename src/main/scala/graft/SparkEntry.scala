@@ -1448,6 +1448,8 @@ object SparkEntry {
         |         ELSE string_split(acc,'|')[1] || ' ' || string_split(acc,'|')[2] END, ' ') AS syms,
         |  wcnt FROM (
         |    SELECT w, wcnt, list_reduce(list_prepend('|', syms), (acc, x) ->
+        |      -- LEFT JOIN ON TRUE: an exhausted schedule (empty b) leaves
+        |      -- NULL l/r, the merge branch never fires, syms pass through
         |      CASE WHEN string_split(acc,'|')[2] = b.l AND x = b.r THEN
         |             (CASE WHEN string_split(acc,'|')[1] = '' THEN b.l || b.r
         |                   ELSE string_split(acc,'|')[1] || ' ' || b.l || b.r END) || '|'
@@ -1455,7 +1457,7 @@ object SparkEntry {
         |           ELSE (CASE WHEN string_split(acc,'|')[1] = '' THEN string_split(acc,'|')[2]
         |                      ELSE string_split(acc,'|')[1] || ' ' || string_split(acc,'|')[2] END) || '|' || x
         |      END) AS acc
-        |    FROM s${r - 1}, b$r b))""".stripMargin)
+        |    FROM s${r - 1} LEFT JOIN b$r b ON TRUE))""".stripMargin)
     }
     sb.toString
   }
@@ -2475,9 +2477,9 @@ object SparkEntry {
         s"SELECT u AS src, v AS dst, w FROM ($canon) UNION ALL SELECT v, u, w FROM ($canon)"
       // scores are L1-normalized before rounding: the count-normalized
       // weighted iteration grows mass to ~1e7, where 8-dp rounding would
-      // sit below fp-noise; shares are O(1e-2) with noise at 1e-17
-      s"""SELECT id AS term, round(r / (SELECT sum(r) FROM (${pagerankUnrolledSql(
-        5, weighted = true, edgesSql = wordEdges, rawFinal = true)})), 8) AS r
+      // sit below fp-noise; shares are O(1e-2) with noise at 1e-17. The
+      // window sum runs the iteration chain once, not per-row
+      s"""SELECT id AS term, round(r / sum(r) OVER (), 8) AS r
          |FROM (${pagerankUnrolledSql(5, weighted = true, edgesSql = wordEdges,
         rawFinal = true)})""".stripMargin
     },

@@ -118,7 +118,7 @@ object Bpe {
     val words = docs.select(col(idCol),
       explode(filter(split(lower(col(textCol)), "[^a-z]+"),
         t => length(t) > 0)).as("w"))
-    val voc0 = words.groupBy("w").agg(count(lit(1)).as("n"))
+    val voc0 = words.select("w").distinct()
       .select(col("w"), symsOf(col("w")).as("syms"))
     val rewritten = merges.foldLeft(voc0) { case (v, (l, r)) =>
       v.select(col("w"), applyMerge(col("syms"), l, r).as("syms"))

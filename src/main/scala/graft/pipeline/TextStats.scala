@@ -689,9 +689,11 @@ object TextStats {
     */
   def pmiBigrams(docs: DataFrame, minCount: Long = 2): DataFrame = {
     val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
-    val pairs = docs
-      .select(explode(arrays_zip(slice(tk, lit(1), size(tk) - 1),
-        slice(tk, lit(2), size(tk) - 1))).as("p"))
+    // slice length must be >= 0: token-free docs contribute no pairs
+    val adj = when(size(tk) >= 2,
+      arrays_zip(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1)))
+      .otherwise(array())
+    val pairs = docs.select(explode(adj).as("p"))
       .select(col("p.0").as("t1"), col("p.1").as("t2"))
     val big = pairs.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
     val toks = docs.select(explode(tk).as("t"))
@@ -723,9 +725,10 @@ object TextStats {
   def textrank(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                k: Int = 5): DataFrame = {
     val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
-    val pairs = docs
-      .select(explode(arrays_zip(slice(tk, lit(1), size(tk) - 1),
-        slice(tk, lit(2), size(tk) - 1))).as("p"))
+    val adj = when(size(tk) >= 2,
+      arrays_zip(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1)))
+      .otherwise(array())
+    val pairs = docs.select(explode(adj).as("p"))
       .select(least(col("p.0"), col("p.1")).as("u"),
         greatest(col("p.0"), col("p.1")).as("v"))
       .filter(col("u") =!= col("v"))

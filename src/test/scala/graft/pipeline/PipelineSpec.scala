@@ -351,11 +351,16 @@ class PipelineSpec extends SparkTestBase {
     val (c12, c1, c2, pmi) = got(("a", "b"))
     assert((c12, c1, c2) == ((2L, 2L, 2L)))
     assert(math.abs(pmi - math.log(8.0 / 3.0)) < 1e-12, pmi.toString)
-    // a frequent-everywhere pair has NEGATIVE pmi vs a dedicated pair
+    // the more-frequent direction of a pair scores the higher PMI:
+    // (x,y) occurs 3x, (y,x) 2x over the same unigram masses
     val d2 = Seq((1L, "x y x y x y"), (2L, "x q x r x s x t")).toDF("doc_id", "text")
     val g2 = TextStats.pmiBigrams(d2, minCount = 2).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
-    assert(g2(("x", "y")) > g2(("y", "x")) || g2.size >= 1) // sanity: computed
+    assert(g2(("x", "y")) > g2(("y", "x")), g2.toString)
+    // and a doc with no alphabetic tokens must not crash the pair slices
+    val d3 = Seq((1L, "a b a b"), (2L, "1234 !!"), (3L, "")).toDF("doc_id", "text")
+    assert(TextStats.pmiBigrams(d3, minCount = 2).collect().nonEmpty)
+    assert(TextStats.textrank(spark, d3, k = 2).collect().nonEmpty)
   }
 
   test("textrank: hub word ranks first; scores positive; partition-invariant") {
