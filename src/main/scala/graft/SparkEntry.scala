@@ -1246,6 +1246,19 @@ object SparkEntry {
     // BM25 retrieval, fixed query, dyadic k1=5/4 b=3/4 (exact constants)
     "text_bm25" -> ((s, d) =>
       TextStats.bm25(docs(s, d), Seq("spark", "shuffle", "partition"), topK = 20)),
+    // hybrid retrieval: RRF-fuse the BM25 top-20 with the quality top-20
+    "text_rrf" -> ((s, d) => {
+      val ds = docs(s, d)
+      val a = TextStats.bm25(ds, Seq("spark", "shuffle", "partition"), topK = 20)
+        .select(col("doc_id"), col("rk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality").desc, col("doc_id"))
+      val b = TextStats.qualityScores(ds).select(col("doc_id"), col("quality"))
+        .orderBy(col("quality").desc, col("doc_id")).limit(20)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("rk"))
+      TextStats.rrfFuse(a, b)
+    }),
     // bounded-memory heavy hitters: Misra-Gries candidates + exact recount,
     // a-posteriori certified equal to the unbounded exact top-k
     "text_top_terms" -> ((s, d) =>
@@ -1491,6 +1504,60 @@ object SparkEntry {
     }
     sb.append(s"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a$steps")
     s"WITH ${sb.toString}"
+  }
+
+  /** BM25 CTE chain (fixed 3-term query, k1=1.25 b=0.75, Lucene idf) ending
+    * in `rk(doc_id, bm25, rk)` — shared by text_bm25 and text_rrf. */
+  private val bm25CtesSql: String =
+    """toks AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t(term)),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+      |qtf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |        WHERE term IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+      |contrib AS (
+      |  SELECT qtf.doc_id,
+      |         ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * qtf.tf * 2.25 /
+      |           (qtf.tf + 1.25 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)) AS c
+      |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN n CROSS JOIN avgdl),
+      |scores AS (SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1),
+      |rk AS (SELECT doc_id, bm25,
+      |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM scores)""".stripMargin
+
+  /** Quality-score CTE chain (mirrors TextStats.qualityScores op-for-op)
+    * ending in `qual(doc_id, n_tokens, ..., quality)` — shared by
+    * text_quality and text_rrf. */
+  private val qualityCtesSql: String = {
+    val stop = TextStats.DefaultStopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""qt AS (SELECT doc_id, text,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |qm AS (SELECT doc_id,
+       |  CAST(len(toks) AS DOUBLE) AS ntok,
+       |  CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) AS nstop,
+       |  CAST(len(text) AS DOUBLE) AS tlen,
+       |  CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE) AS npunct,
+       |  CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+       |  CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS nchars
+       |  FROM qt),
+       |qr AS (SELECT doc_id, ntok,
+       |  nstop / greatest(ntok, 1.0) AS sr,
+       |  npunct / greatest(tlen, 1.0) AS pr,
+       |  nupper / greatest(tlen, 1.0) AS ur,
+       |  nchars / greatest(ntok, 1.0) AS mwl
+       |  FROM qm),
+       |qual AS (SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+       |  round(sr, 6) AS stop_ratio, round(pr, 6) AS punct_ratio,
+       |  round(ur, 6) AS upper_ratio, round(mwl, 6) AS mean_word_len,
+       |  round((CASE WHEN ntok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+       |      + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+       |      + least(sr * 4.0, 1.0) * 0.3
+       |      + (1.0 - least(ur * 5.0, 1.0)) * 0.2, 6) AS quality
+       |FROM qr)""".stripMargin
   }
 
   private val langidSql: String =
@@ -2133,34 +2200,9 @@ object SparkEntry {
 
     // mirrors TextStats.qualityScores exactly (same op order so the float
     // results are bit-identical; round(,6) on both sides regardless)
-    "text_quality" -> {
-      val stop = TextStats.DefaultStopwords.map(s => s"'$s'").mkString("[", ",", "]")
-      s"""WITH t AS (SELECT doc_id, text,
-         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS toks
-         |  FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(toks) AS DOUBLE) AS ntok,
-         |  CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) AS nstop,
-         |  CAST(len(text) AS DOUBLE) AS tlen,
-         |  CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE) AS npunct,
-         |  CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
-         |  CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS nchars
-         |  FROM t),
-         |r AS (SELECT doc_id, ntok,
-         |  nstop / greatest(ntok, 1.0) AS sr,
-         |  npunct / greatest(tlen, 1.0) AS pr,
-         |  nupper / greatest(tlen, 1.0) AS ur,
-         |  nchars / greatest(ntok, 1.0) AS mwl
-         |  FROM m)
-         |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
-         |  round(sr, 6) AS stop_ratio, round(pr, 6) AS punct_ratio,
-         |  round(ur, 6) AS upper_ratio, round(mwl, 6) AS mean_word_len,
-         |  round((CASE WHEN ntok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.3
-         |      + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
-         |      + least(sr * 4.0, 1.0) * 0.3
-         |      + (1.0 - least(ur * 5.0, 1.0)) * 0.2, 6) AS quality
-         |FROM r""".stripMargin
-    },
+    "text_quality" ->
+      s"""WITH $qualityCtesSql
+         |SELECT * FROM qual""".stripMargin,
 
     // mirrors TextStats.repetitionScores. The top-bigram share is expressed
     // the natural SQL way (unnest + groupBy + max) — value-identical to the
@@ -2506,25 +2548,30 @@ object SparkEntry {
     // 1-b = 0.25 are exact), Lucene non-negative idf, rank on the rounded
     // score with doc_id tie-break
     "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, t.term FROM documents,
-        |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t(term)),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
-        |qtf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        |        WHERE term IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
-        |contrib AS (
-        |  SELECT qtf.doc_id,
-        |         ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * qtf.tf * 2.25 /
-        |           (qtf.tf + 1.25 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)) AS c
-        |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id)
-        |  CROSS JOIN n CROSS JOIN avgdl),
-        |scores AS (SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1),
-        |rk AS (SELECT doc_id, bm25,
-        |       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM scores)
+      s"""WITH $bm25CtesSql
         |SELECT doc_id, bm25, CAST(rk AS BIGINT) AS rk FROM rk WHERE rk <= 20""".stripMargin,
+
+    // reciprocal-rank fusion (Cormack et al. 2009) of the BM25 top-20 and
+    // the quality-score top-20: score = Σ 1/(60 + rank) over the lists a
+    // doc appears in; integer ranks, two exact divisions, doc_id ties
+    "text_rrf" ->
+      s"""WITH $bm25CtesSql,
+        |$qualityCtesSql,
+        |qrank AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rk FROM qual),
+        |fused AS (
+        |  SELECT COALESCE(a.doc_id, q.doc_id) AS doc_id,
+        |    COALESCE(a.rk, 0) AS rk_a, COALESCE(q.rk, 0) AS rk_b,
+        |    COALESCE(1.0 / (60 + a.rk), 0.0) + COALESCE(1.0 / (60 + q.rk), 0.0) AS rrf
+        |  FROM (SELECT doc_id, rk FROM rk WHERE rk <= 20) a
+        |  FULL OUTER JOIN (SELECT doc_id, rk FROM qrank WHERE rk <= 20) q
+        |    ON a.doc_id = q.doc_id)
+        |SELECT * FROM (
+        |  SELECT doc_id, CAST(rk_a AS BIGINT) AS rk_a, CAST(rk_b AS BIGINT) AS rk_b,
+        |    round(rrf, 8) AS rrf,
+        |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rk
+        |  FROM fused)
+        |WHERE fused_rk <= 20""".stripMargin,
 
     // SCC of the repo quotient graph: transitive closure (self-referential
     // CTE dedups) + mutual-reachability pairs; a repo's cycle = its mutual

@@ -712,6 +712,37 @@ object TextStats {
             .cast("double")).as("pmi"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * top-K rankings — the standard hybrid-retrieval combiner (lexical BM25
+    * ∪ a second ranking): score(d) = Σ over the lists containing d of
+    * 1/(kRrf + rank_d). Ranks are exact integers and each term is one IEEE
+    * division in a fixed order, so the fused scores — and the (rrf DESC,
+    * doc_id) fused order — are engine-exact. Absent-list ranks report 0.
+    *
+    * Scale shape: both inputs are already top-K lists (K rows each); the
+    * join, window, and output are all K-sized. The expensive work lives in
+    * the rankers, not here.
+    *
+    * @param a,b (doc_id, rk) top-K lists
+    * @return (doc_id, rk_a, rk_b, rrf, fused_rk) — fused top-K
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int = 60,
+              topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aa = a.select(col("doc_id"), col("rk").as("rk_a"))
+    val bb = b.select(col("doc_id"), col("rk").as("rk_b"))
+    val rrf = coalesce(lit(1.0) / (lit(kRrf) + col("rk_a")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(kRrf) + col("rk_b")), lit(0.0))
+    aa.join(bb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), coalesce(col("rk_a"), lit(0L)).as("rk_a"),
+        coalesce(col("rk_b"), lit(0L)).as("rk_b"), rrf.as("rrf"))
+      .withColumn("fused_rk", row_number()
+        .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("fused_rk") <= topK)
+      .select(col("doc_id"), col("rk_a"), col("rk_b"),
+        round(col("rrf"), 8).as("rrf"), col("fused_rk"))
+  }
+
   /** TextRank keywords (Mihalcea & Tarau): the engine running on its own
     * output — build the word co-occurrence graph (adjacent pairs, canonical
     * undirected, integer co-occurrence weights, both directions emitted)

@@ -379,6 +379,22 @@ class PipelineSpec extends SparkTestBase {
       got.forall { case (t, v) => math.abs(got2(t) - v) <= 1e-9 * math.abs(v) })
   }
 
+  test("rrfFuse: hand fusion, absent-list zeros, doc_id tie-break") {
+    val a = Seq((1L, 1L), (2L, 2L), (7L, 5L)).toDF("doc_id", "rk")
+    val b = Seq((2L, 1L), (3L, 2L), (9L, 5L)).toDF("doc_id", "rk")
+    val got = TextStats.rrfFuse(a, b, kRrf = 60, topK = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    // doc2 in both lists wins; docs 1 and 3 follow; 7 and 9 tie on rrf
+    // (1/65 each) and break by doc_id
+    assert(got(2L)._4 == 1L && got(2L)._1 == 2L && got(2L)._2 == 1L)
+    val byRank = got.toSeq.sortBy(_._2._4).map(_._1)
+    assert(byRank == Seq(2L, 1L, 3L, 7L, 9L), byRank.toString)
+    assert(got(1L)._2 == 0L && got(3L)._1 == 0L) // absent-list ranks report 0
+    val expected2 = 1.0 / 62 + 1.0 / 61
+    assert(math.abs(got(2L)._3 - expected2) < 1e-8)
+  }
+
   test("quantiles: exact lower quantiles — hand fixture, ties, brute replica") {
     import graft.pipeline.Events
     def evq(rows: (String, Double)*): org.apache.spark.sql.DataFrame =
