@@ -155,6 +155,46 @@ class PlanSpec extends SparkTestBase {
       s"heavy-gram filter should be a semi-join:\n$plan")
   }
 
+  test("pmiBigrams: zero-shuffle pair generation, 1-row totals broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = finalPlan(graft.pipeline.TextStats.pmiBigrams(docs))
+    assert(!plan.contains("Window"), s"no window belongs in PMI:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row totals must broadcast:\n$plan")
+    val cartesians = plan.linesIterator
+      .count(_.replaceAll("^[\\s:+-]*", "").startsWith("CartesianProduct"))
+    assert(cartesians == 0, s"cartesian in PMI plan:\n$plan")
+  }
+
+  test("quantiles: cumulative window is per-key, targets broadcast") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val plan = finalPlan(graft.pipeline.Events.quantiles(ev))
+    // the only windows run over the DISTINCT-VALUE table partitioned by key
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("k#")),
+      s"global (non-key) window in quantiles:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"(q, target) pairs must broadcast onto the histogram:\n$plan")
+  }
+
+  test("sweepCut: range-prefix windows only, range offsets broadcast") {
+    val e = SparkEntry.edgesArith(spark, sf)
+    val deg = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("score"))
+    val plan = finalPlan(
+      graft.algos.GraphStats.sweepCut(spark, e, deg, rangeSize = 64))
+    // the per-vertex running sums are two-level: rng-partitioned local
+    // windows plus one tiny window over the range-offset table
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("rng")),
+      s"non-range window in sweepCut:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"range offsets must broadcast:\n$plan")
+  }
+
   test("bigramLogProb: vocab and count tables broadcast, no cartesian blowup") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
