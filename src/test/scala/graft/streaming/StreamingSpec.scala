@@ -93,6 +93,46 @@ class StreamingSpec extends SparkTestBase {
     assert(landed == Map(1L -> "alpha", 2L -> "beta", 5L -> "gamma"), s"$landed")
   }
 
+  test("minhashIngest landing: cross/within-batch flags, replay-idempotent, split-invariant") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docsAll = Seq(
+      (1L, base), (2L, base),                               // within-batch dup pair
+      (3L, "completely different content about sparse engines and planning"),
+      (10L, base),                                          // cross-batch dup of 1
+      (11L, "unrelated words regarding benchmarks and scaling laws tonight"))
+
+    def land(dir: String, batches: Seq[Seq[(Long, String)]]): Map[Long, (Boolean, Option[Long])] = {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        DocStream.landBatchMinhash(b.toDF("doc_id", "text"), i.toLong, dir, 32, 8)
+      }
+      spark.read.parquet(s"$dir/docs").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    }
+
+    val d1 = Files.createTempDirectory("graft-mh1").toString
+    val got = land(d1, Seq(docsAll.take(3), docsAll.drop(3)))
+    assert(got(1L) == ((false, None)))            // first copy lands clean
+    assert(got(2L) == ((true, Some(1L))))         // same-batch dup -> rep 1
+    assert(got(3L)._1 == false && got(11L)._1 == false)
+    assert(got(10L) == ((true, Some(1L))))        // cross-batch dup -> rep 1
+
+    // crash-replay of batch 1 overwrites its own partitions, changes nothing
+    DocStream.landBatchMinhash(docsAll.drop(3).toDF("doc_id", "text"), 1L, d1, 32, 8)
+    val replayed = spark.read.parquet(s"$d1/docs").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(replayed == got)
+    // the bucket store holds each (band,bkt) exactly once
+    val store = spark.read.parquet(s"$d1/buckets")
+    assert(store.groupBy("band", "bkt").count().filter(col("count") > 1).count() == 0)
+
+    // flags are invariant to how the stream was split into batches
+    val d2 = Files.createTempDirectory("graft-mh2").toString
+    assert(land(d2, Seq(docsAll)) == got)
+  }
+
   test("runningDegrees stateful counts converge to the batch rowDegrees") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
