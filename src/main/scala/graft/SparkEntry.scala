@@ -1215,6 +1215,17 @@ object SparkEntry {
         docs(s, d).select(col("doc_id"), col("lang"))
           .join(TextStats.langId(docs(s, d)), Seq("doc_id")),
         truthCol = "lang", predCol = "pred_lang")),
+    // per-class precision/recall/F1 of the same classifier — exact integer
+    // counts, one division per metric (F1 as 2tp/(predTot+truthTot))
+    "eval_langid_f1" -> ((s, d) =>
+      Eval.f1PerClass(
+        docs(s, d).select(col("doc_id"), col("lang"))
+          .join(TextStats.langId(docs(s, d)), Seq("doc_id")),
+        truthCol = "lang", predCol = "pred_lang")
+        .select(col("cls"), col("tp"), col("pred_total"), col("truth_total"),
+          round(col("precision"), 8).as("precision"),
+          round(col("recall"), 8).as("recall"),
+          round(col("f1"), 8).as("f1"))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
     // LCG fold over dense-rank token ids — the fingerprint chain a DuckDB
     // oracle replays exactly (list_reduce), unlike the xxhash64 production one
@@ -2832,6 +2843,33 @@ object SparkEntry {
          |        FROM counts GROUP BY 1)
          |SELECT c.truth, c.pred, c.cnt, t.truth_total
          |FROM counts c JOIN tot t USING (truth)""".stripMargin,
+
+    // mirrors Eval.f1PerClass over the same langid classifier
+    "eval_langid_f1" ->
+      s"""WITH pred AS ($langidSql),
+         |j AS (SELECT d.lang AS truth, p.pred_lang AS pred
+         |      FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+         |counts AS (SELECT truth, pred, count(*) AS cnt FROM j GROUP BY 1, 2),
+         |classes AS (SELECT DISTINCT cls FROM (
+         |  SELECT truth AS cls FROM counts UNION ALL SELECT pred FROM counts)),
+         |tp AS (SELECT truth AS cls, cnt AS tp FROM counts WHERE truth = pred),
+         |pt AS (SELECT pred AS cls, sum(cnt) AS pred_total FROM counts GROUP BY 1),
+         |tt AS (SELECT truth AS cls, sum(cnt) AS truth_total FROM counts GROUP BY 1),
+         |m AS (SELECT c.cls, COALESCE(tp.tp, 0) AS tp,
+         |        COALESCE(pt.pred_total, 0) AS pred_total,
+         |        COALESCE(tt.truth_total, 0) AS truth_total
+         |      FROM classes c LEFT JOIN tp USING (cls)
+         |      LEFT JOIN pt USING (cls) LEFT JOIN tt USING (cls))
+         |SELECT cls, CAST(tp AS BIGINT) AS tp,
+         |  CAST(pred_total AS BIGINT) AS pred_total,
+         |  CAST(truth_total AS BIGINT) AS truth_total,
+         |  round(CASE WHEN pred_total = 0 THEN 0.0
+         |        ELSE CAST(tp AS DOUBLE) / pred_total END, 8) AS "precision",
+         |  round(CASE WHEN truth_total = 0 THEN 0.0
+         |        ELSE CAST(tp AS DOUBLE) / truth_total END, 8) AS recall,
+         |  round(CASE WHEN pred_total + truth_total = 0 THEN 0.0
+         |        ELSE CAST(2 * tp AS DOUBLE) / (pred_total + truth_total) END, 8) AS f1
+         |FROM m""".stripMargin,
 
     // mirrors Dedup.ngramJaccardPairs: distinct 3-word shingles, df-capped
     // inverted-index candidates, exact Jaccard on the FULL shingle sets

@@ -146,6 +146,38 @@ object Eval {
         (col("tp").cast("double") / col("p_tot").cast("double")).as("recall"))
   }
 
+  /** Per-class precision / recall / F1 from (truth, pred) rows — the
+    * summary layer over [[confusion]]. Every count is an exact integer and
+    * each metric is ONE division (F1 in the 2·tp/(pred_total+truth_total)
+    * form, algebraically equal to 2PR/(P+R) with no intermediate quotient),
+    * so any engine reproduces the values bit-for-bit. Classes appearing
+    * only as predictions (or only as truths) still get a row, with the
+    * absent-side total 0 and the affected metrics 0.
+    *
+    * @return (cls, tp, pred_total, truth_total, precision, recall, f1)
+    */
+  def f1PerClass(rows: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val counts = rows.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("cnt"))
+    val classes = counts.select(col("truth").as("cls"))
+      .unionByName(counts.select(col("pred").as("cls"))).distinct()
+    val tp = counts.filter(col("truth") === col("pred"))
+      .select(col("truth").as("cls"), col("cnt").as("tp"))
+    val predTot = counts.groupBy(col("pred").as("cls")).agg(sum("cnt").as("pred_total"))
+    val truthTot = counts.groupBy(col("truth").as("cls")).agg(sum("cnt").as("truth_total"))
+    def div(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      when(d === 0L, lit(0.0)).otherwise(n.cast("double") / d.cast("double"))
+    classes.join(tp, Seq("cls"), "left").join(predTot, Seq("cls"), "left")
+      .join(truthTot, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("pred_total"), lit(0L)).as("pred_total"),
+        coalesce(col("truth_total"), lit(0L)).as("truth_total"))
+      .select(col("cls"), col("tp"), col("pred_total"), col("truth_total"),
+        div(col("tp"), col("pred_total")).as("precision"),
+        div(col("tp"), col("truth_total")).as("recall"),
+        div(lit(2L) * col("tp"), col("pred_total") + col("truth_total")).as("f1"))
+  }
+
   /** Classifier confusion matrix + per-class exact counts: one row per
     * (truth, predicted) pair with its count and the truth-class total —
     * recall per class is `cnt/truth_total` for the diagonal rows, derivable

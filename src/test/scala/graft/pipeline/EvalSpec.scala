@@ -88,6 +88,24 @@ class EvalSpec extends SparkTestBase {
     assert(got(1L) == ((2L, 2L, 0.5, 1.0)))          // t=1: everything
   }
 
+  test("f1PerClass: hand-computed metrics incl. pred-only / truth-only classes") {
+    // truths: en,en,en,de,fr ; preds: en,en,de,de,xx
+    val d = Seq(("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de"), ("fr", "xx")).toDF("lang", "pred_lang")
+    val got = Eval.f1PerClass(d, "lang", "pred_lang").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // en: tp=2, pred=2, truth=3 -> P=1, R=2/3, F1=4/5
+    assert(got("en") == ((2L, 2L, 3L, 1.0, 2.0 / 3.0, 0.8)), got("en").toString)
+    // de: tp=1, pred=2, truth=1 -> P=1/2, R=1, F1=2/3
+    assert(got("de") == ((1L, 2L, 1L, 0.5, 1.0, 2.0 / 3.0)))
+    // fr truth-only: all zero-division metrics report 0
+    assert(got("fr") == ((0L, 0L, 1L, 0.0, 0.0, 0.0)))
+    // xx pred-only: a row exists with truth_total 0
+    assert(got("xx") == ((0L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("confusion: counts and truth totals on a hand case") {
     val d = Seq(("en", "en"), ("en", "en"), ("en", "de"),
       ("de", "de"), ("fr", "en")).toDF("lang", "pred_lang")
