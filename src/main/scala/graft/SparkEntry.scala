@@ -993,17 +993,14 @@ object SparkEntry {
     "gb_rich_club" -> ((s, d) => GraphStats.richClub(s, edgesArith(s, d))),
 
     // exact distance centralities (harmonic/closeness/eccentricity) with
-    // ALL vertices as landmarks — ceil(n/64) MSBFS waves, never all-pairs
-    "algo_centrality" -> ((s, d) => {
-      val e = edgesArith(s, d)
-      val verts = e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id")))
-        .distinct().orderBy("id").collect().map(_.getLong(0)).toSeq
-      GraphStats.distanceStats(s, e, verts)
+    // ALL vertices as landmarks — ceil(n/64) MSBFS waves, never all-pairs;
+    // the vertex set stays distributed (dense-ranked wave membership, only
+    // the wave COUNT reaches the driver)
+    "algo_centrality" -> ((s, d) =>
+      GraphStats.distanceStatsAll(s, edgesArith(s, d))
         .select(col("id"), col("reached"), col("sum_dist"),
           round(col("harmonic"), 8).as("harmonic"),
-          round(col("closeness"), 8).as("closeness"), col("ecc"))
-    }),
+          round(col("closeness"), 8).as("closeness"), col("ecc"))),
 
     // north rule: corpus synthesis → edge derivation → PageRank; provenance
     "corpus_edges" -> ((s, _) => {
@@ -1145,6 +1142,10 @@ object SparkEntry {
     // the oracle replays both Lloyd rounds bit-for-bit
     "ann_kmeans" -> ((s, d) =>
       Similarity.kmeansInt8(embs(s, d), k = 4, steps = 2)),
+    // EXACT integer product quantization (Lehmer-seeded, sum/count
+    // centroids, rational distances, one Lloyd step) — the oracle-green
+    // twin of the rows-only xxhash64-seeded ann_pq_topk index
+    "ann_pq_codes" -> ((s, d) => Similarity.pqCodesInt8(embs(s, d))),
     // top-k over the dequantized int8 corpus (the 1/4-bytes scan path)
     "ann_quantized_topk" -> ((s, d) => {
       val e = embs(s, d)
@@ -1188,12 +1189,12 @@ object SparkEntry {
     // integer rank sums, one final division, bit-identical in any engine
     "eval_auc" -> ((s, d) => Eval.auc(int8FoldScored(s, d))),
     // PR curve at every distinct threshold of the same integer score —
-    // running integer tp/fp over the distinct-score groups, descending
-    "eval_pr_curve" -> ((s, d) =>
-      Eval.prCurve(int8FoldScored(s, d))
-        .select(col("threshold"), col("tp"), col("fp"),
-          round(col("precision"), 8).as("precision"),
-          round(col("recall"), 8).as("recall"))),
+    // running integer tp/fp over the distinct-score groups, descending.
+    // No rounding: precision/recall are each ONE IEEE division of exact
+    // integers (like eval_auc), bit-identical in any engine — round() on a
+    // quotient is engine-specific (Spark BigDecimal HALF_UP vs DuckDB
+    // binary-double) and was the r4 hash mismatch.
+    "eval_pr_curve" -> ((s, d) => Eval.prCurve(int8FoldScored(s, d))),
     // calibration-curve bins (ECE inputs) of the min-max-normalized integer
     // score vs label==0 — integer per-bin sums, bit-identical in any engine
     "eval_calibration" -> ((s, d) =>
@@ -1376,12 +1377,42 @@ object SparkEntry {
     "gb_repmat" -> ((s, d) => GBMatrix(nationAdj(s, d)).repmat(2, 3, 25, 5).df),
     "gb_mpower" -> ((s, d) => GBMatrix(nationCoRegion(s, d)).matrixPower(3).df),
 
+    // §2.1 GrB_Matrix_diag (GraphBLAS.h:3656): vector -> diagonal-k matrix
+    "gb_diag" -> ((s, d) =>
+      GBMatrix.diagOf(
+        s.read.parquet(s"$d/nation.parquet")
+          .select(col("n_nationkey").cast("long").as("id"),
+            (col("n_regionkey") + 1).cast("double").as("v")), k = 3).df),
+    // §2.1 GxB_Vector_diag: the diagonal of a square matrix as a vector
+    "gb_vector_diag" -> ((s, d) => GBMatrix(nationCoRegion(s, d)).diag),
+    // serialize/deserialize (GxB_Matrix_serialize, GraphBLAS.h:10827) as a
+    // driver-verified round trip: write a decoy snapshot at iter=3 (zeroed
+    // values) then the real state at iter=7; Checkpoint.newest must pick the
+    // complete, tag-matching iter=7 snapshot, so restored values equaling
+    // the source vector proves both the round trip and newest-selection
+    "gb_checkpoint_roundtrip" -> ((s, d) => {
+      val v = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("id"),
+          (col("n_regionkey") + 1).cast("double").as("v"))
+      val dir = "/tmp/graft_ckpt_roundtrip"
+      Checkpoint.write(v.withColumn("v", lit(0.0)), dir, iter = 3, tag = "rt")
+      Checkpoint.write(v, dir, iter = 7, tag = "rt")
+      val (it, restored) = Checkpoint.newest(s, dir, Seq("id", "v"), tag = "rt").get
+      restored.select(col("id"), col("v"), lit(it.toLong).as("iter"))
+    }),
+
     // pipeline: multimodal — real pure-JVM codecs (WAV RIFF/PCM16, 24-bit
     // BMP, animated GIF89a with LZW — Codecs.scala), mapPartitions batch shape
     "media_features" -> ((s, _) =>
       Multimodal.decodeAndFeaturize(s, Multimodal.synthesize(s, 1000))
         .select(col("media_id"), col("kind"), col("n_bytes"), col("payload_hash"))),
-    "media_frames" -> ((s, _) => Multimodal.sampleFrames(Multimodal.synthesize(s, 1000)))
+    "media_frames" -> ((s, _) => Multimodal.sampleFrames(Multimodal.synthesize(s, 1000))),
+    // decoded invariants of the same payloads — every value comes from
+    // actually parsing the WAV/BMP/GIF bytes, yet each is closed-form in
+    // media_id under the synthesis, so DuckDB replays it from range(1000):
+    // the oracle-green twin of the rows-only media_features/media_frames
+    "media_invariants" -> ((s, _) =>
+      Multimodal.invariants(Multimodal.synthesize(s, 1000)))
   )
 
   // ---------------------------------------------------------------------------
@@ -1504,7 +1535,8 @@ object SparkEntry {
         |  FROM qi, c${r - 1}),
         |a$r AS (SELECT vec_id, x, cid FROM (
         |  SELECT vec_id, x, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
-        |    CAST(A*cnt*cnt - 2*B*cnt + D AS DOUBLE) / (cnt*cnt) ASC, cid ASC) AS rn
+        |    CAST(CAST(A AS HUGEINT)*cnt*cnt - 2*CAST(B AS HUGEINT)*cnt + D AS DOUBLE)
+        |      / CAST(CAST(cnt AS HUGEINT)*cnt AS DOUBLE) ASC, cid ASC) AS rn
         |  FROM d$r) WHERE rn = 1)""".stripMargin)
       if (r < steps) sb.append(s""",
         |n$r AS (SELECT cid, count(*) AS cnt FROM a$r GROUP BY 1),
@@ -1515,6 +1547,45 @@ object SparkEntry {
     }
     sb.append(s"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a$steps")
     s"WITH ${sb.toString}"
+  }
+
+  /** Exact-integer PQ replay (mirrors Similarity.pqCodesInt8 op-for-op):
+    * int8 codes split into `m` contiguous subvectors, per-subspace seed book
+    * from the `ksub` Lehmer-least rows, nearest-centroid assignment with the
+    * exact rational (A·c² − 2Bc + D)/c² distance (HUGEINT integers, ONE
+    * double division, ties to the smallest code), one integer sum/count
+    * Lloyd update, final assignment out. */
+  private def pqCodesSql(m: Int, ksub: Int, seed: Long): String = {
+    def assignFrom(book: String, out: String) =
+      s"""$out AS (SELECT vec_id, sub, code FROM (
+        |  SELECT v.vec_id, v.sub, b.code,
+        |    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      CAST(CAST(list_sum(list_transform(range(1, len(v.sv)+1), i -> v.sv[i]*v.sv[i])) AS HUGEINT)*b.cnt*b.cnt
+        |         - 2*CAST(list_sum(list_transform(range(1, len(v.sv)+1), i -> v.sv[i]*b.s[i])) AS HUGEINT)*b.cnt
+        |         + list_sum(list_transform(range(1, len(b.s)+1), i -> b.s[i]*b.s[i])) AS DOUBLE)
+        |       / CAST(CAST(b.cnt AS HUGEINT)*b.cnt AS DOUBLE) ASC, b.code ASC) AS rn
+        |  FROM sv v JOIN $book b ON v.sub = b.sub) WHERE rn = 1)""".stripMargin
+    s"""WITH $int8QuantSql,
+      |qi AS (SELECT vec_id, list_transform(qv, v -> CAST(v AS BIGINT)) AS x FROM q),
+      |sv AS (SELECT vec_id, t.sub AS sub,
+      |         x[t.sub*(len(x)//$m)+1 : (t.sub+1)*(len(x)//$m)] AS sv
+      |       FROM qi, (SELECT unnest(range(0, $m)) AS sub) t),
+      |sd AS (SELECT vec_id, sub, sv,
+      |         (vec_id*48271 + sub*1013 + $seed) % 1000003 AS h FROM sv),
+      |bk0 AS (SELECT sub, CAST(rn - 1 AS BIGINT) AS code, sv AS s,
+      |          CAST(1 AS BIGINT) AS cnt FROM (
+      |        SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY h, vec_id) AS rn
+      |        FROM sd) WHERE rn <= $ksub),
+      |${assignFrom("bk0", "a0")},
+      |ex AS (SELECT a.sub, a.code, t.i AS p, v.sv[t.i] AS vv
+      |       FROM a0 a JOIN sv v ON a.vec_id = v.vec_id AND a.sub = v.sub,
+      |       UNNEST(range(1, len(v.sv)+1)) AS t(i)),
+      |ag AS (SELECT sub, code, p, CAST(sum(vv) AS BIGINT) AS spv, count(*) AS c
+      |       FROM ex GROUP BY 1, 2, 3),
+      |bk1 AS (SELECT sub, code, list(spv ORDER BY p) AS s,
+      |          CAST(max(c) AS BIGINT) AS cnt FROM ag GROUP BY 1, 2),
+      |${assignFrom("bk1", "a1")}
+      |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code FROM a1""".stripMargin
   }
 
   /** BM25 CTE chain (fixed 3-term query, k1=1.25 b=0.75, Lucene idf) ending
@@ -2786,9 +2857,10 @@ object SparkEntry {
         |  sum(p_cnt) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
         |  sum(n_cnt) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
         |  FROM g)
-        |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
-        |  round(CAST(tp AS DOUBLE) / (tp + fp), 8) AS "precision",
-        |  round(CAST(tp AS DOUBLE) / (SELECT sum(p_cnt) FROM g), 8) AS recall
+        |SELECT CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+        |  CAST(tp AS DOUBLE) / CAST((SELECT sum(p_cnt) FROM g) AS DOUBLE) AS recall
         |FROM cumt""".stripMargin,
 
     // calibration bins: min-max normalize the integer score, 10 equal bins
@@ -3002,6 +3074,7 @@ object SparkEntry {
 
     // the exact-k-means schedule, both rounds unrolled
     "ann_kmeans" -> kmeansSql(4, 2),
+    "ann_pq_codes" -> pqCodesSql(4, 8, 7L),
 
     // mirrors Similarity.quantizedTopK: dequantize (code · scale), exact
     // cosine, rank by (score desc, id asc) — integer ranks only, like
@@ -3151,8 +3224,42 @@ object SparkEntry {
          |       FROM p2 a JOIN e b ON a.dst = b.src GROUP BY 1, 2)
          |SELECT src, dst, w FROM p3""".stripMargin,
 
-    "media_features" -> "", // engine-internal synthesis: rows-only
-    "media_frames" -> ""
+    "gb_diag" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS src,
+        |CAST(n_nationkey + 3 AS BIGINT) AS dst,
+        |CAST(n_regionkey + 1 AS DOUBLE) AS w FROM nation""".stripMargin,
+
+    "gb_vector_diag" ->
+      s"""SELECT src AS id, w AS v FROM ($nationCoRegionSql) WHERE src = dst""",
+
+    "gb_checkpoint_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |CAST(n_regionkey + 1 AS DOUBLE) AS v,
+        |CAST(7 AS BIGINT) AS iter FROM nation""".stripMargin,
+
+    "media_features" -> "", // pixel/sample hashes: rows-only (see media_invariants)
+    "media_frames" -> "",
+
+    // closed-form replay of the decoded media invariants: kind = id%3,
+    // w = id*37%48+16, h = id*53%48+16, audio n = 8000/10*(id%3+1) = 1600
+    // samples @8000 Hz in a 44+2n-byte RIFF, image bytes = 54+h*rowStride
+    // (rows padded to 4), video frames = id%4+3; 0 = not applicable
+    "media_invariants" ->
+      """WITH ids AS (SELECT CAST(range AS BIGINT) AS media_id FROM range(0, 1000)),
+        |base AS (SELECT media_id,
+        |  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  media_id * 37 % 48 + 16 AS w,
+        |  media_id * 53 % 48 + 16 AS h FROM ids)
+        |SELECT media_id, kind,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE w END AS BIGINT) AS width,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE h END AS BIGINT) AS height,
+        |  CAST(CASE WHEN kind = 'video' THEN media_id % 4 + 3 ELSE 0 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN kind = 'audio' THEN 1600 ELSE 0 END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN kind = 'audio' THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE kind WHEN 'audio' THEN 44 + 2 * 1600
+        |            WHEN 'image' THEN 54 + h * ((w * 3 + 3) // 4 * 4)
+        |            ELSE 0 END AS BIGINT) AS n_bytes
+        |FROM base""".stripMargin
   ).filter(_._2.nonEmpty)
 
   /** `rounds` unrolled k-truss support-filter rounds as DuckDB SQL (same

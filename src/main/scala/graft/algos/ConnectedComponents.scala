@@ -120,7 +120,7 @@ object ConnectedComponents {
     // dst and join a broadcast of the few hot label rows — identical result
     // (min is order-insensitive), no straggler task
     val hot = if (skewSalts > 0) graft.core.Skew.hotKeys(undPlain, "src", parts)
-              else Seq.empty[Long]
+              else Seq.empty[Any]
     val (und, undHot) = if (hot.isEmpty) (undPlain, None) else {
       val cold = undPlain.filter(!col("src").isin(hot: _*))
         .repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)

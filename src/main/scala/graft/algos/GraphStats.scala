@@ -273,14 +273,35 @@ object GraphStats {
     * are one float expression over integer-derived terms, mirrored by the
     * SQL oracle and rounded on both sides.
     */
+  /** [[distanceStats]] with sources = EVERY vertex of the graph, without
+    * materializing the vertex set on the driver: the ids stay a DataFrame
+    * end to end ([[MSBFS.runFrom]] derives wave membership from a
+    * distributed dense rank; the driver sees one count). Exact all-vertex
+    * centralities are inherently O(n·m) — at scale prefer sampled landmarks
+    * through [[distanceStats]]; this entry point just removes the O(n)
+    * driver state from the exact path.
+    */
+  def distanceStatsAll(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val und = undirect(edges)
+    val verts = und.select(col("src").as("id")).distinct()
+    aggDistances(MSBFS.runFrom(spark, und, verts))
+  }
+
   def distanceStats(spark: SparkSession, edges: DataFrame,
-                    sources: Seq[Long]): DataFrame = {
+                    sources: Seq[Long]): DataFrame =
+    aggDistances(MSBFS.run(spark, undirect(edges), sources))
+
+  /** Canonicalize to a loop-free undirected (symmetric) edge list. */
+  private def undirect(edges: DataFrame): DataFrame = {
     val canon = edges.select(
         least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+    canon.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
-    val d = MSBFS.run(spark, und, sources)
+  }
+
+  /** Fold (id, src, dist) MSBFS rows into the per-vertex centrality row. */
+  private def aggDistances(d: DataFrame): DataFrame = {
     d.groupBy("id").agg(
         sum(when(col("dist") > 0, 1L).otherwise(0L)).as("reached"),
         sum(col("dist")).as("sum_dist"),

@@ -45,6 +45,46 @@ object MSBFS {
     out
   }
 
+  /** DataFrame-source variant: the sources arrive as a 1-column `id` frame
+    * and are NEVER collected to the driver — wave membership (wave w, bit
+    * idx) is derived distributively from a dense rank over the source set
+    * ([[graft.core.Ranking.denseRank]]: range partition + zipWithIndex, no
+    * single-task window), and the driver holds only the wave COUNT. This is
+    * the all-vertex-centrality entry point: `runFrom(spark, und,
+    * vertices)` keeps driver state O(1) where `run(…, verts.collect…)`
+    * held O(n) ids before the first job.
+    */
+  def runFrom(spark: SparkSession, edges: DataFrame, sources: DataFrame,
+              maxIter: Int = 10000, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val adj = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = graft.core.Ranking
+      .denseRank(sources.select(col("id")).distinct(), "rk", "id")
+      .select(col("id"), (col("rk") / 64).cast("long").as("wv"),
+        pmod(col("rk"), lit(64L)).cast("int").as("idx"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = ranked.count() // a COUNT crosses to the driver, never the ids
+    require(n > 0, "msbfs needs at least one source")
+    val nWaves = ((n + 63) / 64).toInt
+
+    val waves = (0 until nWaves).map { w =>
+      val ws = ranked.filter(col("wv") === w.toLong)
+      val seed = ws.select(col("id"),
+        expr("shiftleft(CAST(1 AS BIGINT), idx)").as("mask"))
+      val srcByIdx = ws.select(col("idx"), col("id").as("src"))
+      Iterate.withoutAQE(spark)(
+        waveFromSeed(spark, adj, seed, srcByIdx, w, maxIter, parts))
+    }
+    val out = waves.reduce(_ unionByName _)
+    adj.unpersist(false); ranked.unpersist(false)
+    out
+  }
+
   /** One ≤64-source wave: (id, src, dist) rows. `adj` must be persisted. */
   private def wave(spark: SparkSession, adj: DataFrame, batch: Seq[Long],
                    w: Int, maxIter: Int, parts: Int): DataFrame = {
@@ -54,6 +94,15 @@ object MSBFS {
     val seed = batch.zipWithIndex
       .groupBy(_._1).view.mapValues(_.map(p => 1L << p._2).reduce(_ | _))
       .toSeq.map { case (id, m) => (id, m) }.toDF("id", "mask")
+    waveFromSeed(spark, adj, seed, srcByIdx, w, maxIter, parts)
+  }
+
+  /** Wave body over an arbitrary (id, mask) seed + (idx, src) decode table
+    * (≤64 rows, broadcast). `adj` must be persisted.
+    */
+  private def waveFromSeed(spark: SparkSession, adj: DataFrame,
+                           seed: DataFrame, srcByIdx: DataFrame,
+                           w: Int, maxIter: Int, parts: Int): DataFrame = {
 
     var visited = Iterate.cutKeyed(seed, parts, "id")
     var frontier = visited

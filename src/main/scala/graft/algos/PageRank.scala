@@ -104,7 +104,7 @@ object PageRank {
     // a per-iteration BROADCAST of the tiny hot state slice. Identical
     // results, no straggler task, no extra data-sized exchange.
     val hot = if (skewSalts > 0) graft.core.Skew.hotKeys(adjPlain, "src", parts)
-              else Seq.empty[Long]
+              else Seq.empty[Any]
     val (adj, adjHot) = if (hot.isEmpty) (adjPlain, None) else {
       val cold = adjPlain.filter(!col("src").isin(hot: _*))
         .repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)

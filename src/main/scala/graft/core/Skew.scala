@@ -35,24 +35,29 @@ object Skew {
     * the driver-side hot list is O(cap), never data-sized.
     */
   def hotKeys(df: DataFrame, key: String, parts: Int, frac: Double = 0.5,
-              minDeg: Long = 4096, cap: Int = 1024): Seq[Long] = {
+              minDeg: Long = 4096, cap: Int = 1024): Seq[Any] = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
     val total = df.count()
     val threshold = math.max(minDeg.toDouble, total / parts.toDouble * frac)
+    // native values, not getLong: the key column may be string-typed (e.g.
+    // textrank's term vertices) — isin() takes the values as-is either way
     counts.filter(col("c") > threshold).orderBy(col("c").desc).limit(cap)
-      .select(col(key)).collect().map(_.getLong(0)).toSeq
+      .select(col(key)).collect().map(_.get(0)).toSeq
   }
 
-  /** Edge side: add the salt column (hot srcs spread by dst, cold stay 0). */
-  def saltEdges(adj: DataFrame, hot: Seq[Long], salts: Int): DataFrame =
+  /** Edge side: add the salt column (hot srcs spread by dst, cold stay 0).
+    * Salting by xxhash64(dst) keeps the helper key-type-generic (string
+    * vertices included) with the same even spread as dst mod S.
+    */
+  def saltEdges(adj: DataFrame, hot: Seq[Any], salts: Int): DataFrame =
     adj.withColumn("salt",
-      when(col("src").isin(hot: _*), pmod(col("dst"), lit(salts)).cast("int"))
+      when(col("src").isin(hot: _*), pmod(xxhash64(col("dst")), lit(salts.toLong)).cast("int"))
         .otherwise(lit(0)))
 
   /** State side: replicate hot rows across all salt buckets (a few × S rows),
     * cold rows get the single salt 0. `idCol` is the state's key column.
     */
-  def saltState(state: DataFrame, idCol: String, hot: Seq[Long], salts: Int): DataFrame =
+  def saltState(state: DataFrame, idCol: String, hot: Seq[Any], salts: Int): DataFrame =
     state.withColumn("salt", explode(
       when(col(idCol).isin(hot: _*),
         sequence(lit(0), lit(salts - 1)))

@@ -125,6 +125,46 @@ object Multimodal {
       }.toDF()
   }
 
+  case class MediaInvariants(media_id: Long, kind: String, width: Long,
+                             height: Long, n_frames: Long, n_samples: Long,
+                             sample_rate: Long, n_bytes: Long)
+
+  /** Decoded-invariant extraction — the oracle-able face of the media
+    * pipeline. Every output is obtained by genuinely PARSING the payload
+    * (Codecs.wavDecode / bmpDecode / gifDecode), yet each is a closed-form
+    * function of `media_id` under [[synthesize]], so DuckDB can replay the
+    * whole table from `range(n)` with no engine-internal state: width/height
+    * (image+video), frame count (video), sample count + rate and exact RIFF
+    * byte length 44+2n (audio), exact BMP byte length 54+h·rowStride
+    * (image). GIF byte length is LZW-data-dependent (not closed-form) so
+    * video rows report n_bytes=0; non-applicable fields are 0, never NULL.
+    * Pixel/sample content stays with the rows-only `media_features` twin.
+    */
+  def invariants(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"), col("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          r.kind match {
+            case "audio" =>
+              val w = Codecs.wavDecode(r.payload)
+              MediaInvariants(r.media_id, r.kind, 0L, 0L, 0L,
+                w.nSamples.toLong, w.sampleRate.toLong, r.payload.length.toLong)
+            case "image" =>
+              val b = Codecs.bmpDecode(r.payload)
+              MediaInvariants(r.media_id, r.kind, b.width.toLong, b.height.toLong,
+                0L, 0L, 0L, r.payload.length.toLong)
+            case _ =>
+              val g = Codecs.gifDecode(r.payload)
+              MediaInvariants(r.media_id, r.kind, g.width.toLong, g.height.toLong,
+                g.frames.size.toLong, 0L, 0L, 0L)
+          }
+        }
+      }.toDF()
+  }
+
   /** Frame sampling over the video rows: decode the GIF, keep every
     * `everyNth` frame, one output row per sampled frame with a hash of the
     * DECODED pixel data (not the container bytes) — the schema and

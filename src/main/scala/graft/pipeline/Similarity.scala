@@ -484,8 +484,9 @@ object Similarity {
         val num = a * lit(BigDecimal(c2)).cast(dec) -
           lit(2L).cast(dec) * b * lit(c).cast(dec) +
           lit(BigDecimal(dSq)).cast(dec)
-        // divisor replays the oracle's exact-int-then-cast c² (c ≤ 3·10⁹)
-        (cid, num.cast("double") / lit(c * c).cast("double"))
+        // divisor is the exact BigInt c² cast once to double (the oracle
+        // mirrors with HUGEINT) — a long c*c would wrap past c ≈ 3·10⁹
+        (cid, num.cast("double") / lit(BigDecimal(c2)).cast(dec).cast("double"))
       }
       scored.tail.foldLeft(
         struct(scored.head._2.as("d"), lit(scored.head._1).as("cid"))) {
@@ -513,6 +514,78 @@ object Similarity {
     }
     val out = assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
     out.cache(); out.count(); q.unpersist(false)
+    out
+  }
+
+  /** EXACT-arithmetic product quantization over the int8 codes — the
+    * oracle-backed twin of [[pqIndex]] (which trains on floats with xxhash64
+    * seeding, replayable only rows-only). Same structure: m contiguous
+    * subspaces, ksub centroids each, seeded from the hash-least subvectors,
+    * one Lloyd refinement, nearest-centroid codes out. Every arithmetic step
+    * is engine-exact: seeding uses a Lehmer hash ((id·48271 + sub·1013 +
+    * seed) mod 1000003) any SQL engine computes; centroids stay (sum-vector,
+    * count) integer pairs; squared distance to centroid j is the exact
+    * rational (A·c² − 2·B·c + D)/c² with one IEEE division (the
+    * [[kmeansInt8]] trick), ties to the smallest code.
+    *
+    * Scale shape: all m subspaces train in ONE plan (sub is a group key);
+    * the codebook is m·ksub rows, localized and broadcast; the corpus never
+    * shuffles for assignment — only the K·dim-sized centroid update does.
+    *
+    * @return (vec_id, sub, code) — the PQ code matrix after one Lloyd step
+    */
+  def pqCodesInt8(corpus: DataFrame, m: Int = 4, ksub: Int = 8,
+                  seed: Long = 7L): DataFrame = {
+    val spark = corpus.sparkSession
+    val dec = "decimal(38,0)"
+    val q = quantizeInt8(corpus)
+      .select(col("vec_id"), transform(col("qvec"), _.cast("long")).as("x"))
+    val dsub = size(col("x")) / m
+    val sub = q.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("x"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        slice(col("x"), (col("sub") * dsub + 1).cast("int"), dsub.cast("int")).as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+    // seed book: per subspace the ksub Lehmer-least subvectors, count=1
+    val seedWin = Window.partitionBy("sub").orderBy(col("h"), col("vec_id"))
+    val book0 = localize(sub
+      .withColumn("h", (col("vec_id") * 48271L + col("sub") * 1013L + lit(seed)) % 1000003L)
+      .withColumn("rn", row_number().over(seedWin)).filter(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).cast("long").as("code"),
+        col("sv").as("s"), lit(1L).as("cnt")))
+
+    // nearest centroid, exact rational distance, tie -> smallest code
+    def assign(book: DataFrame): DataFrame = {
+      val a = aggregate(transform(col("sv"), v => v * v), lit(0L), _ + _).cast(dec)
+      val b = aggregate(zip_with(col("sv"), col("s"), (u, v) => u * v),
+        lit(0L), _ + _).cast(dec)
+      val dvec = aggregate(transform(col("s"),
+        v => v.cast(dec) * v.cast(dec)), lit(0L).cast(dec), _ + _)
+      val c2 = col("cnt").cast(dec) * col("cnt").cast(dec)
+      val num = a * c2 - lit(2L).cast(dec) * b * col("cnt").cast(dec) + dvec
+      sub.join(broadcast(book), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"),
+          (num.cast("double") / c2.cast("double")).as("d"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    }
+
+    // one Lloyd step: integer (sum-vector, count) centroids from the codes
+    val book1 = localize(assign(book0)
+      .join(sub, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "v")))
+      .groupBy("sub", "code", "p")
+      .agg(sum(col("v")).as("spv"), count(lit(1)).as("c"))
+      .groupBy("sub", "code")
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("spv")))),
+        s => s.getField("spv")).as("s"), max(col("c")).as("cnt")))
+
+    val out = assign(book1)
+    out.cache(); out.count(); sub.unpersist(false)
     out
   }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Multimodal, Similarity}
+import graft.core.Skew
+
+/** Round-5 additions: decoded media invariants (the oracle-able face of the
+  * binary pipeline), the integer-exact PQ trainer, and the type-generic
+  * hub-skew helpers (string-vertex regression from textrank).
+  */
+class Round5Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("media invariants: decoded values match the closed form of media_id") {
+    val n = 30L
+    val rows = Multimodal.invariants(Multimodal.synthesize(spark, n))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == n)
+    for (id <- 0L until n) {
+      val r = rows(id)
+      val (kind, w, h) = (r.getString(1), id * 37 % 48 + 16, id * 53 % 48 + 16)
+      id % 3 match {
+        case 0 => // image: 24-bit BMP, rows padded to 4 bytes
+          assert(kind == "image" && r.getLong(2) == w && r.getLong(3) == h)
+          assert(r.getLong(7) == 54 + h * ((w * 3 + 3) / 4 * 4), s"bmp bytes id=$id")
+        case 1 => // audio: id%3+1 == 2 tenths of a second at 8 kHz
+          assert(kind == "audio" && r.getLong(5) == 1600 && r.getLong(6) == 8000)
+          assert(r.getLong(7) == 44 + 2 * 1600, s"riff bytes id=$id")
+        case _ => // video: GIF frame count
+          assert(kind == "video" && r.getLong(2) == w && r.getLong(3) == h)
+          assert(r.getLong(4) == id % 4 + 3, s"frames id=$id")
+      }
+    }
+  }
+
+  private lazy val pqCorpus = {
+    // deterministic "embeddings": 24 vecs of dim 8 (m=4 -> dsub=2)
+    val rows = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 3.7 + j * 1.3).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pqCodesInt8: full coverage, codes in range, deterministic") {
+    val m = 4; val ksub = 8
+    val codes = Similarity.pqCodesInt8(pqCorpus, m = m, ksub = ksub)
+    val got = codes.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 24 * m, "one code per (vec, subspace)")
+    assert(got.keys.map(_._2).toSet == (0L until m).toSet)
+    assert(got.values.forall(c => c >= 0 && c < ksub))
+    // non-degenerate: more than one centroid in use somewhere
+    assert(got.values.toSet.size > 1)
+    val again = Similarity.pqCodesInt8(pqCorpus, m = m, ksub = ksub)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == got, "bit-determinism across runs")
+    codes.unpersist()
+  }
+
+  test("pqCodesInt8: Lloyd-refined codes agree with a local exact replay") {
+    val m = 2; val ksub = 2; val seed = 7L
+    val q = Similarity.quantizeInt8(pqCorpus)
+      .select(col("vec_id"), col("qvec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val dsub = 8 / m
+    // local replay: same Lehmer seeding, exact integer (sum, count) centroids,
+    // exact rational distances compared via cross-multiplied BigInts
+    def subvec(id: Long, s: Int) = q(id).slice(s * dsub, (s + 1) * dsub)
+    def seedBook(s: Int) = q.keys.toSeq
+      .sortBy(id => ((id * 48271L + s * 1013L + seed) % 1000003L, id))
+      .take(ksub).zipWithIndex
+      .map { case (id, c) => (c.toLong, subvec(id, s).map(BigInt(_)), BigInt(1)) }
+    def nearest(x: Array[Long], book: Seq[(Long, Array[BigInt], BigInt)]): Long =
+      book.map { case (code, sv, cnt) =>
+        val a = x.map(v => BigInt(v) * v).sum
+        val b = x.zip(sv).map { case (u, v) => BigInt(u) * v }.sum
+        val d = sv.map(v => v * v).sum
+        // (a·c² − 2bc + d)/c² compared as exact rationals via value × 1, then
+        // IEEE-divided exactly like the engine (one division, same operands)
+        (((a * cnt * cnt - 2 * b * cnt + d).toDouble / (cnt * cnt).toDouble), code)
+      }.min._2
+    val want = (for (s <- 0 until m) yield {
+      val b0 = seedBook(s)
+      val a0 = q.keys.map(id => id -> nearest(subvec(id, s), b0)).toMap
+      val b1 = a0.groupBy(_._2).map { case (code, as) =>
+        val members = as.keys.toSeq
+        val sums = (0 until dsub).map(p =>
+          members.map(id => BigInt(subvec(id, s)(p))).sum).toArray
+        (code, sums, BigInt(members.size))
+      }.toSeq
+      q.keys.map(id => (id, s.toLong) -> nearest(subvec(id, s), b1))
+    }).flatten.toMap
+    val got = Similarity.pqCodesInt8(pqCorpus, m = m, ksub = ksub, seed = seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("Skew helpers are key-type-generic (textrank string vertices)") {
+    // a string hub holding most of the mass — the r4 path crashed here with
+    // ClassCastException in hotKeys' getLong
+    val edges = ((0 until 40).map(i => ("the", s"w$i", 1.0)) ++
+      Seq(("fox", "dog", 1.0), ("dog", "fox", 1.0)))
+      .toDF("src", "dst", "w")
+    val hot = Skew.hotKeys(edges, "src", parts = 4, minDeg = 8)
+    assert(hot == Seq("the"))
+    val salted = Skew.saltEdges(edges, hot, salts = 4)
+    assert(salted.filter(col("src") === "the").select("salt").distinct().count() > 1)
+    assert(salted.filter(col("src") =!= "the").filter(col("salt") =!= 0).count() == 0)
+    val st = Skew.saltState(Seq(("the", 1.0), ("fox", 2.0)).toDF("id", "r"), "id", hot, 4)
+    assert(st.filter(col("id") === "the").count() == 4)
+    assert(st.filter(col("id") === "fox").count() == 1)
+    // end-to-end: the textrank-shaped call (string vertices, weighted, skew on)
+    val pr = graft.algos.PageRank.run(spark, edges, maxIter = 5, tol = 0.0,
+      skewSalts = 8, weighted = true).ranks
+    assert(pr.count() == 43) // "the", 40 targets, fox, dog
+    assert(math.abs(pr.agg(sum("r")).head.getDouble(0) - 1.0) < 1e-9)
+  }
+}
