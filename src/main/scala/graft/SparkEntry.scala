@@ -822,6 +822,11 @@ object SparkEntry {
     // numPartitions for real graphs)
     "algo_louvain" -> ((s, d) =>
       Louvain.run(s, edgesArith(s, d), numPartitions = 8)),
+    // level-1 move phase alone with a fixed round budget — SQL-replayable
+    // (quiet rounds are the identity, so fixed-k unrolling == early stop):
+    // the oracle-green twin of the multi-level algo_louvain
+    "algo_louvain_l1" -> ((s, d) =>
+      Louvain.level1(s, edgesArith(s, d), rounds = 6, numPartitions = 8)),
 
     // eigenvector centrality — fixed-k power iteration, L1-renormalized
     "algo_eigen5" -> ((s, d) =>
@@ -2044,6 +2049,7 @@ object SparkEntry {
          |SELECT id, CAST(min(t) AS BIGINT) AS arrival FROM r GROUP BY id""".stripMargin,
 
     "algo_centrality" -> centralitySql,
+    "algo_louvain_l1" -> louvainL1Sql(6),
     "algo_coloring" -> coloringUnrolledSql(32),
     "algo_matching" -> matchingUnrolledSql(32),
     "algo_boruvka" -> boruvkaUnrolledSql(8, 8),
@@ -4454,6 +4460,51 @@ FROM c3_0 u LEFT JOIN mk ON mk.src = u.src AND mk.dst = u.dst""")
        |    ELSE 0 END, 8) AS closeness,
        |  CAST(MAX(d) AS BIGINT) AS ecc
        |FROM md GROUP BY v""".stripMargin
+
+  /** Unrolled replay of Louvain.level1 (k parity-gated synchronous rounds
+    * of integer ΔQ moves, mirrors algos/Louvain.movePhase op for op): score
+    * = 2m·w_vc − deg(v)·vol'(c) in HUGEINT (the engine's decimal(38,0)),
+    * best by (score DESC, community ASC), a vertex moves on STRICT
+    * improvement and only in its parity round; final label = min original
+    * member id.
+    */
+  private def louvainL1Sql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""g AS MATERIALIZED (SELECT src AS a, dst AS b, CAST(1 AS BIGINT) AS w
+        |  FROM ($edgesArithSql)),
+        |und AS MATERIALIZED (SELECT a AS v, b AS u, w FROM g
+        |  UNION ALL SELECT b, a, w FROM g),
+        |deg AS MATERIALIZED (SELECT v AS id, CAST(sum(w) AS HUGEINT) AS deg
+        |  FROM und GROUP BY 1),
+        |m2 AS MATERIALIZED (SELECT sum(deg) AS m2 FROM deg),
+        |c0 AS (SELECT id, id AS c FROM deg)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        |vol$r AS (SELECT c, sum(deg) AS vol FROM c$p JOIN deg USING (id) GROUP BY c),
+        |wvc$r AS (SELECT id, c, sum(wc) AS wc FROM (
+        |  SELECT e.v AS id, cm.c AS c, CAST(e.w AS HUGEINT) AS wc
+        |  FROM und e JOIN c$p cm ON cm.id = e.u
+        |  UNION ALL SELECT id, c, CAST(0 AS HUGEINT) FROM c$p) GROUP BY 1, 2),
+        |sc$r AS MATERIALIZED (SELECT w.id, w.c, cm.c AS cur,
+        |  m2.m2 * w.wc - d.deg * (v.vol -
+        |    CASE WHEN w.c = cm.c THEN d.deg ELSE CAST(0 AS HUGEINT) END) AS score
+        |  FROM wvc$r w JOIN c$p cm ON cm.id = w.id JOIN deg d ON d.id = w.id
+        |  JOIN vol$r v ON v.c = w.c CROSS JOIN m2),
+        |c$r AS MATERIALIZED (SELECT b.id,
+        |  CASE WHEN b.bsc > s.score AND b.bc <> b.cur AND b.id % 2 = ${r % 2}
+        |       THEN b.bc ELSE b.cur END AS c
+        |  FROM (SELECT id, cur, c AS bc, score AS bsc FROM (
+        |          SELECT id, c, cur, score, row_number() OVER (
+        |            PARTITION BY id ORDER BY score DESC, c ASC) AS rn FROM sc$r)
+        |        WHERE rn = 1) b
+        |  JOIN (SELECT id, score FROM sc$r WHERE c = cur) s ON s.id = b.id)""".stripMargin)
+    }
+    sb.append(s""",
+      |rep AS (SELECT c, min(id) AS community FROM c$rounds GROUP BY c)
+      |SELECT f.id, r.community FROM c$rounds f JOIN rep r ON r.c = f.c""".stripMargin)
+    s"WITH ${sb.toString}"
+  }
 
   private def graphStatsSql: String =
     s"""WITH $arithCanonCte,

@@ -58,6 +58,34 @@ object Louvain {
     Iterate.withoutAQE(spark)(levels(spark, edges, maxRounds, maxLevels,
       numPartitions, localThreshold))
 
+  /** The level-1 move phase alone, with a fixed round budget, labels
+    * normalized to the min original member id — the oracle-backed twin of
+    * [[run]]. A fixed k is SQL-replayable because after a quiet even+odd
+    * sweep every later round is the identity (the state, hence every score,
+    * is unchanged and moves need STRICT improvement), so stopping early
+    * (what [[movePhase]] does) and unrolling exactly k rounds yield the
+    * same labels. Same integer ΔQ schedule bit for bit.
+    */
+  def level1(spark: SparkSession, edges: DataFrame, rounds: Int = 6,
+             numPartitions: Int = 0): DataFrame = Iterate.withoutAQE(spark) {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w0 = if (edges.columns.contains("w")) col("w").cast("long") else lit(1L)
+    val g = Iterate.cutKeyed(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), w0.as("w"))
+        .groupBy("a", "b").agg(sum("w").as("w")),
+      parts, "a")
+    val (comm, _) = movePhase(spark, g, rounds, parts, level = 1)
+    val rep = comm.groupBy(col("cNew").as("c"))
+      .agg(min(col("id")).as("community"))
+    val out = comm.select(col("id"), col("cNew").as("c"))
+      .join(rep, Seq("c")).select(col("id"), col("community"))
+    out.cache(); out.count()
+    Iterate.free(g)
+    out
+  }
+
   private def dec(c: Column): Column = c.cast("decimal(38,0)")
 
   private def levels(spark: SparkSession, edges: DataFrame, maxRounds: Int,

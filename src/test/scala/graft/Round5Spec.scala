@@ -94,6 +94,19 @@ class Round5Spec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("louvain level1: disjoint triangles each collapse to one community") {
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val edges = tri.toDF("src", "dst")
+    val r = graft.algos.Louvain.level1(spark, edges, rounds = 6, numPartitions = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 6)
+    assert(Set(r(0L), r(1L), r(2L)).size == 1)
+    assert(Set(r(3L), r(4L), r(5L)).size == 1)
+    assert(r(0L) != r(3L))
+    // labels are min member ids
+    assert(r(0L) == 0L && r(3L) == 3L)
+  }
+
   test("Skew helpers are key-type-generic (textrank string vertices)") {
     // a string hub holding most of the mass — the r4 path crashed here with
     // ClassCastException in hotKeys' getLong
