@@ -94,7 +94,10 @@ object Bench {
                                  iters: Int): (Long, Double) = {
     val edges = spark.read.parquet(edgesPath)
     val nnz = edges.count()
-    val res = PageRank.run(spark, edges, tol = 0.0, maxIter = iters)
+    // GRAFT_PR_GATHER=flat A/Bs the per-edge-row gather against the default
+    // CSR-like grouped-adjacency gather (PageRank.run(grouped = ...))
+    val res = PageRank.run(spark, edges, tol = 0.0, maxIter = iters,
+      grouped = !sys.env.get("GRAFT_PR_GATHER").contains("flat"))
     val steady = res.metrics.drop(2).map(_.millis).sorted
     val medianMs = if (steady.isEmpty) res.metrics.map(_.millis).max
                    else steady(steady.size / 2)
@@ -219,6 +222,27 @@ object Bench {
       return
     }
 
+    // child mode: the converged (tol=1e-6) run in a pristine JVM. The r4
+    // driver run measured this in the parent AFTER the 22-query phase and
+    // recorded 44.2 s vs 19.3 s in r3 and 5.1-5.3 s same-week rehearsals of
+    // the identical query — the same JVM-global debris effect the throughput
+    // children exist to avoid (allocator/GC state from ~100 s of prior
+    // queries), not an engine regression. Timed from the parquet load, so
+    // the number still covers load + degree prep + all iterations but not
+    // JVM/session startup (matching how the query phase times queries).
+    if (args.length >= 1 && args(0) == "--converged") {
+      val (cores, path) = (args(1).toInt, args(2))
+      val s = session(cores)
+      try {
+        val t0 = System.nanoTime()
+        val edges = s.read.parquet(path)
+        val conv = PageRank.run(s, edges, tol = 1e-6, maxIter = 100)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"GRAFT_CONVERGED ${conv.iterations} ${jn(sec, 3)}")
+      } finally s.stop()
+      return
+    }
+
     // --- heap defense: re-exec pinned to the tuned heap if launched huge ----
     val maxHeapGb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
     if (maxHeapGb > 24.0 && !sys.env.contains("GRAFT_BENCH_REEXEC")) {
@@ -285,13 +309,10 @@ object Bench {
         .write.mode("overwrite").parquet(edgesPath)
     }
 
-    // iterations-to-1e-6 + converged-run wall time at full parallelism
-    val edges = spark.read.parquet(edgesPath)
-    val tConv0 = System.nanoTime()
-    val conv = PageRank.run(spark, edges, tol = 1e-6, maxIter = 100)
-    val convSec = (System.nanoTime() - tConv0) / 1e9
-    val itersTo1e6 = conv.iterations
-    dropCaches(spark)
+    // iterations-to-1e-6 + converged-run wall time at full parallelism, in a
+    // pristine child JVM (see the --converged mode above for why: the r4
+    // in-parent measurement read 2.3x slow behind 100 s of query debris)
+    val (itersTo1e6, convSec) = childConverged(cpus, edgesPath)
 
     // hub-skew fixture: salted vs unsalted gather at full parallelism
     val (hubEdges, hubSalted, hubUnsalted) = hubFixture(spark, scaleIters)
@@ -351,13 +372,16 @@ object Bench {
       if (xs.isEmpty) 0.0 else xs.sorted.apply((xs.size - 1) / 2)
     def arr(xs: Seq[Double]): String = xs.map(jn(_, 0)).mkString("[", ",", "]")
 
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+
     // render the full JSON from what is known so far; the big-graph numbers
     // arrive last (empty samples -> scaling falls back to the small graph),
     // so the metric FILE can be written incrementally: if a driver timeout
     // kills the remaining phases, the newest complete phase is still on disk
     // as a valid, parseable record
     def render(bigNnz: Long, his: Seq[Double], los: Seq[Double],
-               pairCeils: Seq[Double], ab: String): String = {
+               pairCeils: Seq[Double], ab: String,
+               compact: Boolean = false): String = {
     val (bigHi, bigLo) = (median(his), median(los))
     // efficiency = MEDIAN OF PAIRWISE RATIOS, not ratio of medians: the
     // children run as interleaved (c-high, c-low) pairs precisely so each
@@ -398,6 +422,22 @@ object Bench {
       if (scEff >= 0.8) "pass-absolute"
       else if (vsCeil >= 0.9) "pass-vs-ceiling"
       else "fail"
+    // compact: the headline record in one SHORT line — the r4 driver's tail
+    // capture truncated the full line and recorded parsed:null, so the LAST
+    // printed line must carry the whole story in ~1 KB (full detail goes to
+    // the preceding line and $SPARK_GRAFT_BENCH_OUT)
+    if (compact) {
+      return s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${jn(peakHi, 0)},""" +
+        s""""unit":"edges/sec","sf":"$sfDir","total_query_sec":${jn(total, 1)},""" +
+        s""""queries":$qs,""" +
+        s""""pagerank":{"edges":$nnz,"iters_to_1e-6":$itersTo1e6,""" +
+        s""""converged_run_sec":${jn(convSec, 1)}},""" +
+        s""""scaling":{"input_edges":$scEdges,"cores":"$lowCpus->$cpus",""" +
+        s""""eps_iter_c$cpus":${jn(scHi, 0)},"eps_iter_c$lowCpus":${jn(scLo, 0)},""" +
+        s""""efficiency":${jn(scEff, 3)},"scaling_gate":"$gate",""" +
+        s""""efficiency_vs_mem_ceiling":${jn(vsCeil, 3)}},""" +
+        s""""detail":"$out"}"""
+    }
     val json =
       s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${jn(peakHi, 0)},""" +
       s""""unit":"edges/sec","queries":$qs,"sf":"$sfDir",""" +
@@ -435,7 +475,6 @@ object Bench {
     json
     }
 
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     def writeOut(json: String): Unit =
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
@@ -471,15 +510,17 @@ object Bench {
       // 3x with neighbor load (r4b measured pairs at 0.53-0.61 against a
       // morning ceiling they never saw) — same principle as the query
       // guard's mem_gbps_at_rerun
-      def runPair(comp: Boolean): (Double, Double, Double) = {
+      def runPair(gather: String): (Double, Double, Double) = {
         // bracket the pair: sample the ceiling before AND after the child
         // runs and average — the children take 1-2 min, long enough for the
         // host's available bandwidth to swing mid-pair, and a one-sided
         // sample misattributes that swing to (or away from) the engine
         val mLo = memThroughput(lowCpus, runs = 1)
         val mHi = memThroughput(cpus, runs = 1)
-        val env = if (comp) Map("GRAFT_SHUFFLE_COMPRESS" -> "lz4")
-                  else Map("GRAFT_SHUFFLE_COMPRESS" -> "")
+        // shuffle compress stays off: the off-vs-lz4 A/B ran in r3 AND r4
+        // and "off" won both times on this tmpfs-shuffle host (settled);
+        // the live config question is the gather layout (see below)
+        val env = Map("GRAFT_SHUFFLE_COMPRESS" -> "", "GRAFT_PR_GATHER" -> gather)
         val (n, hi) = childThroughput(cpus, bigPath, bigIters, env)
         bigNnz = n
         val (_, lo) = childThroughput(lowCpus, bigPath, bigIters, env)
@@ -488,29 +529,37 @@ object Bench {
         val ceil = ((mHi / mLo) + (mHi2 / mLo2)) / 2.0 / idealSpeedup
         (hi, lo, ceil)
       }
-      val (hOff, lOff, cOff) = runPair(comp = false)
-      writeOut(render(bigNnz, Seq(hOff), Seq(lOff), Seq(cOff), ""))
-      // A/B probe: one lz4 pair (recorded either way), budget permitting
-      val (hLz, lLz, cLz) =
-        if (elapsedSec < budget - pairCost) runPair(comp = true)
+      // gather-layout A/B: CSR-like grouped adjacency (the default; rehearsal
+      // on this host: c32 12.1M/c8 5.5M at 80M edges) vs per-edge-row flat
+      // (c32 10.7M/c8 4.4M but a slightly better 8->32 ratio — grouped helps
+      // the CPU-bound low-core side more than the bandwidth-bound high-core
+      // side). One pair each, both recorded; the better-SCALING one (with a
+      // throughput tiebreak inside a 5% efficiency band) carries the
+      // remaining pairs, so the gate statistic reflects the better layout
+      // for THIS run's host window.
+      val (hGrp, lGrp, cGrp) = runPair(gather = "grouped")
+      writeOut(render(bigNnz, Seq(hGrp), Seq(lGrp), Seq(cGrp), ""))
+      val (hFlat, lFlat, cFlat) =
+        if (elapsedSec < budget - pairCost) runPair(gather = "flat")
         else (0.0, 0.0, 0.0)
-      val effOff = hOff / math.max(lOff, 1e-9)
-      val effLz = hLz / math.max(lLz, 1e-9)
-      val lzWins = lLz > 0 &&
-        (effLz > effOff * 1.05 || (effLz >= effOff * 0.95 && hLz > hOff))
-      if (lLz > 0) abJson =
-        s""","compress_ab":{"off":{"c$cpus":${jn(hOff, 0)},"c$lowCpus":${jn(lOff, 0)},""" +
-        s""""efficiency":${jn(effOff / idealSpeedup, 3)}},""" +
-        s""""lz4":{"c$cpus":${jn(hLz, 0)},"c$lowCpus":${jn(lLz, 0)},""" +
-        s""""efficiency":${jn(effLz / idealSpeedup, 3)}},""" +
-        s""""winner":"${if (lzWins) "lz4" else "off"}"}"""
-      if (lzWins) { his += hLz; los += lLz; ceils += cLz }
-      else { his += hOff; los += lOff; ceils += cOff }
+      val effGrp = hGrp / math.max(lGrp, 1e-9)
+      val effFlat = hFlat / math.max(lFlat, 1e-9)
+      val flatWins = lFlat > 0 &&
+        (effFlat > effGrp * 1.05 || (effFlat >= effGrp * 0.95 && hFlat > hGrp))
+      if (lFlat > 0) abJson =
+        s""","gather_ab":{"grouped":{"c$cpus":${jn(hGrp, 0)},"c$lowCpus":${jn(lGrp, 0)},""" +
+        s""""efficiency":${jn(effGrp / idealSpeedup, 3)}},""" +
+        s""""flat":{"c$cpus":${jn(hFlat, 0)},"c$lowCpus":${jn(lFlat, 0)},""" +
+        s""""efficiency":${jn(effFlat / idealSpeedup, 3)}},""" +
+        s""""winner":"${if (flatWins) "flat" else "grouped"}"}"""
+      val winGather = if (flatWins) "flat" else "grouped"
+      if (flatWins) { his += hFlat; los += lFlat; ceils += cFlat }
+      else { his += hGrp; los += lGrp; ceils += cGrp }
       writeOut(render(bigNnz, his.result(), los.result(), ceils.result(), abJson))
       // two more pairs of the winning config -> median of 3 per level
       var extra = 0
       while (extra < 2 && elapsedSec < budget - pairCost) {
-        val (h, l, c) = runPair(comp = lzWins)
+        val (h, l, c) = runPair(gather = winGather)
         his += h; los += l; ceils += c; extra += 1
         writeOut(render(bigNnz, his.result(), los.result(), ceils.result(), abJson))
       }
@@ -533,7 +582,7 @@ object Bench {
       // driver kill mid-pair still leaves a valid artifact.
       if (effs.size >= 3 && (spread(effs) > 1.4 || spread(vsc) > 1.4) &&
           elapsedSec < budget) {
-        val (h, l, c) = runPair(comp = lzWins)
+        val (h, l, c) = runPair(gather = winGather)
         his += h; los += l; ceils += c
         writeOut(render(bigNnz, his.result(), los.result(), ceils.result(), abJson))
       }
@@ -542,6 +591,9 @@ object Bench {
     val json = render(bigNnz, his.result(), los.result(), ceils.result(), abJson)
     writeOut(json)
     println(json)
+    // LAST line = the short headline (driver tail-capture safe; see render)
+    println(render(bigNnz, his.result(), los.result(), ceils.result(), abJson,
+      compact = true))
   }
 
   /** Command line for a pinned-heap child JVM running graft.Bench with
@@ -571,6 +623,36 @@ object Bench {
     pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     pb.start().waitFor()
+  }
+
+  /** Converged run (tol=1e-6) in a pristine child JVM -> (iterations, sec);
+    * falls back to an in-process fresh session if the spawn fails.
+    */
+  private def childConverged(cores: Int, edgesPath: String): (Int, Double) = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val pb = new ProcessBuilder(pinnedCmd(
+        Seq("--converged", cores.toString, edgesPath)).asJava)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      p.waitFor()
+      val m = out.linesIterator.find(_.startsWith("GRAFT_CONVERGED "))
+        .getOrElse(sys.error(s"no marker in child output: ${out.takeRight(400)}"))
+      val parts = m.trim.split("\\s+")
+      (parts(1).toInt, parts(2).toDouble)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] child converged failed ($e); in-process fallback")
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s = session(cores)
+        try {
+          val t0 = System.nanoTime()
+          val conv = PageRank.run(s, s.read.parquet(edgesPath), tol = 1e-6, maxIter = 100)
+          (conv.iterations, (System.nanoTime() - t0) / 1e9)
+        } finally s.stop()
+    }
   }
 
   /** One PageRank throughput measurement in a pristine child JVM; falls back

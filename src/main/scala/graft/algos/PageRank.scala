@@ -47,6 +47,18 @@ object PageRank {
     *                      of +.2nd); d stays the out-degree COUNT either way
     *                      (pagerank.m:97, GrB.entries 'degree'). Weighted
     *                      input must have unique (src,dst) entries.
+    * @param grouped       gather over a CSR-like grouped adjacency — one row
+    *                       per src with the dst list as an array (the north
+    *                       star's "partitioned CSR-like grouped-adjacency
+    *                       Dataset") instead of one row per edge. Same math:
+    *                       the gather join probes n_src rows instead of |E|
+    *                       and the cached scan drops the per-edge src
+    *                       repetition; the explode happens inside the same
+    *                       stage as the join, feeding the identical partial
+    *                       hash-agg. Forced off for weighted runs and for the
+    *                       hot-edge slice (a hub's dst array would be one
+    *                       giant row; the hot slice is dst-spread + broadcast
+    *                       anyway).
     * @param seeds         non-empty = PERSONALIZED PageRank: the teleport
     *                      distribution (and the sink-mass redistribution)
     *                      concentrates uniformly on the seed set instead of
@@ -59,16 +71,19 @@ object PageRank {
           tol: Double = 1e-6, maxIter: Int = 100,
           checkpointDir: Option[String] = None, checkpointEvery: Int = 10,
           numPartitions: Int = 0, skewSalts: Int = 8,
-          weighted: Boolean = false, seeds: Seq[Long] = Nil): Result =
+          weighted: Boolean = false, seeds: Seq[Long] = Nil,
+          grouped: Boolean = true, groupCap: Int = 65536): Result =
     // fixed layout + known partition counts: AQE only adds stage barriers
     Iterate.withoutAQE(spark)(runLoop(spark, edges, damp, tol, maxIter,
-      checkpointDir, checkpointEvery, numPartitions, skewSalts, weighted, seeds))
+      checkpointDir, checkpointEvery, numPartitions, skewSalts, weighted, seeds,
+      grouped && !weighted, groupCap))
 
   private def runLoop(spark: SparkSession, edges: DataFrame, damp: Double,
           tol: Double, maxIter: Int,
           checkpointDir: Option[String], checkpointEvery: Int,
           numPartitions: Int, skewSalts: Int,
-          weighted: Boolean, seeds: Seq[Long]): Result = {
+          weighted: Boolean, seeds: Seq[Long], grouped: Boolean,
+          groupCap: Int): Result = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -105,7 +120,7 @@ object PageRank {
     // results, no straggler task, no extra data-sized exchange.
     val hot = if (skewSalts > 0) graft.core.Skew.hotKeys(adjPlain, "src", parts)
               else Seq.empty[Any]
-    val (adj, adjHot) = if (hot.isEmpty) (adjPlain, None) else {
+    val (adjFlat, adjHot) = if (hot.isEmpty) (adjPlain, None) else {
       val cold = adjPlain.filter(!col("src").isin(hot: _*))
         .repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
       val hotE = adjPlain.filter(col("src").isin(hot: _*))
@@ -113,6 +128,27 @@ object PageRank {
       cold.count(); hotE.count() // materialize before dropping the unsplit copy
       adjPlain.unpersist(false)
       (cold, Some(hotE))
+    }
+    // CSR-like grouped adjacency for the cold gather side: one row per src
+    // with the dst array. The groupBy is exchange-free (adjFlat is already
+    // hash(src, parts)) and the result keeps that partitioning, so the
+    // per-iteration join stays co-partitioned. Srcs whose adjacency list
+    // exceeds `groupCap` stay as flat per-edge rows (adjRest): a grouped hub
+    // would put millions of dsts into ONE row — a single-task straggler (and
+    // at scale an executor-memory hazard) precisely when skew detection is
+    // disabled and hubs are NOT already isolated into the hot slice.
+    val (adj, adjRest) = if (!grouped) (adjFlat, None) else {
+      val g0 = adjFlat.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("dsts"))
+      val g = g0.filter(size(col("dsts")) <= groupCap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rest = g0.filter(size(col("dsts")) > groupCap)
+        .select(col("src"), explode(col("dsts")).as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      g.count() // materialize before dropping the flat copy
+      val restEmpty = rest.isEmpty
+      adjFlat.unpersist(false)
+      (g, if (restEmpty) None else Some(rest))
     }
 
     // resume from newest complete checkpoint if present; PPR starts from the
@@ -149,13 +185,26 @@ object PageRank {
       // (semiring +.2nd over the structural adjacency); hot-src edges join a
       // broadcast of the few hot state rows so no single task owns a hub
       val stateT = state.select(col("id").as("src"), (col("r") / col("d")).as("t"))
-      val gathered = adjHot match {
-        case None => adj.join(stateT, Seq("src"))
-        case Some(h) => adj.join(stateT, Seq("src")).unionByName(
-          h.join(broadcast(stateT.filter(col("src").isin(hot: _*))), Seq("src")))
-      }
       val term = if (weighted) col("t") * col("w") else col("t") // +.* vs +.2nd
-      val contrib = gathered.groupBy(col("dst").as("id")).agg(sum(term).as("s"))
+      // grouped: co-partitioned join probes one row per src, the dst array
+      // explodes inside the same stage straight into the partial hash-agg
+      val coldGrouped =
+        if (grouped) adj.join(stateT, Seq("src"))
+          .select(explode(col("dsts")).as("dst"), col("t").as("c"))
+        else adj.join(stateT, Seq("src")).select(col("dst"), term.as("c"))
+      // over-cap srcs gather as flat per-edge rows (co-partitioned join too)
+      val coldGather = adjRest match {
+        case None => coldGrouped
+        case Some(r) => coldGrouped.unionByName(
+          r.join(stateT, Seq("src")).select(col("dst"), col("t").as("c")))
+      }
+      val gathered = adjHot match {
+        case None => coldGather
+        case Some(h) => coldGather.unionByName(
+          h.join(broadcast(stateT.filter(col("src").isin(hot: _*))), Seq("src"))
+            .select(col("dst"), term.as("c")))
+      }
+      val contrib = gathered.groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
 
       // inf-norm convergence (normdiff.m:12-16) + the NEXT iteration's sink
       // mass are OBSERVED during the state-materialization pass itself
@@ -187,6 +236,7 @@ object PageRank {
     }
 
     adj.unpersist(false); adjHot.foreach(_.unpersist(false))
+    adjRest.foreach(_.unpersist(false))
     degrees.unpersist(false)
     Result(state.select(col("id"), col("r")), iter, delta, metrics.toSeq)
   }

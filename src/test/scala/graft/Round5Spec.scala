@@ -127,4 +127,24 @@ class Round5Spec extends SparkTestBase {
     assert(pr.count() == 43) // "the", 40 targets, fox, dog
     assert(math.abs(pr.agg(sum("r")).head.getDouble(0) - 1.0) < 1e-9)
   }
+
+  test("grouped gather == flat gather, including the over-cap flat remainder") {
+    import graft.algos.PageRank
+    // a hub (src 0 -> 200 dsts) over the cap, plus a sparse tail under it;
+    // skew detection OFF so the cap path (not the hot slice) handles the hub
+    val edges = ((0L until 200L).map(d => (0L, d + 1, 1.0)) ++
+      (1L until 50L).map(i => (i, (i * 7) % 50 + 200, 1.0))).toDF("src", "dst", "w")
+    def ranks(grouped: Boolean, cap: Int) =
+      PageRank.run(spark, edges, tol = 0.0, maxIter = 4, skewSalts = -1,
+        grouped = grouped, groupCap = cap).ranks
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val flat = ranks(grouped = false, cap = 64)
+    val grpCapped = ranks(grouped = true, cap = 64)   // hub stays flat
+    val grpAll = ranks(grouped = true, cap = 1 << 20) // hub grouped too
+    assert(flat.length == grpCapped.length && flat.length == grpAll.length)
+    flat.zip(grpCapped).foreach { case ((i1, r1), (i2, r2)) =>
+      assert(i1 == i2 && math.abs(r1 - r2) < 1e-12, s"capped id=$i1") }
+    flat.zip(grpAll).foreach { case ((i1, r1), (i2, r2)) =>
+      assert(i1 == i2 && math.abs(r1 - r2) < 1e-12, s"grouped id=$i1") }
+  }
 }
