@@ -1070,6 +1070,38 @@ object SparkEntry {
       val violations = Corpus.provenanceViolations(roundtrip, c).count()
       Seq((2000L, violations)).toDF("rows", "violations")
     }),
+    // the oracle-green twin of corpus_provenance: same REAL sink roundtrip,
+    // but over the ARITHMETIC corpus and emitting the per-row sha256 itself —
+    // DuckDB re-derives the content strings from the same Lehmer formulas and
+    // re-computes sha256 INDEPENDENTLY, so the north rule's row-level
+    // provenance (sha256(content) equality vs the source table) is checked by
+    // an engine-external hasher, row by row
+    "corpus_provenance_arith" -> ((s, _) => {
+      val c = Corpus.synthesizeArith(s, 500)
+      val sink = "/tmp/graft_corpus_sink_arith"
+      c.write.mode("overwrite").parquet(sink)
+      val rt = s.read.parquet(sink)
+      rt.select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+        .join(c.select(col("repo"), col("path"),
+          sha2(col("content"), 256).as("s_sha")), Seq("repo", "path"))
+        .select(col("repo"), col("path"), col("sha"),
+          (col("sha") === col("s_sha")).as("ok"))
+    }),
+    // the oracle-green twin of corpus_pagerank: the full north-rule chain
+    // corpus -> parse+resolve file edges -> PageRank, over the arithmetic
+    // corpus with NAMED (repo/path) string vertices, 2 fixed iterations —
+    // DuckDB replays synthesis, edge derivation, AND the rank iterations
+    "corpus_pagerank_arith" -> ((s, _) => {
+      val e = Corpus.deriveEdgesNamed(Corpus.synthesizeArith(s, 500))
+        .select(concat_ws("/", col("src_repo"), col("src_path")).as("src"),
+                concat_ws("/", col("dst_repo"), col("dst_path")).as("dst"))
+      // +1e-12 before rounding ON BOTH SIDES: this graph's 2-iteration ranks
+      // are coarse rationals that land EXACTLY on the 8th-decimal half
+      // (e.g. 0.003816875), where Spark (binary-exact HALF_UP) and DuckDB
+      // disagree; the nudge moves halves strictly above the boundary for both
+      PageRank.runFixed(s, e, k = 2)
+        .select(col("id"), round(col("r") + lit(1e-12), 8).as("r"))
+    }),
 
     // pipeline: deduplication family
     "dedup_exact" -> ((s, d) =>
@@ -1080,6 +1112,11 @@ object SparkEntry {
       Dedup.minhashNearDups(docs(s, d), threshold = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), maxHamming = 6)),
+    // the oracle-green twin of dedup_simhash's fingerprint stage: LCG
+    // hyperplane signs over dense-rank token ids, so DuckDB re-derives every
+    // 32-bit fingerprint bit for bit (the xxhash64 production variant stays
+    // the zero-shuffle scale path)
+    "dedup_simhash_lcg" -> ((s, d) => Dedup.simhashLcg(docs(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
@@ -2751,6 +2788,60 @@ object SparkEntry {
         |SELECT src_repo, src_path, dst_repo, dst_path, CAST(count(*) AS BIGINT) AS w
         |FROM named GROUP BY 1, 2, 3, 4""".stripMargin,
 
+    // mirrors Corpus.synthesizeArith's content formula and re-computes
+    // sha256 with DuckDB's own hasher — independent row-level provenance
+    "corpus_provenance_arith" ->
+      """WITH base AS (SELECT range AS i FROM range(0, 500)),
+        |tgt AS (
+        |  SELECT b.i, kk.k,
+        |    CASE WHEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 4 = 0
+        |      THEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % greatest(1, b.i // 16 + 1)
+        |      ELSE ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 500 END AS t
+        |  FROM base b CROSS JOIN (SELECT range AS k FROM range(0, 4)) kk),
+        |lines AS (
+        |  SELECT i, k, 'import ' ||
+        |    'org' || CAST((t % 13) % 7 AS VARCHAR) || '/repo' || CAST(t % 13 AS VARCHAR) ||
+        |    '/' || 'src/f' || CAST(t // 13 AS VARCHAR) || '.' ||
+        |    (['scala','c','py','go','rs'])[(t % 5) + 1] AS line
+        |  FROM tgt),
+        |content AS (
+        |  SELECT i, string_agg(line, chr(10) ORDER BY k) || chr(10) ||
+        |    'def body_' || CAST(i AS VARCHAR) || '(): x = ' ||
+        |    CAST((i*48271 + 11) % 1000 AS VARCHAR) || ' // ' ||
+        |    repeat('filler ', 8) AS content
+        |  FROM lines GROUP BY i)
+        |SELECT
+        |  'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS repo,
+        |  'src/f' || CAST(i // 13 AS VARCHAR) || '.' ||
+        |    (['scala','c','py','go','rs'])[(i % 5) + 1] AS path,
+        |  sha256(content) AS sha, true AS ok
+        |FROM content""".stripMargin,
+
+    // the north-rule chain end to end: the named file graph above feeds the
+    // unrolled 2-iteration PageRank replay (string vertices, unweighted);
+    // the outer +1e-12 nudge mirrors the engine side — this graph's coarse
+    // rational ranks land exactly on 8th-decimal halves otherwise
+    "corpus_pagerank_arith" ->
+      s"""SELECT id, round(r + 1e-12, 8) AS r FROM (
+         |${pagerankUnrolledSql(2, rawFinal = true, edgesSql =
+      """WITH base AS (SELECT range AS i FROM range(0, 500)),
+        |tgt AS (
+        |  SELECT b.i,
+        |    CASE WHEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 4 = 0
+        |      THEN ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % greatest(1, b.i // 16 + 1)
+        |      ELSE ((b.i+1)*48271 + (kk.k+1)*7919) % 1000003 % 500 END AS t
+        |  FROM base b CROSS JOIN (SELECT range AS k FROM range(0, 4)) kk),
+        |named AS (
+        |  SELECT DISTINCT
+        |    'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) ||
+        |      '/' || 'src/f' || CAST(i // 13 AS VARCHAR) || '.' ||
+        |      (['scala','c','py','go','rs'])[(i % 5) + 1] AS src,
+        |    'org' || CAST((t % 13) % 7 AS VARCHAR) || '/repo' || CAST(t % 13 AS VARCHAR) ||
+        |      '/' || 'src/f' || CAST(t // 13 AS VARCHAR) || '.' ||
+        |      (['scala','c','py','go','rs'])[(t % 5) + 1] AS dst
+        |  FROM tgt WHERE i <> t)
+        |SELECT src, dst, 1.0 AS w FROM named""".stripMargin)})""".stripMargin,
+
     // repo quotient of the same derivation: cross-repo only, import
     // multiplicity summed, distinct file pairs counted
     "corpus_repo_graph" ->
@@ -3006,6 +3097,27 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT b, a, CAST(ic AS DOUBLE) / sb FROM inter)
          |WHERE containment >= 0.8""".stripMargin,
+
+    // mirrors Dedup.simhashLcg bit for bit: dense-rank token ids, 32 LCG
+    // hyperplane signs mod 2^31-1, per-occurrence ±1 votes, sign -> bit
+    "dedup_simhash_lcg" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT tok,
+         |  CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tid
+         |  FROM (SELECT DISTINCT tok FROM tok)),
+         |tids AS (SELECT t.doc_id, v.tid FROM tok t JOIN vocab v USING (tok)),
+         |votes AS (
+         |  SELECT doc_id, bb.range AS b,
+         |    sum(CASE WHEN ((48271*bb.range + 16807) % 2147483647 * tid
+         |                   + (69621*bb.range + 12345) % 2147483647)
+         |             % 2147483647 % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM tids CROSS JOIN range(0, 32) bb GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id""".stripMargin,
 
     // mirrors Dedup.minhashNearDupsLcg bit for bit: dense-rank shingle ids,
     // 32 LCG permutations mod 2^31-1, 8 bands × 4 rows folded

@@ -359,6 +359,37 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SQL-re-derivable SimHash twin of [[simhash]]: token ids come from a
+    * dense_rank over the sorted distinct-token vocabulary and each of the
+    * `bits` hyperplane signs is an LCG of the token id mod 2^31-1 (same
+    * recipe as [[minhashNearDupsLcg]]), so DuckDB replays the ENTIRE
+    * fingerprint bit for bit — votes are per-OCCURRENCE (multiset), exactly
+    * like the production xxhash64 variant. The production variant stays the
+    * scale path (zero-shuffle projection); this twin pays one global-window
+    * vocab rank for oracle-checkability.
+    */
+  def simhashLcg(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val P = 2147483647L // 2^31 - 1: a*tid + c < 2^62, no overflow
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val tok = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = tok.select("tok").distinct()
+      .withColumn("tid", (dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1).cast("long"))
+    val tids = tok.join(vocab, "tok").select("doc_id", "tid")
+    val votes = transform(sequence(lit(0), lit(bits - 1)), b => {
+      val a = (lit(48271L) * b + 16807L) % P
+      val c = (lit(69621L) * b + 12345L) % P
+      aggregate(col("tids"), lit(0L), (acc, x) =>
+        acc + when((a * x + c) % P % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+    })
+    val powers = typedLit((0 until bits).map(b => 1L << b))
+    val fp = aggregate(
+      zip_with(votes, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    tids.groupBy("doc_id").agg(collect_list(col("tid")).as("tids"))
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
   /** ASYMMETRIC n-gram containment C(x ⊆ y) = |Sx ∩ Sy| / |Sx| — the
     * doc-in-doc detector (Broder's containment, the measure behind quote /
     * boilerplate / sub-document duplication that symmetric Jaccard misses:
