@@ -236,7 +236,8 @@ object Bench {
       try {
         val t0 = System.nanoTime()
         val edges = s.read.parquet(path)
-        val conv = PageRank.run(s, edges, tol = 1e-6, maxIter = 100)
+        val conv = PageRank.run(s, edges, tol = 1e-6, maxIter = 100,
+          grouped = !sys.env.get("GRAFT_PR_GATHER").contains("flat"))
         val sec = (System.nanoTime() - t0) / 1e9
         println(s"GRAFT_CONVERGED ${conv.iterations} ${jn(sec, 3)}")
       } finally s.stop()

@@ -421,6 +421,15 @@ object SparkEntry {
     // §2.1 reshape: nation adjacency 32×32 → 64×16 by-row relinearization
     "gb_reshape" -> ((s, d) => GBMatrix(nationAdj(s, d)).reshape(32, 16).df),
 
+    // §2.1 dup + resize (GrB_Matrix_dup GraphBLAS.h:3320, GrB_Matrix_resize
+    // :5543): duplicate — for an immutable Dataset a deep copy IS the value,
+    // taken here as a fresh wrapper — then shrink the dims, keeping the
+    // surviving triplets
+    "gb_dup_resize" -> ((s, d) => {
+      val dupOf = GBMatrix(GBMatrix(nationAdj(s, d)).df)
+      dupOf.resize(20, 12).df
+    }),
+
     // §2.2 rowscale/colscale: D*A and A*D diagonal scaling (no agg, no
     // shuffle beyond the key join)
     "gb_rowscale" -> ((s, d) => {
@@ -1138,6 +1147,11 @@ object SparkEntry {
     // minhash flavor: band buckets are engine-internal xxhash64 → rows-only
     // (cluster-merge correctness is unit-tested on planted duplicates)
     "dedup_minhash_clusters" -> ((s, d) => Dedup.minhashClusters(docs(s, d))),
+    // the oracle-green twin: LCG buckets (same chain as dedup_minhash_lcg)
+    // through the SAME star-link + connected-components representative
+    // assignment — DuckDB replays the buckets and converges the min-label
+    // propagation itself
+    "dedup_minhash_clusters_lcg" -> ((s, d) => Dedup.minhashClustersLcg(docs(s, d))),
 
     // pipeline: similarity search
     "ann_brute_topk" -> ((s, d) => {
@@ -1870,6 +1884,10 @@ object SparkEntry {
     "gb_reshape" ->
       s"""SELECT (src * 32 + dst) // 16 AS src, (src * 32 + dst) % 16 AS dst, w
          |FROM ($nationAdjSql)""".stripMargin,
+
+    "gb_dup_resize" ->
+      s"""SELECT src, dst, w FROM ($nationAdjSql)
+         |WHERE src < 20 AND dst < 12""".stripMargin,
 
     "gb_rowscale" ->
       s"""WITH a AS ($edgesBiSql),
@@ -3119,6 +3137,13 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id""".stripMargin,
 
+    // mirrors Dedup.minhashClustersLcg: the LCG bucket chain, star links to
+    // each bucket's min doc, then min-label propagation unrolled past the
+    // link graph's diameter (each round widens the min by one hop, so K
+    // rounds with K >= diameter IS the connected-components fixpoint the
+    // engine computes)
+    "dedup_minhash_clusters_lcg" -> minhashClustersLcgSql(rounds = 10),
+
     // mirrors Dedup.minhashNearDupsLcg bit for bit: dense-rank shingle ids,
     // 32 LCG permutations mod 2^31-1, 8 bands × 4 rows folded
     // (acc·8191 + sig) mod p, 1000-cap, exact full-set Jaccard ≥ 0.5
@@ -3476,6 +3501,48 @@ object SparkEntry {
     val fin = if (rawFinal) s"SELECT id, r FROM r$k"
       else s"SELECT id, round(r, 8) AS r FROM r$k"
     s"$prelude,\n$iters\n$fin"
+  }
+
+  /** Oracle for dedup_minhash_clusters_lcg: the LCG bucket chain (identical
+    * to dedup_minhash_lcg's), star links doc -> per-bucket min doc, then
+    * `rounds` unrolled rounds of undirected min-label propagation — the
+    * connected-components fixpoint once rounds >= the link graph's diameter.
+    */
+  private def minhashClustersLcgSql(rounds: Int): String = {
+    val prop = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT l.v,
+         |  min(least(l.lbl, coalesce(n.lbl, l.lbl))) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN und u ON u.a = l.v
+         |  LEFT JOIN l${i - 1} n ON n.v = u.b
+         |  GROUP BY l.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+       |       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+       |vocab AS (SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) - 1 AS BIGINT) AS sid
+       |          FROM (SELECT DISTINCT sh FROM sh)),
+       |shs AS (SELECT s.doc_id, v.sid FROM sh s JOIN vocab v USING (sh)),
+       |js AS (SELECT CAST(j AS BIGINT) AS j FROM range(32) t(j)),
+       |sig AS MATERIALIZED (SELECT doc_id, j,
+       |    MIN(((48271*j + 16807) % 2147483647 * (sid % 2147483647)
+       |         + (69621*j + 12345) % 2147483647) % 2147483647) AS m
+       |  FROM shs CROSS JOIN js GROUP BY doc_id, j),
+       |bl AS (SELECT doc_id, CAST(j // 4 AS BIGINT) AS band,
+       |         list(m ORDER BY j) AS l FROM sig GROUP BY doc_id, band),
+       |bk AS (SELECT doc_id, band,
+       |  ((((l[1]*8191 + l[2]) % 2147483647) * 8191 + l[3]) % 2147483647
+       |    * 8191 + l[4]) % 2147483647 AS bkt FROM bl),
+       |bmin AS (SELECT band, bkt, min(doc_id) AS rep FROM bk GROUP BY 1, 2),
+       |links AS (SELECT DISTINCT b.doc_id AS src, m.rep AS dst
+       |          FROM bk b JOIN bmin m USING (band, bkt) WHERE b.doc_id <> m.rep),
+       |und AS (SELECT src AS a, dst AS b FROM links
+       |        UNION SELECT dst AS a, src AS b FROM links),
+       |l0 AS (SELECT v, v AS lbl FROM (SELECT DISTINCT a AS v FROM und)),
+       |$prop
+       |SELECT d.doc_id, coalesce(lf.lbl, d.doc_id) AS rep_id
+       |FROM documents d LEFT JOIN l$rounds lf ON lf.v = d.doc_id""".stripMargin
   }
 
   // --- link-analysis oracle SQL over the sparse arithmetic fixture -------

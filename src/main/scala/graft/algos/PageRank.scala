@@ -90,16 +90,20 @@ object PageRank {
 
     // edges partitioned by src and cached: the loop's reusable CSR side
     // (reference keeps A by-row; we keep the partitioning); unweighted runs
-    // carry only the structure
+    // carry only the structure. distinct() AFTER repartition(src): hash(src)
+    // satisfies ClusteredDistribution(src,dst) (subset rule), so the dedup
+    // agg reuses the layout — ONE edge shuffle in setup, not two
     val adjPlain = (if (weighted) edges.select(col("src"), col("dst"), col("w"))
-                    else edges.select(col("src"), col("dst")).distinct())
-      .repartition(parts, col("src"))
+                      .repartition(parts, col("src"))
+                    else edges.select(col("src"), col("dst"))
+                      .repartition(parts, col("src")).distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // vertex universe with out-degree; sinks get d=1 (pagerank.m:97-104)
+    // vertex universe with out-degree; sinks get d=1 (pagerank.m:97-104).
+    // Same fusion: repartition(id) FIRST, the distinct agg keeps the layout
     val degrees = adjPlain.select(col("src").as("id"))
-      .union(adjPlain.select(col("dst").as("id"))).distinct()
-      .repartition(parts, col("id"))
+      .union(adjPlain.select(col("dst").as("id")))
+      .repartition(parts, col("id")).distinct()
       .join(adjPlain.groupBy(col("src").as("id"))
         .agg(count(lit(1)).cast("double").as("od")), Seq("id"), "left")
       .select(col("id"), coalesce(col("od"), lit(1.0)).as("d"),
@@ -118,8 +122,16 @@ object PageRank {
     // few hot srcs' edges are salt-spread across partitions by dst and join
     // a per-iteration BROADCAST of the tiny hot state slice. Identical
     // results, no straggler task, no extra data-sized exchange.
-    val hot = if (skewSalts > 0) graft.core.Skew.hotKeys(adjPlain, "src", parts)
-              else Seq.empty[Any]
+    // hot-key detection reads the CACHED degrees table (od per src is exactly
+    // Skew.hotKeys' per-key count on the flat edges) instead of re-aggregating
+    // the edge table — same threshold/cap policy, one cheap n-row pass
+    val hot: Seq[Any] = if (skewSalts <= 0) Seq.empty[Any] else {
+      val total = adjPlain.count() // cache hit: materialized by degrees above
+      val threshold = math.max(4096.0, total / parts.toDouble * 0.5)
+      degrees.filter(!col("isSink") && col("d") > threshold)
+        .orderBy(col("d").desc).limit(1024)
+        .select(col("id")).collect().map(_.get(0)).toSeq
+    }
     val (adjFlat, adjHot) = if (hot.isEmpty) (adjPlain, None) else {
       val cold = adjPlain.filter(!col("src").isin(hot: _*))
         .repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -138,17 +150,22 @@ object PageRank {
     // at scale an executor-memory hazard) precisely when skew detection is
     // disabled and hubs are NOT already isolated into the hot slice.
     val (adj, adjRest) = if (!grouped) (adjFlat, None) else {
+      // whether any COLD src exceeds the cap is already answered by the
+      // cached degrees table (hot srcs were split off above) — one cheap
+      // n-row pass instead of re-running the grouping aggregation
+      val restEmpty = degrees
+        .filter(col("d") > groupCap && !col("id").isin(hot: _*)).isEmpty
       val g0 = adjFlat.groupBy(col("src"))
         .agg(collect_list(col("dst")).as("dsts"))
-      val g = g0.filter(size(col("dsts")) <= groupCap)
+      val g = (if (restEmpty) g0 else g0.filter(size(col("dsts")) <= groupCap))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val rest = g0.filter(size(col("dsts")) > groupCap)
-        .select(col("src"), explode(col("dsts")).as("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      g.count() // materialize before dropping the flat copy
-      val restEmpty = rest.isEmpty
+      val rest = if (restEmpty) None else Some(
+        g0.filter(size(col("dsts")) > groupCap)
+          .select(col("src"), explode(col("dsts")).as("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      g.count(); rest.foreach(_.count()) // materialize before dropping flat
       adjFlat.unpersist(false)
-      (g, if (restEmpty) None else Some(rest))
+      (g, rest)
     }
 
     // resume from newest complete checkpoint if present; PPR starts from the

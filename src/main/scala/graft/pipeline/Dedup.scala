@@ -323,9 +323,12 @@ object Dedup {
     * than a hash of the band slice. Same banding math, same cap discipline,
     * same full-set exact verify.
     */
-  def minhashNearDupsLcg(docs: DataFrame, threshold: Double = 0.5,
-                         numPerm: Int = 32, bands: Int = 8, w: Int = 3,
-                         maxBucket: Int = 1000): DataFrame = {
+  /** The SQL-re-derivable LCG LSH stage shared by the near-dup and cluster
+    * twins: (shingle table, (doc_id, band, bkt) buckets) — dense-rank shingle
+    * ids, `numPerm` LCG permutations mod 2^31-1, banded folds.
+    */
+  private[pipeline] def minhashBucketsLcg(docs: DataFrame, numPerm: Int,
+                                          bands: Int, w: Int): (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val P = 2147483647L // 2^31 - 1 (prime): sig < 2^31, fold stays < 2^44
     val r = numPerm / bands
@@ -350,6 +353,13 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         aggregate(slice(col("sig"), b * r + 1, lit(r)), lit(0L),
           (acc, x) => (acc * 8191L + x) % P)))).toDF("doc_id", "band", "bkt")
+    (sh, buckets)
+  }
+
+  def minhashNearDupsLcg(docs: DataFrame, threshold: Double = 0.5,
+                         numPerm: Int = 32, bands: Int = 8, w: Int = 3,
+                         maxBucket: Int = 1000): DataFrame = {
+    val (sh, buckets) = minhashBucketsLcg(docs, numPerm, bands, w)
     val capped = capBuckets(buckets, Seq("band", "bkt"), maxBucket)
     val cands = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
@@ -357,6 +367,18 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     jaccardVerify(sh, cands, threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SQL-re-derivable cluster twin of [[minhashClusters]]: the LCG buckets
+    * above feed the same star-link + connected-components representative
+    * assignment, so DuckDB can replay the buckets and converge the
+    * min-label propagation itself (the engine runs CC to fixpoint; the
+    * oracle unrolls enough rounds to cover the link graph's diameter).
+    */
+  def minhashClustersLcg(docs: DataFrame, numPerm: Int = 32, bands: Int = 8,
+                         w: Int = 3): DataFrame = {
+    val (_, buckets) = minhashBucketsLcg(docs, numPerm, bands, w)
+    clustersFromBuckets(docs, buckets, Seq("band", "bkt"))
   }
 
   /** SQL-re-derivable SimHash twin of [[simhash]]: token ids come from a
