@@ -645,14 +645,21 @@ object Bench {
       (parts(1).toInt, parts(2).toDouble)
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] child converged failed ($e); in-process fallback")
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        val s = session(cores)
-        try {
-          val t0 = System.nanoTime()
-          val conv = PageRank.run(s, s.read.parquet(edgesPath), tol = 1e-6, maxIter = 100)
-          (conv.iterations, (System.nanoTime() - t0) / 1e9)
-        } finally s.stop()
+        System.err.println(s"[bench] child converged failed ($e); in-parent fallback")
+        // fall back to the PARENT session (the r4-style in-parent
+        // measurement, debris and all — still a valid sample, and the JSON
+        // stays complete). Never create-and-stop a session here: this runs
+        // BEFORE the parent is done with its SparkContext, and getOrCreate
+        // would hand back that live context — stopping it would kill the
+        // hub fixture and the corpus phase (childThroughput's fallback is
+        // only safe because it runs after spark.stop()).
+        val s = SparkSession.active
+        val t0 = System.nanoTime()
+        val conv = PageRank.run(s, s.read.parquet(edgesPath), tol = 1e-6,
+          maxIter = 100,
+          grouped = !sys.env.get("GRAFT_PR_GATHER").contains("flat"))
+        dropCaches(s)
+        (conv.iterations, (System.nanoTime() - t0) / 1e9)
     }
   }
 

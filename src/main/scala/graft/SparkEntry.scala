@@ -3142,30 +3142,13 @@ object SparkEntry {
     // link graph's diameter (each round widens the min by one hop, so K
     // rounds with K >= diameter IS the connected-components fixpoint the
     // engine computes)
-    "dedup_minhash_clusters_lcg" -> minhashClustersLcgSql(rounds = 10),
+    "dedup_minhash_clusters_lcg" -> minhashClustersLcgSql(rounds = 14),
 
     // mirrors Dedup.minhashNearDupsLcg bit for bit: dense-rank shingle ids,
     // 32 LCG permutations mod 2^31-1, 8 bands × 4 rows folded
     // (acc·8191 + sig) mod p, 1000-cap, exact full-set Jaccard ≥ 0.5
     "dedup_minhash_lcg" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS tk
-         |  FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
-         |       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
-         |vocab AS (SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) - 1 AS BIGINT) AS sid
-         |          FROM (SELECT DISTINCT sh FROM sh)),
-         |shs AS (SELECT s.doc_id, v.sid FROM sh s JOIN vocab v USING (sh)),
-         |js AS (SELECT CAST(j AS BIGINT) AS j FROM range(32) t(j)),
-         |sig AS MATERIALIZED (SELECT doc_id, j,
-         |    MIN(((48271*j + 16807) % 2147483647 * (sid % 2147483647)
-         |         + (69621*j + 12345) % 2147483647) % 2147483647) AS m
-         |  FROM shs CROSS JOIN js GROUP BY doc_id, j),
-         |bl AS (SELECT doc_id, CAST(j // 4 AS BIGINT) AS band,
-         |         list(m ORDER BY j) AS l FROM sig GROUP BY doc_id, band),
-         |bk AS (SELECT doc_id, band,
-         |  ((((l[1]*8191 + l[2]) % 2147483647) * 8191 + l[3]) % 2147483647
-         |    * 8191 + l[4]) % 2147483647 AS bkt FROM bl),
+      s"""WITH $minhashLcgBucketsCtes,
          |pop AS (SELECT band, bkt FROM bk GROUP BY band, bkt HAVING count(*) <= 1000),
          |cap AS (SELECT b.doc_id, b.band, b.bkt FROM bk b JOIN pop USING (band, bkt)),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM cap x JOIN cap y
@@ -3503,10 +3486,37 @@ object SparkEntry {
     s"$prelude,\n$iters\n$fin"
   }
 
-  /** Oracle for dedup_minhash_clusters_lcg: the LCG bucket chain (identical
-    * to dedup_minhash_lcg's), star links doc -> per-bucket min doc, then
-    * `rounds` unrolled rounds of undirected min-label propagation — the
-    * connected-components fixpoint once rounds >= the link graph's diameter.
+  /** The LCG LSH bucket chain shared (verbatim, like the Scala side's
+    * Dedup.minhashBucketsLcg) by the dedup_minhash_lcg and
+    * dedup_minhash_clusters_lcg oracles: documents -> shingles ->
+    * dense-rank ids -> 32 LCG permutations -> banded folds `bk(doc_id,
+    * band, bkt)`. Keep ONE copy so the two DuckDB replays cannot drift.
+    */
+  private val minhashLcgBucketsCtes =
+    """toks AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+      |       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+      |vocab AS (SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) - 1 AS BIGINT) AS sid
+      |          FROM (SELECT DISTINCT sh FROM sh)),
+      |shs AS (SELECT s.doc_id, v.sid FROM sh s JOIN vocab v USING (sh)),
+      |js AS (SELECT CAST(j AS BIGINT) AS j FROM range(32) t(j)),
+      |sig AS MATERIALIZED (SELECT doc_id, j,
+      |    MIN(((48271*j + 16807) % 2147483647 * (sid % 2147483647)
+      |         + (69621*j + 12345) % 2147483647) % 2147483647) AS m
+      |  FROM shs CROSS JOIN js GROUP BY doc_id, j),
+      |bl AS (SELECT doc_id, CAST(j // 4 AS BIGINT) AS band,
+      |         list(m ORDER BY j) AS l FROM sig GROUP BY doc_id, band),
+      |bk AS (SELECT doc_id, band,
+      |  ((((l[1]*8191 + l[2]) % 2147483647) * 8191 + l[3]) % 2147483647
+      |    * 8191 + l[4]) % 2147483647 AS bkt FROM bl)""".stripMargin
+
+  /** Oracle for dedup_minhash_clusters_lcg: the shared LCG bucket chain,
+    * star links doc -> per-bucket min doc, then `rounds` unrolled rounds of
+    * undirected min-label propagation — the connected-components fixpoint
+    * once rounds >= the link graph's diameter (measured 3 at sf0.01; the
+    * unroll carries a >4x margin).
     */
   private def minhashClustersLcgSql(rounds: Int): String = {
     val prop = (1 to rounds).map { i =>
@@ -3516,24 +3526,7 @@ object SparkEntry {
          |  LEFT JOIN l${i - 1} n ON n.v = u.b
          |  GROUP BY l.v)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (SELECT doc_id,
-       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS tk
-       |  FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
-       |       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
-       |vocab AS (SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) - 1 AS BIGINT) AS sid
-       |          FROM (SELECT DISTINCT sh FROM sh)),
-       |shs AS (SELECT s.doc_id, v.sid FROM sh s JOIN vocab v USING (sh)),
-       |js AS (SELECT CAST(j AS BIGINT) AS j FROM range(32) t(j)),
-       |sig AS MATERIALIZED (SELECT doc_id, j,
-       |    MIN(((48271*j + 16807) % 2147483647 * (sid % 2147483647)
-       |         + (69621*j + 12345) % 2147483647) % 2147483647) AS m
-       |  FROM shs CROSS JOIN js GROUP BY doc_id, j),
-       |bl AS (SELECT doc_id, CAST(j // 4 AS BIGINT) AS band,
-       |         list(m ORDER BY j) AS l FROM sig GROUP BY doc_id, band),
-       |bk AS (SELECT doc_id, band,
-       |  ((((l[1]*8191 + l[2]) % 2147483647) * 8191 + l[3]) % 2147483647
-       |    * 8191 + l[4]) % 2147483647 AS bkt FROM bl),
+    s"""WITH $minhashLcgBucketsCtes,
        |bmin AS (SELECT band, bkt, min(doc_id) AS rep FROM bk GROUP BY 1, 2),
        |links AS (SELECT DISTINCT b.doc_id AS src, m.rep AS dst
        |          FROM bk b JOIN bmin m USING (band, bkt) WHERE b.doc_id <> m.rep),

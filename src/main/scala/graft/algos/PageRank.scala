@@ -124,14 +124,14 @@ object PageRank {
     // results, no straggler task, no extra data-sized exchange.
     // hot-key detection reads the CACHED degrees table (od per src is exactly
     // Skew.hotKeys' per-key count on the flat edges) instead of re-aggregating
-    // the edge table — same threshold/cap policy, one cheap n-row pass
-    val hot: Seq[Any] = if (skewSalts <= 0) Seq.empty[Any] else {
-      val total = adjPlain.count() // cache hit: materialized by degrees above
-      val threshold = math.max(4096.0, total / parts.toDouble * 0.5)
-      degrees.filter(!col("isSink") && col("d") > threshold)
-        .orderBy(col("d").desc).limit(1024)
-        .select(col("id")).collect().map(_.get(0)).toSeq
-    }
+    // the edge table — the threshold/cap policy itself lives in ONE place
+    // (Skew.hotKeysFromCounts), shared with every other hotKeys caller
+    val hot: Seq[Any] = if (skewSalts <= 0) Seq.empty[Any] else
+      graft.core.Skew.hotKeysFromCounts(
+        degrees.filter(!col("isSink")).select(col("id"), col("d")),
+        "id", "d",
+        total = adjPlain.count(), // cache hit: materialized by degrees above
+        parts = parts)
     val (adjFlat, adjHot) = if (hot.isEmpty) (adjPlain, None) else {
       val cold = adjPlain.filter(!col("src").isin(hot: _*))
         .repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -155,8 +155,12 @@ object PageRank {
       // n-row pass instead of re-running the grouping aggregation
       val restEmpty = degrees
         .filter(col("d") > groupCap && !col("id").isin(hot: _*)).isEmpty
-      val g0 = adjFlat.groupBy(col("src"))
+      val g0raw = adjFlat.groupBy(col("src"))
         .agg(collect_list(col("dst")).as("dsts"))
+      // with over-cap srcs present, BOTH splits read g0 — persist it so the
+      // grouping pass over the cold edges runs once, not once per split
+      val g0 = if (restEmpty) g0raw
+               else g0raw.persist(StorageLevel.MEMORY_AND_DISK)
       val g = (if (restEmpty) g0 else g0.filter(size(col("dsts")) <= groupCap))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val rest = if (restEmpty) None else Some(
@@ -164,6 +168,7 @@ object PageRank {
           .select(col("src"), explode(col("dsts")).as("dst"))
           .persist(StorageLevel.MEMORY_AND_DISK))
       g.count(); rest.foreach(_.count()) // materialize before dropping flat
+      if (!restEmpty) g0.unpersist(false)
       adjFlat.unpersist(false)
       (g, rest)
     }

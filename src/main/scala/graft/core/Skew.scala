@@ -35,13 +35,24 @@ object Skew {
     * the driver-side hot list is O(cap), never data-sized.
     */
   def hotKeys(df: DataFrame, key: String, parts: Int, frac: Double = 0.5,
-              minDeg: Long = 4096, cap: Int = 1024): Seq[Any] = {
-    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
-    val total = df.count()
+              minDeg: Long = 4096, cap: Int = 1024): Seq[Any] =
+    hotKeysFromCounts(
+      df.groupBy(col(key)).agg(count(lit(1)).cast("double").as("c")),
+      key, "c", df.count(), parts, frac, minDeg, cap)
+
+  /** The ONE hot-key policy, over a precomputed per-key count table —
+    * callers that already hold the counts (PageRank's cached degree table)
+    * skip the counting pass without duplicating the threshold/cap rules.
+    * `total` is the row count the counts were taken over.
+    */
+  def hotKeysFromCounts(counts: DataFrame, key: String, countCol: String,
+                        total: Long, parts: Int, frac: Double = 0.5,
+                        minDeg: Long = 4096, cap: Int = 1024): Seq[Any] = {
     val threshold = math.max(minDeg.toDouble, total / parts.toDouble * frac)
     // native values, not getLong: the key column may be string-typed (e.g.
     // textrank's term vertices) — isin() takes the values as-is either way
-    counts.filter(col("c") > threshold).orderBy(col("c").desc).limit(cap)
+    counts.filter(col(countCol) > threshold)
+      .orderBy(col(countCol).desc).limit(cap)
       .select(col(key)).collect().map(_.get(0)).toSeq
   }
 
