@@ -1277,6 +1277,16 @@ object SparkEntry {
           size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
             .cast("long").as("y")))
         .select(col("n"), round(col("rho"), 8).as("rho"))),
+    // exact tie-aware Kendall tau-b over the same two integer statistics —
+    // doubled tie terms m0/m1/m2 and the signed pair fold over the
+    // distinct-(x,y) group table keep every intermediate an exact integer;
+    // one final division (2·cd / sqrt of a double product, like spearman)
+    "eval_kendall" -> ((s, d) =>
+      Eval.kendall(
+        docs(s, d).select(length(col("text")).cast("long").as("x"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast("long").as("y")))
+        .select(col("n"), col("cd"), round(col("tau"), 8).as("tau"))),
     // language-ID confusion matrix vs the documents table's lang truth
     "eval_langid_confusion" -> ((s, d) =>
       Eval.confusion(
@@ -1342,6 +1352,10 @@ object SparkEntry {
     // a-posteriori certified equal to the unbounded exact top-k
     "text_top_terms" -> ((s, d) =>
       TextStats.topTermsExact(docs(s, d), topK = 20, cap = 4096)),
+    // vocabulary-coverage filter: per-doc OOV rate vs the corpus' own top-16
+    // vocabulary (count desc, term asc — deterministic boundary); K=16 so
+    // the synthetic corpus' ~40-term vocabulary leaves a real OOV tail
+    "text_oov_rate" -> ((s, d) => TextStats.oovRate(docs(s, d), vocabK = 16)),
     // deterministic global training order; rangeWidth 2^27 → ~16 key ranges
     // at any SF, so the driver pins the two-level rank == one global sort
     "text_shuffle_order" -> ((s, d) =>
@@ -2951,6 +2965,26 @@ object SparkEntry {
         |    > (SELECT n FROM n) / 4097.0 THEN 1 ELSE 0 END AS BIGINT) AS certified
         |FROM rk WHERE rk <= 20""".stripMargin,
 
+    // mirrors TextStats.oovRate: top-16 vocabulary (count desc, term asc),
+    // per-doc in/out token counts, one IEEE division; empty docs keep 0.0
+    "text_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t(term)),
+        |vocab AS (SELECT term FROM (
+        |  SELECT term, count(*) AS cnt FROM toks GROUP BY 1)
+        |  ORDER BY cnt DESC, term LIMIT 16),
+        |per_doc AS (SELECT doc_id, count(*) AS tok_cnt,
+        |    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS oov_cnt
+        |  FROM toks LEFT JOIN vocab v ON v.term = toks.term GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.tok_cnt, 0) AS BIGINT) AS tok_cnt,
+        |  CAST(COALESCE(p.oov_cnt, 0) AS BIGINT) AS oov_cnt,
+        |  CASE WHEN COALESCE(p.tok_cnt, 0) = 0 THEN 0.0
+        |       ELSE CAST(p.oov_cnt AS DOUBLE) / CAST(p.tok_cnt AS DOUBLE)
+        |  END AS oov_rate
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+
     // mirrors TextStats.langId: marker-word hits per language, argmax with
     // alphabetical tie-break (the CASE checks in alphabetical order)
     "text_langid" -> langidSql,
@@ -3029,6 +3063,29 @@ object SparkEntry {
         |    / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE)
         |         * CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DOUBLE)), 8) AS rho
         |FROM s""".stripMargin,
+
+    // exact tie-aware Kendall tau-b over the distinct-(x,y) group table —
+    // doubled tie terms, signed pair fold, same final IEEE arithmetic as
+    // the engine (2·cd / sqrt(double(m0−m1)·double(m0−m2)))
+    "eval_kendall" ->
+      """WITH rows_xy AS (SELECT CAST(length(text) AS BIGINT) AS x,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS y
+        |  FROM documents),
+        |g AS (SELECT x, y, count(*) AS cnt FROM rows_xy GROUP BY 1, 2),
+        |cd AS (SELECT COALESCE(sum(CAST(a.cnt AS DECIMAL(38,0)) * b.cnt *
+        |         (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)),
+        |         0) AS cd
+        |       FROM g a JOIN g b ON a.x < b.x),
+        |m1 AS (SELECT COALESCE(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)), 0) AS m1
+        |       FROM (SELECT sum(cnt) AS t FROM g GROUP BY x)),
+        |m2 AS (SELECT COALESCE(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)), 0) AS m2
+        |       FROM (SELECT sum(cnt) AS t FROM g GROUP BY y)),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |          CAST(sum(cnt) AS DECIMAL(38,0)) * (sum(cnt) - 1) AS m0 FROM g)
+        |SELECT n, CAST(cd AS BIGINT) AS cd,
+        |  round(2.0 * CAST(cd AS DOUBLE)
+        |    / sqrt(CAST(m0 - m1 AS DOUBLE) * CAST(m0 - m2 AS DOUBLE)), 8) AS tau
+        |FROM tot, cd, m1, m2""".stripMargin,
 
     // language-ID confusion matrix against the documents table's lang truth
     "eval_langid_confusion" ->

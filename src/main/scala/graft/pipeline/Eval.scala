@@ -190,4 +190,52 @@ object Eval {
     counts.join(totals, Seq("truth"))
       .select(col("truth"), col("pred"), col("cnt"), col("truth_total"))
   }
+
+  /** Exact tie-aware Kendall tau-b between two numeric columns, computed
+    * over the DISTINCT-PAIR group table: with G = groupBy(x, y) counts,
+    * C − D = Σ over group pairs (a, b) with x_a < x_b of
+    * cnt_a·cnt_b·sign(y_b − y_a), and the tie terms are
+    * m0 = n(n−1), m1 = Σ_x t_x(t_x−1), m2 = Σ_y t_y(t_y−1) — all DOUBLED
+    * (no halving) so every intermediate is an exact integer; then
+    * tau_b = 2(C−D) / sqrt((m0−m1)·(m0−m2)), with the product taken in
+    * IEEE double exactly as the SQL oracle does. Bit-identical anywhere.
+    *
+    * Scale shape: the corpus-sized pass is ONE groupBy(x, y); the pair fold
+    * is a range self-join of the g-row group table against itself. g is
+    * bounded by |dom(x)|·|dom(y)| — INDEPENDENT of corpus size for the
+    * quantized/integer statistics this is meant for (int8 codes, binned
+    * scores, length buckets) — so the g² term never grows with the data.
+    * For unbounded-domain doubles, quantize first; that is the documented
+    * contract (an exact Kendall over 10¹² distinct values is O(g log g)
+    * with order statistics no SQL engine exposes, and approximations
+    * belong in a different operator).
+    *
+    * @param rows (x: numeric, y: numeric)
+    * @return one row (n, cd, tau) — cd = C − D
+    */
+  def kendall(rows: DataFrame, xCol: String = "x", yCol: String = "y"): DataFrame = {
+    val dec = "decimal(38,0)"
+    // every downstream branch reads the same groupBy(x,y) subtree, so the
+    // one corpus-sized exchange is planned once and shared (ReuseExchange)
+    val g = rows.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = g.select(col("x").as("xa"), col("y").as("ya"), col("cnt").as("ca"))
+    val b = g.select(col("x").as("xb"), col("y").as("yb"), col("cnt").as("cb"))
+    val sgn = when(col("yb") > col("ya"), lit(1L))
+      .when(col("yb") < col("ya"), lit(-1L)).otherwise(lit(0L))
+    val cd = a.join(broadcast(b), col("xa") < col("xb"))
+      .agg(coalesce(sum(col("ca").cast(dec) * col("cb") * sgn),
+        lit(0).cast(dec)).as("cd"))
+    val tieX = g.groupBy("x").agg(sum(col("cnt")).as("t"))
+      .agg(coalesce(sum((col("t").cast(dec) * (col("t") - 1))), lit(0).cast(dec)).as("m1"))
+    val tieY = g.groupBy("y").agg(sum(col("cnt")).as("t"))
+      .agg(coalesce(sum((col("t").cast(dec) * (col("t") - 1))), lit(0).cast(dec)).as("m2"))
+    val tot = g.agg(sum(col("cnt")).as("n"))
+      .select(col("n"), (col("n").cast(dec) * (col("n") - 1)).as("m0"))
+    tot.crossJoin(cd).crossJoin(tieX).crossJoin(tieY)
+      .select(col("n"), col("cd").cast("long").as("cd"),
+        (lit(2.0) * col("cd").cast("double")
+          / sqrt((col("m0") - col("m1")).cast("double")
+            * (col("m0") - col("m2")).cast("double"))).as("tau"))
+  }
 }

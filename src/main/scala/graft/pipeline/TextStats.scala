@@ -453,6 +453,37 @@ object TextStats {
       .filter(col("rk") <= topK)
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus' own top-K
+    * vocabulary (count desc, term asc tie-break — deterministic at the
+    * boundary): (doc_id, tok_cnt, oov_cnt, oov_rate). The training-data use
+    * is vocabulary-coverage filtering — documents whose tokens mostly fall
+    * outside the head vocabulary are boilerplate/garbled/wrong-domain.
+    * Docs with zero tokens keep a row with rate 0.0. Exact integer counts,
+    * one IEEE division — bit-identical in any engine.
+    *
+    * Scale shape: one vocabulary-sized groupBy(term) → TakeOrdered top-K
+    * (never a global sort of raw tokens), the K-row vocab BROADCAST into a
+    * left join on the token table, one groupBy(doc_id). Both corpus-sized
+    * passes are single shuffles; the vocabulary never crosses the wire.
+    */
+  def oovRate(docs: DataFrame, vocabK: Int = 16): DataFrame = {
+    val toks = termTable(docs)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabK)
+      .select(col("term"), lit(1L).as("iv"))
+    val perDoc = toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tok_cnt"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("oov_cnt"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tok_cnt"), lit(0L)).as("tok_cnt"),
+        coalesce(col("oov_cnt"), lit(0L)).as("oov_cnt"),
+        when(coalesce(col("tok_cnt"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("oov_cnt").cast("double") / col("tok_cnt").cast("double"))
+          .as("oov_rate"))
+  }
+
   /** Exact global top-k frequent terms at BOUNDED memory — the two-pass
     * heavy-hitter shape a 100 TB vocabulary needs when the full term
     * dictionary cannot be shuffled:

@@ -51,6 +51,42 @@ class EvalSpec extends SparkTestBase {
     assert(Eval.spearman(tied.repartition(7)).collect()(0).getDouble(1) == rho)
   }
 
+  test("kendall: monotone, inverted, ties — matches the brute tau-b") {
+    def brute(xs: Seq[(Long, Long)]): (Long, Double) = {
+      val ps = for (i <- xs.indices; j <- xs.indices if i < j) yield {
+        val sx = math.signum((xs(j)._1 - xs(i)._1).toDouble)
+        val sy = math.signum((xs(j)._2 - xs(i)._2).toDouble)
+        (sx * sy).toLong
+      }
+      val cd = ps.sum
+      val n = xs.size.toLong
+      val m0 = n * (n - 1)
+      val m1 = xs.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1)).sum
+      val m2 = xs.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1)).sum
+      (cd, 2.0 * cd / math.sqrt((m0 - m1).toDouble * (m0 - m2).toDouble))
+    }
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 25L))
+    val rMono = Eval.kendall(mono.toDF("x", "y")).collect()(0)
+    assert(rMono.getDouble(2) == 1.0 && rMono.getLong(1) == 3L)
+    val inv = Seq((1L, 9L), (2L, 5L), (3L, 1L))
+    assert(Eval.kendall(inv.toDF("x", "y")).collect()(0).getDouble(2) == -1.0)
+
+    // tie-heavy fixed case, differential vs the O(n²) brute fold
+    val tied = Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 4L), (3L, 4L),
+      (1L, 4L), (5L, 2L), (5L, 5L), (2L, 2L), (4L, 1L))
+    val (bcd, btau) = brute(tied)
+    val r = Eval.kendall(tied.toDF("x", "y")).collect()(0)
+    assert(r.getLong(0) == 10L)
+    assert(r.getLong(1) == bcd, s"cd ${r.getLong(1)} vs brute $bcd")
+    assert(math.abs(r.getDouble(2) - btau) < 1e-15, r.getDouble(2).toString)
+
+    // duplicate-count weighting: exploding a group is the same as counting it
+    val dup = tied ++ tied
+    val (bcd2, btau2) = brute(dup)
+    val r2 = Eval.kendall(dup.toDF("x", "y").repartition(7)).collect()(0)
+    assert(r2.getLong(1) == bcd2 && math.abs(r2.getDouble(2) - btau2) < 1e-15)
+  }
+
   test("calibrationBins: hand case — bin edges, acc, conf; degenerate range") {
     // scores 0..10, mn=0 mx=10: conf = s/10; bins of width 0.1; score 10 -> bin 9
     val d = Seq((0L, false), (1L, false), (5L, true), (9L, true), (10L, true))

@@ -308,6 +308,33 @@ class PipelineSpec extends SparkTestBase {
     assert(tiny.forall(_._2 == 0L), "cap=2 over 82 tokens cannot certify top-3")
   }
 
+  test("oovRate: hand vocabulary cut, empty docs kept, partition-stable") {
+    import spark.implicits._
+    // vocab K=2 keeps {alpha (4), beta (3)}; gamma/delta are OOV
+    val d = Seq(
+      (0L, "alpha beta alpha gamma"),    // 4 toks, 1 oov
+      (1L, "beta beta alpha delta gamma"), // 5 toks, 2 oov
+      (2L, "alpha"),                     // 1 tok, 0 oov
+      (3L, "")                           // empty: kept with rate 0.0
+    ).toDF("doc_id", "text")
+    val got = TextStats.oovRate(d, vocabK = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((4L, 1L, 0.25)))
+    assert(got(1L) == ((5L, 2L, 0.4)))
+    assert(got(2L) == ((1L, 0L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    // tie at the vocabulary boundary breaks by term asc: with K=1 over
+    // {x:2, y:2} the vocab keeps 'x', so 'y' tokens are OOV
+    val tie = Seq((0L, "x y"), (1L, "y x")).toDF("doc_id", "text")
+    val t = TextStats.oovRate(tie, vocabK = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t == Map(0L -> 1L, 1L -> 1L), t.toString)
+    // partition layout changes nothing
+    val got7 = TextStats.oovRate(d.repartition(7), vocabK = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got7 == got)
+  }
+
   test("bm25: exact scores vs a replica; more hits rank higher") {
     val d = Seq(
       (0L, "spark shuffle spark partition join"),
