@@ -1287,6 +1287,29 @@ object SparkEntry {
           size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
             .cast("long").as("y")))
         .select(col("n"), col("cd"), round(col("tau"), 8).as("tau"))),
+    // retrieval evals over the multi-query BM25 ranking vs term-containment
+    // ground truth (rel = # distinct query terms present; fully relevant =
+    // all present). Query 1's terms include two absent from the corpus, so
+    // its zero-fully-relevant path (first_rank 0, rr 0.0) is exercised.
+    "eval_mrr" -> ((s, d) => {
+      val ds = docs(s, d)
+      Eval.mrr(TextStats.bm25Multi(ds, retrievalQueries, topK = 20),
+        TextStats.queryRelevance(ds, retrievalQueries, minTf = 2L), retrievalNterms(s))
+    }),
+    // precision@k (k = 5, 10, 20) of the same ranking, binary relevance
+    "eval_precision_at_k" -> ((s, d) => {
+      val ds = docs(s, d)
+      Eval.precisionAtK(TextStats.bm25Multi(ds, retrievalQueries, topK = 20),
+        TextStats.queryRelevance(ds, retrievalQueries, minTf = 2L), retrievalNterms(s),
+        ks = Seq(5, 10, 20))
+    }),
+    // NDCG@10 of the same ranking against the GRADED relevance — unrolled
+    // position sums pin the fp addition order identically in the oracle
+    "eval_ndcg" -> ((s, d) => {
+      val ds = docs(s, d)
+      Eval.ndcg(TextStats.bm25Multi(ds, retrievalQueries, topK = 20),
+        TextStats.queryRelevance(ds, retrievalQueries, minTf = 2L), k = 10)
+    }),
     // language-ID confusion matrix vs the documents table's lang truth
     "eval_langid_confusion" -> ((s, d) =>
       Eval.confusion(
@@ -1304,6 +1327,13 @@ object SparkEntry {
           round(col("precision"), 8).as("precision"),
           round(col("recall"), 8).as("recall"),
           round(col("f1"), 8).as("f1"))),
+    // Cohen's kappa of the same classifier — chance-corrected agreement as
+    // ONE division of exact integers ((n·A − S)/(n² − S))
+    "eval_kappa" -> ((s, d) =>
+      Eval.kappa(
+        docs(s, d).select(col("doc_id"), col("lang"))
+          .join(TextStats.langId(docs(s, d)), Seq("doc_id")),
+        truthCol = "lang", predCol = "pred_lang")),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
     // LCG fold over dense-rank token ids — the fingerprint chain a DuckDB
     // oracle replays exactly (list_reduce), unlike the xxhash64 production one
@@ -1671,6 +1701,59 @@ object SparkEntry {
 
   /** BM25 CTE chain (fixed 3-term query, k1=1.25 b=0.75, Lucene idf) ending
     * in `rk(doc_id, bm25, rk)` — shared by text_bm25 and text_rrf. */
+  /** Fixed query set for the retrieval evals (MRR / precision@k / NDCG):
+    * query 1 reuses text_bm25's terms (two of which never occur in the
+    * synthetic corpus — its fully-relevant set is EMPTY, pinning the
+    * no-hit path), queries 2-3 have hundreds of fully-relevant docs. */
+  private val retrievalQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "shuffle", "partition"),
+    2L -> Seq("join", "merge", "sort"),
+    3L -> Seq("vector", "stream"))
+
+  private def retrievalNterms(s: SparkSession): DataFrame = {
+    import s.implicits._
+    retrievalQueries.map { case (id, ts) =>
+      (id, ts.map(_.toLowerCase).distinct.size.toLong) }
+      .toDF("query_id", "nterms")
+  }
+
+  /** Multi-query BM25 + relevance CTE chain (mirrors TextStats.bm25Multi /
+    * queryRelevance op-for-op) ending in `ranked(query_id, doc_id, bm25,
+    * rk ≤ 20)`, `mrel(query_id, doc_id, rel)`, `nterms(query_id, nterms)`
+    * — shared by eval_mrr / eval_precision_at_k / eval_ndcg. */
+  private val retrievalCtesSql: String = {
+    val vals = retrievalQueries.flatMap { case (id, ts) =>
+      ts.map(_.toLowerCase).distinct.map(t => s"($id, '$t')") }.mkString(", ")
+    s"""qset AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+      |  FROM (VALUES $vals) AS q(query_id, term)),
+      |nterms AS (SELECT query_id, count(*) AS nterms FROM qset GROUP BY 1),
+      |toks AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t(term)),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+      |mqtf AS (SELECT q.query_id, t.doc_id, t.term, count(*) AS tf
+      |         FROM toks t JOIN qset q USING (term) GROUP BY 1, 2, 3),
+      |mdf AS (SELECT query_id, term, count(*) AS df FROM mqtf GROUP BY 1, 2),
+      |mcontrib AS (
+      |  SELECT mqtf.query_id, mqtf.doc_id,
+      |         ln((n.n - mdf.df + 0.5) / (mdf.df + 0.5) + 1.0) * mqtf.tf * 2.25 /
+      |           (mqtf.tf + 1.25 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)) AS c
+      |  FROM mqtf JOIN mdf USING (query_id, term) JOIN dl USING (doc_id)
+      |  CROSS JOIN n CROSS JOIN avgdl),
+      |mscores AS (SELECT query_id, doc_id, round(sum(c), 6) AS bm25
+      |            FROM mcontrib GROUP BY 1, 2),
+      |ranked AS (SELECT * FROM (
+      |  SELECT query_id, doc_id, bm25,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+      |  FROM mscores) WHERE rk <= 20),
+      |mrel AS (SELECT query_id, doc_id, count(*) AS rel FROM (
+      |    SELECT q.query_id, t.doc_id, t.term FROM toks t
+      |    JOIN qset q USING (term) GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      |  GROUP BY 1, 2)""".stripMargin
+  }
+
   private val bm25CtesSql: String =
     """toks AS (
       |  SELECT doc_id, t.term FROM documents,
@@ -3087,6 +3170,57 @@ object SparkEntry {
         |    / sqrt(CAST(m0 - m1 AS DOUBLE) * CAST(m0 - m2 AS DOUBLE)), 8) AS tau
         |FROM tot, cd, m1, m2""".stripMargin,
 
+    // first fully-relevant rank per query (0 / rr 0.0 when none in top-20)
+    "eval_mrr" ->
+      s"""WITH $retrievalCtesSql,
+        |hit AS (SELECT r.query_id, min(r.rk) AS first_rank
+        |  FROM ranked r JOIN mrel USING (query_id, doc_id)
+        |  JOIN nterms USING (query_id)
+        |  WHERE mrel.rel = nterms.nterms GROUP BY 1)
+        |SELECT n.query_id, CAST(COALESCE(h.first_rank, 0) AS BIGINT) AS first_rank,
+        |  CASE WHEN h.first_rank IS NULL THEN 0.0 ELSE 1.0 / h.first_rank END AS rr
+        |FROM nterms n LEFT JOIN hit h USING (query_id)""".stripMargin,
+
+    // precision@k over the same ranking, binary (all-terms) relevance
+    "eval_precision_at_k" ->
+      s"""WITH $retrievalCtesSql,
+        |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (5), (10), (20)) AS t(k)),
+        |bin AS (SELECT r.query_id, r.rk,
+        |    CASE WHEN mrel.rel = nterms.nterms THEN 1 ELSE 0 END AS isrel
+        |  FROM ranked r LEFT JOIN mrel USING (query_id, doc_id)
+        |  JOIN nterms USING (query_id)),
+        |cnts AS (SELECT bin.query_id, ks.k,
+        |    sum(CASE WHEN isrel = 1 AND rk <= k THEN 1 ELSE 0 END) AS rel_cnt
+        |  FROM bin CROSS JOIN ks GROUP BY 1, 2)
+        |SELECT g.query_id, g.k,
+        |  CAST(COALESCE(c.rel_cnt, 0) AS BIGINT) AS rel_cnt,
+        |  CAST(COALESCE(c.rel_cnt, 0) AS DOUBLE) / CAST(g.k AS DOUBLE) AS prec
+        |FROM (SELECT query_id, k FROM nterms CROSS JOIN ks) g
+        |LEFT JOIN cnts c ON c.query_id = g.query_id AND c.k = g.k""".stripMargin,
+
+    // NDCG@10: graded gains rel·ln(2)/ln(i+1); the position sums are
+    // UNROLLED (max(CASE rk=i) terms added left-to-right) so the fp
+    // addition order is pinned identically to the engine's
+    "eval_ndcg" -> {
+      def unrolled(rkCol: String): String = (1 to 10)
+        .map(i => s"coalesce(max(CASE WHEN $rkCol = $i THEN g END), 0.0)")
+        .mkString(" + ")
+      s"""WITH $retrievalCtesSql,
+        |g AS (SELECT r.query_id, r.rk,
+        |    COALESCE(mrel.rel, 0) * ln(2) / ln(r.rk + 1.0) AS g
+        |  FROM ranked r LEFT JOIN mrel USING (query_id, doc_id)
+        |  WHERE r.rk <= 10),
+        |dcg AS (SELECT query_id, ${unrolled("rk")} AS dcg FROM g GROUP BY 1),
+        |ig AS (SELECT query_id, irk, rel * ln(2) / ln(irk + 1.0) AS g FROM (
+        |    SELECT query_id, doc_id, rel,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irk
+        |    FROM mrel) WHERE irk <= 10),
+        |idcg AS (SELECT query_id, ${unrolled("irk")} AS idcg FROM ig GROUP BY 1)
+        |SELECT d.query_id, round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+        |  CASE WHEN i.idcg = 0 THEN 0.0 ELSE round(d.dcg / i.idcg, 6) END AS ndcg
+        |FROM dcg d JOIN idcg i ON d.query_id = i.query_id""".stripMargin
+    },
+
     // language-ID confusion matrix against the documents table's lang truth
     "eval_langid_confusion" ->
       s"""WITH pred AS ($langidSql),
@@ -3125,6 +3259,27 @@ object SparkEntry {
          |  round(CASE WHEN pred_total + truth_total = 0 THEN 0.0
          |        ELSE CAST(2 * tp AS DOUBLE) / (pred_total + truth_total) END, 8) AS f1
          |FROM m""".stripMargin,
+
+    // mirrors Eval.kappa over the same classifier: (n·A − S)/(n² − S) as
+    // one division of exact DECIMAL(38,0) integers
+    "eval_kappa" ->
+      s"""WITH pred AS ($langidSql),
+         |j AS (SELECT d.lang AS t, p.pred_lang AS p
+         |      FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+         |counts AS (SELECT t, p, count(*) AS cnt FROM j GROUP BY 1, 2),
+         |a AS (SELECT COALESCE(sum(cnt), 0) AS a FROM counts WHERE t = p),
+         |rt AS (SELECT t AS cls, sum(cnt) AS rt FROM counts GROUP BY 1),
+         |ct AS (SELECT p AS cls, sum(cnt) AS ct FROM counts GROUP BY 1),
+         |s AS (SELECT COALESCE(sum(CAST(rt.rt AS DECIMAL(38,0)) * ct.ct), 0) AS s
+         |      FROM rt JOIN ct USING (cls)),
+         |n AS (SELECT count(*) AS n FROM j)
+         |SELECT CAST(n.n AS BIGINT) AS n, CAST(a.a AS BIGINT) AS agree,
+         |  CAST(s.s AS BIGINT) AS s,
+         |  CASE WHEN CAST(n.n AS DECIMAL(38,0)) * n.n - s.s = 0 THEN 0.0
+         |       ELSE CAST(CAST(n.n AS DECIMAL(38,0)) * a.a - s.s AS DOUBLE)
+         |          / CAST(CAST(n.n AS DECIMAL(38,0)) * n.n - s.s AS DOUBLE)
+         |  END AS kappa
+         |FROM n, a, s""".stripMargin,
 
     // mirrors Dedup.ngramJaccardPairs: distinct 3-word shingles, df-capped
     // inverted-index candidates, exact Jaccard on the FULL shingle sets

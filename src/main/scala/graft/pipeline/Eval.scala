@@ -191,6 +191,130 @@ object Eval {
       .select(col("truth"), col("pred"), col("cnt"), col("truth_total"))
   }
 
+  /** Mean-reciprocal-rank inputs per query: the rank of the first FULLY
+    * relevant document (rel == nterms, i.e. the doc contains every query
+    * term) in the ranking, and its reciprocal — (query_id, first_rank, rr).
+    * A query with no fully-relevant document in the ranking keeps a row
+    * with (0, 0.0). Integer rank, ONE division — bit-identical anywhere.
+    *
+    * Scale shape: the ranking is already top-k-bounded per query, so every
+    * join here is k·|queries| rows; `nterms` is a |queries|-row broadcast.
+    *
+    * @param ranked    (query_id, doc_id, rk) from e.g. TextStats.bm25Multi
+    * @param relevance (query_id, doc_id, rel) from TextStats.queryRelevance
+    * @param nterms    (query_id, nterms) — distinct term count per query
+    */
+  def mrr(ranked: DataFrame, relevance: DataFrame, nterms: DataFrame): DataFrame = {
+    val hit = ranked.join(relevance, Seq("query_id", "doc_id"))
+      .join(broadcast(nterms), Seq("query_id"))
+      .filter(col("rel") === col("nterms"))
+      .groupBy("query_id").agg(min(col("rk")).as("first_rank"))
+    nterms.select("query_id").join(hit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rank"), lit(0L)).as("first_rank"),
+        when(col("first_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rank").cast("double")).as("rr"))
+  }
+
+  /** Precision@k of a ranking against binary relevance (fully relevant =
+    * rel == nterms), one row per (query_id, k): (query_id, k, rel_cnt,
+    * prec). Exact integer counts, one division per row.
+    */
+  def precisionAtK(ranked: DataFrame, relevance: DataFrame,
+                   nterms: DataFrame, ks: Seq[Int]): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val binary = ranked.join(relevance, Seq("query_id", "doc_id"), "left")
+      .join(broadcast(nterms), Seq("query_id"))
+      .select(col("query_id"), col("rk"),
+        (coalesce(col("rel"), lit(0L)) === col("nterms")).as("isrel"))
+    val kdf = ks.map(_.toLong).toDF("k")
+    val counts = binary.crossJoin(broadcast(kdf))
+      .groupBy("query_id", "k")
+      .agg(sum(when(col("isrel") && col("rk") <= col("k"), 1L).otherwise(0L))
+        .as("rel_cnt"))
+    // grid from the query set, not the ranking — a query whose ranking is
+    // EMPTY (no doc matches any term) still reports (rel_cnt 0, prec 0.0)
+    nterms.select("query_id").crossJoin(broadcast(kdf))
+      .join(counts, Seq("query_id", "k"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("rel_cnt"), lit(0L)).as("rel_cnt"),
+        (coalesce(col("rel_cnt"), lit(0L)).cast("double")
+          / col("k").cast("double")).as("prec"))
+  }
+
+  /** NDCG@k of a ranking against GRADED relevance (rel = # distinct query
+    * terms present): (query_id, dcg, idcg, ndcg), each rounded to 6 dp
+    * like the BM25 scores that feed it. Gain at position i is
+    * rel·ln2/ln(i+1) (≡ rel/log₂(i+1), written via ln on both sides so the
+    * engine and the SQL oracle evaluate the same libm calls); DCG and IDCG
+    * are UNROLLED k-term sums — position i's gain is isolated with
+    * max(CASE rk=i) and the terms added left-to-right textually, so the
+    * floating-point addition ORDER is pinned identically in Spark and the
+    * oracle (a groupBy sum's order is partition-dependent; this isn't).
+    * The ideal ranking orders by rel desc, doc_id asc — deterministic ties.
+    */
+  def ndcg(ranked: DataFrame, relevance: DataFrame, k: Int = 10): DataFrame = {
+    val ln2 = lit(math.log(2.0))
+    def unrolled(df: DataFrame, rkCol: String, out: String): DataFrame =
+      df.groupBy("query_id").agg(
+        (1 to k).map(i => coalesce(max(when(col(rkCol) === i, col("g"))), lit(0.0)))
+          .reduceLeft(_ + _).as(out))
+    val gains = ranked.filter(col("rk") <= k)
+      .join(relevance, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rk"),
+        (coalesce(col("rel"), lit(0L)).cast("double") * ln2
+          / log(col("rk").cast("double") + lit(1.0))).as("g"))
+    val dcg = unrolled(gains, "rk", "dcg")
+    val iw = Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+    val ideal = relevance.withColumn("irk", row_number().over(iw))
+      .filter(col("irk") <= k)
+      .select(col("query_id"), col("irk"),
+        (col("rel").cast("double") * ln2
+          / log(col("irk").cast("double") + lit(1.0))).as("g"))
+    val idcg = unrolled(ideal, "irk", "idcg")
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        when(col("idcg") === 0.0, lit(0.0))
+          .otherwise(round(col("dcg") / col("idcg"), 6)).as("ndcg"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between a truth and a
+    * prediction column — computed as ONE division of exact integers:
+    * kappa = (po − pe)/(1 − pe) = (n·A − S) / (n² − S), where A = Σ
+    * diagonal (agreeing) counts and S = Σ_class rowTotal·colTotal. Every
+    * intermediate is an exact integer (DECIMAL(38,0) cross products), so
+    * any engine reproduces the value bit-for-bit. Returns one row
+    * (n, agree, s, kappa); the degenerate n² = S case (chance agreement
+    * is total, e.g. a single class on both sides) reports 0.0.
+    *
+    * Scale shape: the corpus-sized pass is ONE groupBy(truth, pred); the
+    * margins and the S fold run over the class-pair table (≤ |classes|²
+    * rows — tiny and corpus-size-independent).
+    */
+  def kappa(rows: DataFrame, truthCol: String = "truth",
+            predCol: String = "pred"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = rows.groupBy(col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = counts.filter(col("t") === col("p"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("a"))
+    val rt = counts.groupBy("t").agg(sum(col("cnt")).as("rt"))
+      .withColumnRenamed("t", "cls")
+    val ct = counts.groupBy("p").agg(sum(col("cnt")).as("ct"))
+      .withColumnRenamed("p", "cls")
+    val s = rt.join(ct, Seq("cls"))
+      .agg(coalesce(sum(col("rt").cast(dec) * col("ct")), lit(0).cast(dec)).as("s"))
+    val n = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    n.crossJoin(a).crossJoin(s)
+      .select(col("n"), col("a").as("agree"), col("s").cast("long").as("s"),
+        when(col("n").cast(dec) * col("n") - col("s") === 0, lit(0.0))
+          .otherwise((col("n").cast(dec) * col("a") - col("s")).cast("double")
+            / (col("n").cast(dec) * col("n") - col("s")).cast("double"))
+          .as("kappa"))
+  }
+
   /** Exact tie-aware Kendall tau-b between two numeric columns, computed
     * over the DISTINCT-PAIR group table: with G = groupBy(x, y) counts,
     * C − D = Σ over group pairs (a, b) with x_a < x_b of

@@ -575,6 +575,69 @@ object TextStats {
     scores.withColumn("rk", row_number().over(w).cast("long"))
   }
 
+  /** Multi-query BM25 (the batch-evaluation companion of [[bm25]]): rank
+    * the corpus against a FIXED QUERY SET in one pass, returning
+    * (query_id, doc_id, bm25, rk ≤ topK). Same Robertson/Sparck-Jones
+    * arithmetic with dyadic k1 = 5/4, b = 3/4 and the Lucene non-negative
+    * idf — the per-(query,doc) score is bit-for-bit the single-query
+    * [[bm25]] score, so the SQL oracle replays it exactly.
+    *
+    * Spark shape: the query set is a FEW-ROW broadcast (query_id, term)
+    * table joined into the token stream before anything wide happens, so
+    * the corpus-sized work is one filtered (query,doc,term) aggregation;
+    * the per-query df table is |queries|·|terms| rows → broadcast; the
+    * per-query top-k is a rank-limited window (Spark 4 plans it as
+    * WindowGroupLimit — per-partition heads, never a full per-query sort).
+    */
+  def bm25Multi(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                topK: Int = 20, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    val toks = termTable(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(sum("dl")).head.getLong(0).toDouble / n
+    val q = queries.flatMap { case (id, ts) =>
+      ts.map(_.toLowerCase).distinct.map((id, _)) }.toDF("query_id", "term")
+    val qtf = toks.join(broadcast(q), Seq("term"))
+      .groupBy("query_id", "doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = qtf.groupBy("query_id", "term").agg(count(lit(1)).as("df"))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val contrib = qtf.join(broadcast(dfq), Seq("query_id", "term")).join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        (idf * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))).as("c"))
+    val scores = contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum("c"), 6).as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))
+    scores.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
+  /** Graded relevance judgments for [[bm25Multi]]'s query set: rel =
+    * number of DISTINCT query terms occurring at least `minTf` times in
+    * the document (query_id, doc_id, rel ≥ 1; absent pair ⇒ 0). minTf > 1
+    * makes the truth STRICTER than the tf-weighted BM25 ranking, so the
+    * retrieval evals (MRR, precision@k, NDCG) measure a ranking that can
+    * actually be imperfect instead of one saturated at 1.0.
+    *
+    * Spark shape: broadcast the query terms into the token stream FIRST
+    * (the tf aggregation runs over query-term tokens only, a tiny
+    * fraction of the corpus), then one (query,doc) aggregation.
+    */
+  def queryRelevance(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                     minTf: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (id, ts) =>
+      ts.map(_.toLowerCase).distinct.map((id, _)) }.toDF("query_id", "term")
+    termTable(docs).join(broadcast(q), Seq("term"))
+      .groupBy("query_id", "doc_id", "term").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minTf)
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+  }
+
   /** Exact duplicated-substring span marking (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
     * surface, at token granularity): every w-token gram occurring at least

@@ -207,4 +207,19 @@ class PlanSpec extends SparkTestBase {
       .count(_.replaceAll("^[\\s:+-]*", "").startsWith("CartesianProduct"))
     assert(cartesians == 0, s"cartesian in LM plan:\n$plan")
   }
+
+  test("bm25Multi: query set broadcast, per-query top-k is WindowGroupLimit") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qs: Seq[(Long, Seq[String])] =
+      Seq(1L -> Seq("spark", "join"), 2L -> Seq("merge", "sort"))
+    val plan = finalPlan(graft.pipeline.TextStats.bm25Multi(docs, qs, topK = 20))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query-term and df sides must broadcast:\n$plan")
+    // Spark 4 plans rank-limit filters as WindowGroupLimit: per-partition
+    // top-k heads flow into the final per-query window — the ranking never
+    // globally sorts a query's full candidate set
+    assert(plan.contains("WindowGroupLimit"),
+      s"rk <= topK must plan as WindowGroupLimit:\n$plan")
+  }
 }

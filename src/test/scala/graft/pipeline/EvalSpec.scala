@@ -151,4 +151,73 @@ class EvalSpec extends SparkTestBase {
       ("en", "en") -> ((2L, 3L)), ("en", "de") -> ((1L, 3L)),
       ("de", "de") -> ((1L, 1L)), ("fr", "en") -> ((1L, 1L))), got.toString)
   }
+
+  test("mrr: hand ranking, no-hit and rankless queries keep zero rows") {
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L)).toDF("query_id", "doc_id", "rk")
+    val rel = Seq((1L, 11L, 2L), (1L, 12L, 1L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val nt = Seq((1L, 2L), (2L, 2L), (3L, 1L)).toDF("query_id", "nterms")
+    val got = Eval.mrr(ranked, rel, nt).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // q1: first fully-relevant (rel==2) is doc 11 at rank 2 -> rr 0.5;
+    // q2: no doc reaches rel==2 -> (0, 0.0); q3: never ranked -> (0, 0.0)
+    assert(got == Map(1L -> ((2L, 0.5)), 2L -> ((0L, 0.0)), 3L -> ((0L, 0.0))), got.toString)
+  }
+
+  test("precisionAtK: hand counts incl. a rankless query; partition-stable") {
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("query_id", "doc_id", "rk")
+    val rel = Seq((1L, 11L, 2L), (2L, 20L, 1L)).toDF("query_id", "doc_id", "rel")
+    val nt = Seq((1L, 2L), (2L, 2L), (3L, 1L)).toDF("query_id", "nterms")
+    val got = Eval.precisionAtK(ranked, rel, nt, ks = Seq(1, 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((0L, 0.0)), (1L, 2L) -> ((1L, 0.5)),   // doc11 relevant at rank 2
+      (2L, 1L) -> ((0L, 0.0)), (2L, 2L) -> ((0L, 0.0)),   // rel 1 != nterms 2
+      (3L, 1L) -> ((0L, 0.0)), (3L, 2L) -> ((0L, 0.0))), got.toString)
+    val got7 = Eval.precisionAtK(ranked.repartition(7), rel.repartition(3), nt, Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got7 == got)
+  }
+
+  test("ndcg: hand gains vs a scala replica; perfect ranking scores 1.0") {
+    val ln2 = math.log(2.0)
+    // q1 ranking [rel 0, rel 2, rel 1]; ideal [2, 1] -> ndcg < 1
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rk")
+    val rel = Seq((1L, 11L, 2L), (1L, 12L, 1L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val got = Eval.ndcg(ranked, rel, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg1 = 0.0 + 2.0 * ln2 / math.log(3.0) + 1.0 * ln2 / math.log(4.0)
+    val idcg1 = 2.0 * ln2 / math.log(2.0) + 1.0 * ln2 / math.log(3.0)
+    assert(got(1L) == ((r6(dcg1), r6(idcg1), r6(dcg1 / idcg1))), got(1L).toString)
+    assert(got(2L) == ((1.0, 1.0, 1.0)))
+    // partition layout changes nothing (the unrolled sum pins the order)
+    val got7 = Eval.ndcg(ranked.repartition(5), rel.repartition(3), k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got7 == got)
+  }
+
+  test("kappa: hand confusion, perfect, degenerate single-class, partition-stable") {
+    // counts: (a,a)=3 (a,b)=1 (b,a)=1 (b,b)=5 -> n=10, A=8
+    // rowTot a=4 b=6; colTot a=4 b=6; S = 16 + 36 = 52
+    // kappa = (10*8 - 52) / (100 - 52) = 28/48 = 7/12
+    val d = (Seq.fill(3)(("a", "a")) ++ Seq(("a", "b"), ("b", "a")) ++
+      Seq.fill(5)(("b", "b"))).toDF("truth", "pred")
+    val r = Eval.kappa(d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 8L, 52L)))
+    assert(r.getDouble(3) == 28.0 / 48.0, r.getDouble(3).toString)
+    // perfect agreement over 2 classes -> kappa 1.0
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("truth", "pred")
+    assert(Eval.kappa(perfect).collect()(0).getDouble(3) == 1.0)
+    // single class on both sides: n^2 == S -> degenerate 0.0 by convention
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("truth", "pred")
+    assert(Eval.kappa(degen).collect()(0).getDouble(3) == 0.0)
+    // partition layout changes nothing
+    val r7 = Eval.kappa(d.repartition(7)).collect()(0)
+    assert(r7.getDouble(3) == r.getDouble(3))
+  }
 }

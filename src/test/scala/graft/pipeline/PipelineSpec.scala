@@ -739,4 +739,32 @@ class PipelineSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == got)
   }
+
+  test("bm25Multi: per-query scores == single-query bm25; relevance minTf cut") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "spark shuffle spark partition join"),
+      (1L, "join merge sort join merge"),
+      (2L, "spark spark spark merge"),
+      (3L, "sort sort merge join table row"),
+      (4L, "vector stream vector")
+    ).toDF("doc_id", "text")
+    val qs: Seq[(Long, Seq[String])] =
+      Seq(1L -> Seq("spark", "join"), 2L -> Seq("merge", "sort"))
+    val multi = TextStats.bm25Multi(d, qs, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    for ((qid, terms) <- qs) {
+      val single = TextStats.bm25(d, terms, topK = 10).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      val mine = multi.collect { case ((q, doc), v) if q == qid => doc -> v }.toMap
+      assert(mine == single, s"query $qid: $mine vs $single")
+    }
+    // graded relevance with minTf=2: only terms occurring twice+ count
+    val rel = TextStats.queryRelevance(d, qs, minTf = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // q1 (spark, join): doc0 spark x2 -> 1; doc1 join x2 -> 1; doc2 spark x3 -> 1
+    // q2 (merge, sort): doc1 merge x2 -> 1; doc3 sort x2 -> 1
+    assert(rel == Map((1L, 0L) -> 1L, (1L, 1L) -> 1L, (1L, 2L) -> 1L,
+      (2L, 1L) -> 1L, (2L, 3L) -> 1L), rel.toString)
+  }
 }
