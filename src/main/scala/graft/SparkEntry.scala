@@ -614,6 +614,11 @@ object SparkEntry {
       BFS.run(s, und, source = 1L).select(col("id"), col("level"), col("parent"))
     }),
 
+    // double-sweep BFS diameter lower bound (Magnien-Latapy-Habib) on the
+    // same undirected supplier graph — two O(m) BFS passes, O(1) driver state
+    "algo_diameter" -> ((s, d) =>
+      GraphStats.doubleSweepDiameter(s, edgesSup(s, d), seed = 1L)),
+
     // §2.9 min-plus semiring: hop-count SSSP on the directed bipartite graph
     "algo_sssp" -> ((s, d) => {
       val e = edgesBi(s, d).withColumn("w", lit(1.0))
@@ -1241,6 +1246,9 @@ object SparkEntry {
     "text_bpe_apply" -> ((s, d) =>
       Bpe.tokenCounts(s, docs(s, d), bpeSchedule(s, d, 4).map(x => (x._2, x._3)))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(docs(s, d))),
+    // per-doc character Shannon entropy (nats) — zero-shuffle per-row array
+    // algebra with a char-sorted left-to-right fold (pinned fp order)
+    "text_entropy" -> ((s, d) => TextStats.charEntropy(docs(s, d))),
     "text_repetition" -> ((s, d) => TextStats.repetitionScores(docs(s, d))),
     // rangeSize=100 forces the sf0.01 run through MULTIPLE ranges, so the
     // driver pins the two-level distributed scan == the naive global window
@@ -1334,6 +1342,25 @@ object SparkEntry {
         docs(s, d).select(col("doc_id"), col("lang"))
           .join(TextStats.langId(docs(s, d)), Seq("doc_id")),
         truthCol = "lang", predCol = "pred_lang")),
+    // multiclass Matthews correlation (R_k) of the same classifier —
+    // kappa's exact-integer numerator over a sqrt-of-double-product
+    // normalizer (the kendall tau shape); one final IEEE division
+    "eval_mcc" -> ((s, d) =>
+      Eval.mcc(
+        docs(s, d).select(col("doc_id"), col("lang"))
+          .join(TextStats.langId(docs(s, d)), Seq("doc_id")),
+        truthCol = "lang", predCol = "pred_lang")),
+    // macro-averaged F1 of the same classifier — per-class one-division
+    // F1s folded in CLASS-SORTED order (pinned fp addition order), then
+    // one division by the class count
+    "eval_macro_f1" -> ((s, d) =>
+      Eval.macroF1(
+        docs(s, d).select(col("doc_id"), col("lang"))
+          .join(TextStats.langId(docs(s, d)), Seq("doc_id")),
+        truthCol = "lang", predCol = "pred_lang")),
+    // Brier score of the min-max-normalized integer score vs label==0 —
+    // exact integer numerator Σ(off − y·rng)², ONE division by n·rng²
+    "eval_brier" -> ((s, d) => Eval.brier(int8FoldScored(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(docs(s, d))),
     // LCG fold over dense-rank token ids — the fingerprint chain a DuckDB
     // oracle replays exactly (list_reduce), unlike the xxhash64 production one
@@ -2386,6 +2413,31 @@ object SparkEntry {
          |SELECT l.id, l.level, COALESCE(p.parent, CAST(1 AS BIGINT)) AS parent
          |FROM lv l LEFT JOIN par p ON p.id = l.id""".stripMargin,
 
+    // double-sweep diameter: two chained recursive-CTE BFS passes — the
+    // second seeded from the first's (max level, min id) argmax
+    "algo_diameter" ->
+      s"""WITH RECURSIVE e AS (SELECT src, dst FROM ($edgesSupSql)),
+         |und AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
+         |reach(node, lvl) AS (
+         |  SELECT CAST(1 AS BIGINT), 0
+         |  UNION
+         |  SELECT und.d, reach.lvl + 1 FROM reach JOIN und ON und.s = reach.node
+         |  WHERE reach.lvl < 25),
+         |lv AS (SELECT node, min(lvl) AS lvl FROM reach GROUP BY node),
+         |far AS (SELECT node AS fid, lvl AS flvl FROM lv
+         |        ORDER BY lvl DESC, node LIMIT 1),
+         |reach2(node, lvl) AS (
+         |  SELECT fid, 0 FROM far
+         |  UNION
+         |  SELECT und.d, reach2.lvl + 1 FROM reach2 JOIN und ON und.s = reach2.node
+         |  WHERE reach2.lvl < 25)
+         |SELECT CAST(1 AS BIGINT) AS seed, far.fid AS far_id,
+         |  CAST(far.flvl AS INT) AS far_level,
+         |  CAST((SELECT max(lvl) FROM (
+         |    SELECT node, min(lvl) AS lvl FROM reach2 GROUP BY node)) AS INT)
+         |    AS diameter_lb
+         |FROM far""".stripMargin,
+
     "algo_labelprop5" -> labelPropUnrolledSql(5),
 
     "algo_dnn" ->
@@ -2454,6 +2506,27 @@ object SparkEntry {
     "text_quality" ->
       s"""WITH $qualityCtesSql
          |SELECT * FROM qual""".stripMargin,
+
+    // mirrors TextStats.charEntropy: per-doc char counts via per-row list
+    // algebra (no unnest — same shape as the engine's zero-shuffle plan),
+    // char-sorted left-to-right fold from 0.0 pins the fp addition order
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, ''), x -> len(x) > 0) AS cs
+        |  FROM documents),
+        |k AS (SELECT doc_id, len(cs) AS n,
+        |  list_sort(list_transform(list_distinct(cs),
+        |    cc -> struct_pack(ch := cc,
+        |      cnt := len(list_filter(cs, x -> x = cc))))) AS counts
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE ln(CAST(n AS DOUBLE))
+        |          - list_reduce(list_prepend(0.0, list_transform(counts,
+        |              s -> CAST(s.cnt AS DOUBLE) * ln(CAST(s.cnt AS DOUBLE)))),
+        |              (a, b) -> a + b) / CAST(n AS DOUBLE)
+        |  END AS h_nats
+        |FROM k""".stripMargin,
 
     // mirrors TextStats.repetitionScores. The top-bigram share is expressed
     // the natural SQL way (unnest + groupBy + max) — value-identical to the
@@ -3280,6 +3353,76 @@ object SparkEntry {
          |          / CAST(CAST(n.n AS DECIMAL(38,0)) * n.n - s.s AS DOUBLE)
          |  END AS kappa
          |FROM n, a, s""".stripMargin,
+
+    // mirrors Eval.mcc: kappa's exact-integer numerator n·A − S over
+    // sqrt(double(n² − Sp)·double(n² − St)) — the kendall-tau normalizer shape
+    "eval_mcc" ->
+      s"""WITH pred AS ($langidSql),
+         |j AS (SELECT d.lang AS t, p.pred_lang AS p
+         |      FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+         |counts AS (SELECT t, p, count(*) AS cnt FROM j GROUP BY 1, 2),
+         |a AS (SELECT COALESCE(sum(cnt), 0) AS a FROM counts WHERE t = p),
+         |rt AS (SELECT t AS cls, sum(cnt) AS rt FROM counts GROUP BY 1),
+         |ct AS (SELECT p AS cls, sum(cnt) AS ct FROM counts GROUP BY 1),
+         |s AS (SELECT COALESCE(sum(CAST(rt.rt AS DECIMAL(38,0)) * ct.ct), 0) AS s
+         |      FROM rt JOIN ct USING (cls)),
+         |sp AS (SELECT COALESCE(sum(CAST(ct AS DECIMAL(38,0)) * ct), 0) AS sp FROM ct),
+         |st AS (SELECT COALESCE(sum(CAST(rt AS DECIMAL(38,0)) * rt), 0) AS st FROM rt),
+         |n AS (SELECT count(*) AS n FROM j)
+         |SELECT CAST(n.n AS BIGINT) AS n, CAST(a.a AS BIGINT) AS agree,
+         |  CAST(s.s AS BIGINT) AS s, CAST(sp.sp AS BIGINT) AS sp,
+         |  CAST(st.st AS BIGINT) AS st,
+         |  CASE WHEN CAST(n.n AS DECIMAL(38,0)) * n.n - sp.sp = 0
+         |         OR CAST(n.n AS DECIMAL(38,0)) * n.n - st.st = 0 THEN 0.0
+         |       ELSE CAST(CAST(n.n AS DECIMAL(38,0)) * a.a - s.s AS DOUBLE)
+         |          / sqrt(CAST(CAST(n.n AS DECIMAL(38,0)) * n.n - sp.sp AS DOUBLE)
+         |               * CAST(CAST(n.n AS DECIMAL(38,0)) * n.n - st.st AS DOUBLE))
+         |  END AS mcc
+         |FROM n, a, s, sp, st""".stripMargin,
+
+    // mirrors Eval.macroF1: per-class one-division F1s (the eval_langid_f1
+    // m chain, unrounded) folded in CLASS-SORTED order from 0.0 — the fp
+    // addition order is pinned identically to the engine's sorted-struct
+    // aggregate fold — then ONE division by the class count
+    "eval_macro_f1" ->
+      s"""WITH pred AS ($langidSql),
+         |j AS (SELECT d.lang AS truth, p.pred_lang AS pred
+         |      FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+         |counts AS (SELECT truth, pred, count(*) AS cnt FROM j GROUP BY 1, 2),
+         |classes AS (SELECT DISTINCT cls FROM (
+         |  SELECT truth AS cls FROM counts UNION ALL SELECT pred FROM counts)),
+         |tp AS (SELECT truth AS cls, cnt AS tp FROM counts WHERE truth = pred),
+         |pt AS (SELECT pred AS cls, sum(cnt) AS pred_total FROM counts GROUP BY 1),
+         |tt AS (SELECT truth AS cls, sum(cnt) AS truth_total FROM counts GROUP BY 1),
+         |f AS (SELECT c.cls,
+         |        CASE WHEN COALESCE(pt.pred_total, 0) + COALESCE(tt.truth_total, 0) = 0
+         |             THEN 0.0
+         |             ELSE CAST(2 * COALESCE(tp.tp, 0) AS DOUBLE)
+         |                / (COALESCE(pt.pred_total, 0) + COALESCE(tt.truth_total, 0))
+         |        END AS f1
+         |      FROM classes c LEFT JOIN tp USING (cls)
+         |      LEFT JOIN pt USING (cls) LEFT JOIN tt USING (cls))
+         |SELECT CAST(count(*) AS BIGINT) AS classes,
+         |  list_reduce(list_prepend(0.0, list(f1 ORDER BY cls)),
+         |    (a, b) -> a + b) / count(*) AS macro_f1
+         |FROM f""".stripMargin,
+
+    // mirrors Eval.brier: exact integer numerator Σ(off − y·rng)² over the
+    // min-max-normalized integer score, one division by n·rng²
+    "eval_brier" ->
+      s"""WITH $int8FoldScoredSql,
+        |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM lab),
+        |b AS (SELECT score - mn AS off, mx - mn AS rng,
+        |        CASE WHEN pos THEN 1 ELSE 0 END AS y
+        |      FROM lab, mm)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(sum(CAST(off - y*rng AS DECIMAL(38,0)) * (off - y*rng)), 0) AS BIGINT) AS num,
+        |  CAST(max(rng) AS BIGINT) AS rng,
+        |  CASE WHEN max(rng) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(sum(CAST(off - y*rng AS DECIMAL(38,0)) * (off - y*rng)), 0) AS DOUBLE)
+        |          / (CAST(count(*) AS DOUBLE) * max(rng) * max(rng))
+        |  END AS brier
+        |FROM b""".stripMargin,
 
     // mirrors Dedup.ngramJaccardPairs: distinct 3-word shingles, df-capped
     // inverted-index candidates, exact Jaccard on the FULL shingle sets

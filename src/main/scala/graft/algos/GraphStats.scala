@@ -291,6 +291,28 @@ object GraphStats {
                     sources: Seq[Long]): DataFrame =
     aggDistances(MSBFS.run(spark, undirect(edges), sources))
 
+  /** Double-sweep BFS diameter lower bound (Magnien-Latapy-Habib, the
+    * standard cheap diameter estimator for web-scale graphs): BFS from a
+    * seed, then BFS again from the farthest vertex found — the second
+    * sweep's eccentricity lower-bounds the diameter (exact on trees,
+    * empirically tight on web graphs). Two O(m) level-synchronous BFS
+    * passes; the only driver state is the ONE (id, level) row of the first
+    * sweep's argmax, determinized as (max level, min id).
+    *
+    * @return one row (seed, far_id, far_level, diameter_lb)
+    */
+  def doubleSweepDiameter(spark: SparkSession, edges: DataFrame,
+                          seed: Long): DataFrame = {
+    val und = undirect(edges)
+    val b1 = BFS.run(spark, und, source = seed)
+    val far = b1.orderBy(col("level").desc, col("id")).limit(1).collect()(0)
+    val (farId, farLevel) = (far.getLong(0), far.getInt(1))
+    BFS.run(spark, und, source = farId)
+      .agg(max(col("level")).as("diameter_lb"))
+      .select(lit(seed).as("seed"), lit(farId).as("far_id"),
+        lit(farLevel).as("far_level"), col("diameter_lb"))
+  }
+
   /** Canonicalize to a loop-free undirected (symmetric) edge list. */
   private def undirect(edges: DataFrame): DataFrame = {
     val canon = edges.select(

@@ -315,6 +315,103 @@ object Eval {
           .as("kappa"))
   }
 
+  /** Multiclass Matthews correlation coefficient (the R_k statistic) —
+    * the chance-and-imbalance-corrected single-number classifier score:
+    * R_k = (n·A − S) / sqrt((n² − Sp)·(n² − St)), where A = Σ diagonal
+    * counts, S = Σ_class truthTotal·predTotal, Sp = Σ predTotal²,
+    * St = Σ truthTotal². The numerator is [[kappa]]'s numerator; only the
+    * normalizer differs. Every intermediate is an exact integer
+    * (DECIMAL(38,0) cross products); the final value is one IEEE division
+    * by a sqrt of a double product — the same pinned shape as [[kendall]]'s
+    * tau, so any engine reproduces it bit-for-bit. A degenerate margin
+    * (either factor 0 — single truth class or single predicted class)
+    * reports 0.0 by convention.
+    *
+    * Scale shape: ONE corpus-sized groupBy(truth, pred); everything after
+    * runs on the |classes|-row margin tables.
+    *
+    * @return one row (n, agree, s, sp, st, mcc)
+    */
+  def mcc(rows: DataFrame, truthCol: String = "truth",
+          predCol: String = "pred"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = rows.groupBy(col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = counts.filter(col("t") === col("p"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("a"))
+    val rt = counts.groupBy("t").agg(sum(col("cnt")).as("rt"))
+      .withColumnRenamed("t", "cls")
+    val ct = counts.groupBy("p").agg(sum(col("cnt")).as("ct"))
+      .withColumnRenamed("p", "cls")
+    // classes on only one side contribute rt·ct = 0, so the inner join is S
+    val s = rt.join(ct, Seq("cls"))
+      .agg(coalesce(sum(col("rt").cast(dec) * col("ct")), lit(0).cast(dec)).as("s"))
+    val sp = ct.agg(coalesce(sum(col("ct").cast(dec) * col("ct")), lit(0).cast(dec)).as("sp"))
+    val st = rt.agg(coalesce(sum(col("rt").cast(dec) * col("rt")), lit(0).cast(dec)).as("st"))
+    val n = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    val n2 = col("n").cast(dec) * col("n")
+    n.crossJoin(a).crossJoin(s).crossJoin(sp).crossJoin(st)
+      .select(col("n"), col("a").as("agree"), col("s").cast("long").as("s"),
+        col("sp").cast("long").as("sp"), col("st").cast("long").as("st"),
+        when(n2 - col("sp") === 0 || n2 - col("st") === 0, lit(0.0))
+          .otherwise((col("n").cast(dec) * col("a") - col("s")).cast("double")
+            / sqrt((n2 - col("sp")).cast("double")
+              * (n2 - col("st")).cast("double"))).as("mcc"))
+  }
+
+  /** Macro-averaged F1 over [[f1PerClass]] — Σ_class f1 / |classes|, with
+    * the floating-point addition ORDER pinned by folding the per-class F1s
+    * in CLASS-SORTED order (sort_array over (cls, f1) structs, then a
+    * left-to-right aggregate fold from 0.0 — a groupBy sum's order is
+    * partition-dependent; this isn't). Each per-class F1 is itself ONE
+    * division of exact integers, so any engine reproduces the macro value
+    * bit-for-bit. Returns one row (classes, macro_f1).
+    *
+    * Scale shape: the corpus-sized pass is f1PerClass's ONE groupBy; the
+    * collect_list holds |classes| structs — tiny and corpus-independent.
+    */
+  def macroF1(rows: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val per = f1PerClass(rows, truthCol, predCol)
+    per.agg(count(lit(1)).as("classes"),
+        sort_array(collect_list(struct(col("cls"), col("f1")))).as("arr"))
+      .select(col("classes"),
+        (aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("f1"))
+          / col("classes").cast("double")).as("macro_f1"))
+  }
+
+  /** Brier score of an INTEGER score against a boolean label, with the
+    * score min-max-normalized to a confidence p = (score−mn)/(mx−mn) (the
+    * same normalization as [[calibrationBins]]): mean (p − y)². Computed
+    * EXACTLY: (p − y)² = (off − y·rng)²/rng², so the numerator
+    * Σ (off − y·rng)² is an exact integer and the score is ONE division by
+    * n·rng² — bit-identical in any engine. Degenerate rng = 0 reports 0.0.
+    *
+    * Scale shape: one 2-row-broadcast min/max join, one corpus-sized
+    * aggregate.
+    *
+    * @param scored (score: integral, positive: boolean)
+    * @return one row (n, num, rng, brier)
+    */
+  def brier(scored: DataFrame, scoreCol: String = "score",
+            labelCol: String = "positive"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val mm = scored.agg(min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
+    val err = col("off") - col("y") * col("rng")
+    scored.crossJoin(broadcast(mm))
+      .select((col(scoreCol) - col("mn")).cast("long").as("off"),
+        (col("mx") - col("mn")).cast("long").as("rng"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum((err.cast(dec) * err)), lit(0).cast(dec)).as("num"),
+        max(col("rng")).as("rng"))
+      .select(col("n"), col("num").cast("long").as("num"), col("rng"),
+        when(col("rng") === 0L || col("rng").isNull, lit(0.0))
+          .otherwise(col("num").cast("double")
+            / (col("n").cast("double") * col("rng").cast("double")
+              * col("rng").cast("double"))).as("brier"))
+  }
+
   /** Exact tie-aware Kendall tau-b between two numeric columns, computed
     * over the DISTINCT-PAIR group table: with G = groupBy(x, y) counts,
     * C − D = Σ over group pairs (a, b) with x_a < x_b of

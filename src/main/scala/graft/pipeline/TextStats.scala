@@ -22,6 +22,34 @@ object TextStats {
       ceil(chars.cast("double") / 4.0).cast("long").as("bpe_est"))
   }
 
+  /** Per-document character-level Shannon entropy (nats) — the standard
+    * cheap gibberish/boilerplate filter (low entropy = repeated runs,
+    * near-log2(alphabet) = keyboard mash or base64 blobs):
+    * H = ln(n) − (Σ_c cnt_c·ln cnt_c)/n over the doc's character counts.
+    *
+    * Zero shuffles and no explode — the whole computation is per-row array
+    * algebra: split to chars, count each DISTINCT char with a filter scan,
+    * sort the (char, count) structs, and fold Σ cnt·ln(cnt) LEFT-TO-RIGHT
+    * from 0.0 so the floating-point addition order is pinned (char-sorted —
+    * a groupBy sum's order would be partition-dependent) and a SQL oracle
+    * replays the value bit-for-bit. O(len·|alphabet|) per doc.
+    *
+    * @return (doc_id, n_chars, h_nats)
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val cs = filter(split(col("text"), ""), c => length(c) > 0)
+    val counts = array_sort(transform(array_distinct(cs),
+      c => struct(c.as("ch"),
+        size(filter(cs, x => x === c)).cast("long").as("cnt"))))
+    val sclc = aggregate(counts, lit(0.0),
+      (acc, x) => acc + x.getField("cnt").cast("double")
+        * log(x.getField("cnt").cast("double")))
+    val n = size(cs).cast("long")
+    docs.select(col("doc_id"), n.as("n_chars"),
+      when(n === 0L, lit(0.0))
+        .otherwise(log(n.cast("double")) - sclc / n.cast("double")).as("h_nats"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
     * length, uppercase ratio — plus a composite [0,1] score with fixed
     * deterministic weights (the C4/Gopher-style cheap filters).

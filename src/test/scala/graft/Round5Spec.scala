@@ -147,4 +147,43 @@ class Round5Spec extends SparkTestBase {
     flat.zip(grpAll).foreach { case ((i1, r1), (i2, r2)) =>
       assert(i1 == i2 && math.abs(r1 - r2) < 1e-12, s"grouped id=$i1") }
   }
+
+  test("charEntropy: closed forms — uniform, single-char, empty; partition-stable") {
+    val d = Seq((1L, "abab"), (2L, "aaaa"), (3L, ""), (4L, "abcd"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.charEntropy(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // "abab": n=4, two chars ×2 -> H = ln4 − (2·2·ln2)/4 = ln2
+    assert(got(1L)._1 == 4L)
+    assert(math.abs(got(1L)._2 - math.log(2.0)) < 1e-15, got(1L).toString)
+    // single repeated char -> 0 (ln4 − 4·ln4/4)
+    assert(math.abs(got(2L)._2) < 1e-15)
+    // empty text -> (0, 0.0) by convention
+    assert(got(3L) == ((0L, 0.0)))
+    // all-distinct -> ln(n) (each cnt=1, ln1 = 0)
+    assert(got(4L)._2 == math.log(4.0))
+    // per-row computation: partition layout changes nothing
+    val got7 = graft.pipeline.TextStats.charEntropy(d.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((1L to 4L).forall(i => got7(i) == got(i)._2))
+  }
+
+  test("doubleSweepDiameter: exact on a path graph, >= true ecc bound on a cycle+spur") {
+    // path 0-1-2-3-4: seeding mid-path (2) finds an endpoint; sweep 2 = 4
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "w")
+    val r = graft.algos.GraphStats.doubleSweepDiameter(spark, path, seed = 2L)
+      .collect()(0)
+    // far from 2: level 2 at ids {0, 4} -> min id 0; ecc(0) = 4
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+      == ((2L, 0L, 2, 4)))
+    // 6-cycle with a 2-spur at 0: true diameter = 5 (3 across + 2 spur);
+    // double sweep from 3 reaches spur tip 7 (dist 5) -> exact here
+    val cyc = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L),
+      (0L, 6L), (6L, 7L))).map { case (a, b) => (a, b, 1.0) }
+      .toDF("src", "dst", "w")
+    val r2 = graft.algos.GraphStats.doubleSweepDiameter(spark, cyc, seed = 3L)
+      .collect()(0)
+    assert(r2.getInt(3) == 5, r2.toString)
+  }
 }

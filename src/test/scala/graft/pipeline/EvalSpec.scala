@@ -220,4 +220,64 @@ class EvalSpec extends SparkTestBase {
     val r7 = Eval.kappa(d.repartition(7)).collect()(0)
     assert(r7.getDouble(3) == r.getDouble(3))
   }
+
+  test("mcc: hand confusion, binary closed form, degenerate margins, partition-stable") {
+    // same confusion as the kappa test: (a,a)=3 (a,b)=1 (b,a)=1 (b,b)=5
+    // n=10, A=8, S=52, Sp = 4²+6² = 52, St = 52
+    // binary MCC = (tp·tn − fp·fn)/sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    //            = (3·5 − 1·1)/sqrt(4·4·6·6) = 14/24
+    // multiclass R_k must agree on the 2-class case:
+    // (10·8 − 52)/sqrt((100−52)(100−52)) = 28/48 = 14/24 ✓
+    val d = (Seq.fill(3)(("a", "a")) ++ Seq(("a", "b"), ("b", "a")) ++
+      Seq.fill(5)(("b", "b"))).toDF("truth", "pred")
+    val r = Eval.mcc(d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((10L, 8L, 52L, 52L, 52L)))
+    assert(r.getDouble(5) == 28.0 / math.sqrt(48.0 * 48.0), r.getDouble(5).toString)
+    // perfect agreement -> 1.0
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("truth", "pred")
+    assert(Eval.mcc(perfect).collect()(0).getDouble(5) == 1.0)
+    // single predicted class: n² == Sp -> degenerate 0.0 by convention
+    val degen = Seq(("x", "x"), ("y", "x")).toDF("truth", "pred")
+    assert(Eval.mcc(degen).collect()(0).getDouble(5) == 0.0)
+    // partition layout changes nothing
+    assert(Eval.mcc(d.repartition(7)).collect()(0).getDouble(5) == r.getDouble(5))
+  }
+
+  test("macroF1: hand case incl. a pred-only class; fold order partition-stable") {
+    // (a,a)=2 (a,b)=1 (b,b)=1 (b,c)=1:
+    //  a: tp=2 predTot=2 truthTot=3 -> f1 = 4/5
+    //  b: tp=1 predTot=2 truthTot=2 -> f1 = 2/4
+    //  c: tp=0 predTot=1 truthTot=0 -> f1 = 0
+    // macro = ((0 + 0.8) + 0.5 + 0.0)/3  (class-sorted left-to-right)
+    val d = (Seq.fill(2)(("a", "a")) ++ Seq(("a", "b"), ("b", "b"), ("b", "c")))
+      .toDF("truth", "pred")
+    val r = Eval.macroF1(d, "truth", "pred").collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == ((0.0 + 4.0 / 5.0) + 2.0 / 4.0 + 0.0) / 3.0,
+      r.getDouble(1).toString)
+    val r7 = Eval.macroF1(d.repartition(7), "truth", "pred").collect()(0)
+    assert(r7.getDouble(1) == r.getDouble(1))
+  }
+
+  test("brier: exact rational hand case, perfect, worst, degenerate rng=0") {
+    // scores {0, 5, 10}, labels {F, T, T}: mn=0 rng=10
+    // p = (0, .5, 1), y = (0, 1, 1) -> errs² = (0² + (5−10)² + 0²) = 25
+    // brier = 25 / (3·100) = 1/12
+    val d = Seq((0L, false), (5L, true), (10L, true)).toDF("score", "positive")
+    val r = Eval.brier(d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 25L, 10L)))
+    assert(r.getDouble(3) == 25.0 / 300.0, r.getDouble(3).toString)
+    // perfectly calibrated extremes -> 0.0
+    val perfect = Seq((0L, false), (10L, true)).toDF("score", "positive")
+    assert(Eval.brier(perfect).collect()(0).getDouble(3) == 0.0)
+    // perfectly anti-calibrated -> 1.0
+    val worst = Seq((10L, false), (0L, true)).toDF("score", "positive")
+    assert(Eval.brier(worst).collect()(0).getDouble(3) == 1.0)
+    // constant score: rng=0 -> 0.0 by convention
+    val flat = Seq((7L, true), (7L, false)).toDF("score", "positive")
+    assert(Eval.brier(flat).collect()(0).getDouble(3) == 0.0)
+    // partition layout changes nothing (integer numerator)
+    assert(Eval.brier(d.repartition(5)).collect()(0).getDouble(3) == 25.0 / 300.0)
+  }
 }
