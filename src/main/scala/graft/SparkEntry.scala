@@ -1101,6 +1101,14 @@ object SparkEntry {
         .select(col("repo"), col("path"), col("sha"),
           (col("sha") === col("s_sha")).as("ok"))
     }),
+    // lakehouse CDC: diff two deterministic snapshots of the arithmetic
+    // corpus by CONTENT sha256 (never commit metadata) — one full-outer
+    // hash join of (repo, path, sha) projections; the oracle re-derives
+    // every status closed-form from the evolution rules (i%11==5 deleted,
+    // i%7==3 modified, [n, n+40) added)
+    "corpus_snapshot_diff" -> ((s, _) =>
+      Corpus.snapshotDiff(Corpus.synthesizeArith(s, 500),
+        Corpus.synthesizeArithV2(s, 500, nNew = 40))),
     // the oracle-green twin of corpus_pagerank: the full north-rule chain
     // corpus -> parse+resolve file edges -> PageRank, over the arithmetic
     // corpus with NAMED (repo/path) string vertices, 2 fixed iterations —
@@ -1249,6 +1257,9 @@ object SparkEntry {
     // per-doc character Shannon entropy (nats) — zero-shuffle per-row array
     // algebra with a char-sorted left-to-right fold (pinned fp order)
     "text_entropy" -> ((s, d) => TextStats.charEntropy(docs(s, d))),
+    // vocabulary richness: type-token ratio + hapax share — zero-shuffle
+    // per-row array algebra, integer counts, one division per ratio
+    "text_ttr" -> ((s, d) => TextStats.ttr(docs(s, d))),
     "text_repetition" -> ((s, d) => TextStats.repetitionScores(docs(s, d))),
     // rangeSize=100 forces the sf0.01 run through MULTIPLE ranges, so the
     // driver pins the two-level distributed scan == the naive global window
@@ -2528,6 +2539,25 @@ object SparkEntry {
         |  END AS h_nats
         |FROM k""".stripMargin,
 
+    // mirrors TextStats.ttr: per-row list algebra, one division per ratio
+    "text_ttr" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(tk) AS n_tokens,
+        |  len(list_distinct(tk)) AS n_types,
+        |  len(list_filter(list_distinct(tk),
+        |    u -> len(list_filter(tk, x -> x = u)) = 1)) AS hapax_cnt
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(hapax_cnt AS BIGINT) AS hapax_cnt,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS ttr,
+        |  CASE WHEN n_types = 0 THEN 0.0
+        |       ELSE CAST(hapax_cnt AS DOUBLE) / CAST(n_types AS DOUBLE) END AS hapax_ratio
+        |FROM m""".stripMargin,
+
     // mirrors TextStats.repetitionScores. The top-bigram share is expressed
     // the natural SQL way (unnest + groupBy + max) — value-identical to the
     // engine's sorted-run aggregate, which exists only to avoid the shuffle
@@ -3004,6 +3034,30 @@ object SparkEntry {
         |    (['scala','c','py','go','rs'])[(i % 5) + 1] AS path,
         |  sha256(content) AS sha, true AS ok
         |FROM content""".stripMargin,
+
+    // mirrors Corpus.snapshotDiff over (synthesizeArith 500, V2 +40):
+    // every status and commit is closed-form in i from the evolution rules —
+    // if the engine's sha256-compare logic misclassified anything, the
+    // statuses would disagree
+    "corpus_snapshot_diff" ->
+      """WITH base AS (SELECT range AS i FROM range(0, 540)),
+        |st AS (SELECT i,
+        |  CASE WHEN i >= 500 THEN 'added'
+        |       WHEN i % 11 = 5 THEN 'deleted'
+        |       WHEN i % 7 = 3 THEN 'modified'
+        |       ELSE NULL END AS status
+        |  FROM base),
+        |d AS (SELECT i, status FROM st WHERE status IS NOT NULL)
+        |SELECT
+        |  'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS repo,
+        |  'src/f' || CAST(i // 13 AS VARCHAR) || '.' || (['scala','c','py','go','rs'])[(i % 5) + 1] AS path,
+        |  status,
+        |  CASE WHEN status = 'added' THEN NULL
+        |       ELSE CAST((i*69621 + 3) % 1000003 AS VARCHAR) END AS old_commit,
+        |  CASE WHEN status = 'deleted' THEN NULL
+        |       WHEN status = 'modified' THEN CAST((i*16807 + 17) % 1000003 AS VARCHAR)
+        |       ELSE CAST((i*69621 + 3) % 1000003 AS VARCHAR) END AS new_commit
+        |FROM d""".stripMargin,
 
     // the north-rule chain end to end: the named file graph above feeds the
     // unrolled 2-iteration PageRank replay (string vertices, unweighted);

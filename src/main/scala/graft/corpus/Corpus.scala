@@ -69,18 +69,28 @@ object Corpus {
     * stays the scale/skew fixture (rows-only, unit-verified).
     */
   def synthesizeArith(spark: SparkSession, n: Long, nRepos: Int = 13,
-                      fanout: Int = 4): DataFrame = {
-    val base = spark.range(0, n).toDF("i")
+                      fanout: Int = 4): DataFrame =
+    arithRows(spark, 0, n, n, nRepos, fanout).drop("i")
+
+  /** [[synthesizeArith]] keeping the file index `i`, over the id range
+    * [start, end) with import targets drawn mod `modN` — the internal form
+    * the snapshot evolution below derives its deterministic edits from
+    * (old files must keep their ORIGINAL modulus or their content would
+    * change with the corpus size).
+    */
+  private def arithRows(spark: SparkSession, start: Long, end: Long,
+                        modN: Long, nRepos: Int, fanout: Int): DataFrame = {
+    val base = spark.range(start, end).toDF("i")
     val imports = transform(sequence(lit(0), lit(fanout - 1)), k => {
       val mix = pmod((col("i") + 1L) * 48271L + (k.cast("long") + 1L) * 7919L,
         lit(1000003L))
       val lowBound = greatest(lit(1L), (col("i") / 16).cast("long") + 1)
       when(pmod(mix, lit(4)) === 0, pmod(mix, lowBound))
-        .otherwise(pmod(mix, lit(n))).cast("long")
+        .otherwise(pmod(mix, lit(modN))).cast("long")
     })
     val importLines = transform(imports, t =>
       concat(lit("import "), repoExpr(t, nRepos), lit("/"), pathExpr(t, nRepos)))
-    base.select(
+    base.select(col("i"),
       repoExpr(col("i"), nRepos).as("repo"),
       pathExpr(col("i"), nRepos).as("path"),
       pmod(col("i") * 69621L + 3L, lit(1000003L)).cast("string").as("commit"),
@@ -90,6 +100,55 @@ object Corpus {
         lit("def body_"), col("i").cast("string"),
         lit("(): x = "), pmod(col("i") * 48271L + 11L, lit(1000L)).cast("string"),
         lit(" // "), repeat(lit("filler "), 8)).as("content"))
+  }
+
+  /** The NEXT snapshot of [[synthesizeArith]]'s corpus, evolved by
+    * deterministic closed-form edits (the sandbox stand-in for the next
+    * Iceberg snapshot of the 10^12-file table): among the first `n` files,
+    * every i ≡ 5 (mod 11) is DELETED, every surviving i ≡ 3 (mod 7) is
+    * MODIFIED (content gets a patch line, commit advances to a new Lehmer
+    * value), and `nNew` fresh files [n, n+nNew) are ADDED (their content
+    * follows the same formula, so cross-snapshot imports stay resolvable).
+    */
+  def synthesizeArithV2(spark: SparkSession, n: Long, nNew: Long,
+                        nRepos: Int = 13, fanout: Int = 4): DataFrame = {
+    val modified = pmod(col("i"), lit(7)) === 3
+    // survivors of snapshot 1 keep their ORIGINAL content (import targets
+    // still drawn mod n) except the deterministic patches
+    val survivors = arithRows(spark, 0, n, n, nRepos, fanout)
+      .filter(pmod(col("i"), lit(11)) =!= 5)
+      .select(col("repo"), col("path"),
+        when(modified, pmod(col("i") * 16807L + 17L, lit(1000003L)).cast("string"))
+          .otherwise(col("commit")).as("commit"),
+        col("lang"),
+        when(modified, concat(col("content"), lit("\n// patched")))
+          .otherwise(col("content")).as("content"))
+    val added = arithRows(spark, n, n + nNew, n + nNew, nRepos, fanout).drop("i")
+    survivors.unionByName(added)
+  }
+
+  /** Snapshot diff — lakehouse change-data-capture between two corpus
+    * snapshots: (repo, path, status ∈ added|deleted|modified, old_commit,
+    * new_commit), "modified" decided by CONTENT HASH inequality (sha256),
+    * never by commit metadata.
+    *
+    * Scale shape at 10^12 files: contents never cross the wire — each side
+    * first reduces to a (repo, path, sha256, commit) projection (the sha is
+    * computed in the scan stage), then ONE full-outer hash join on the
+    * (repo, path) key decides every status; unchanged rows (the vast
+    * majority of a real snapshot pair) are dropped before materializing.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, tag: String) = df.select(col("repo"), col("path"),
+      sha2(col("content"), 256).as(s"sha_$tag"), col("commit").as(s"${tag}_commit"))
+    keyed(oldSnap, "old").join(keyed(newSnap, "new"), Seq("repo", "path"), "full_outer")
+      .select(col("repo"), col("path"),
+        when(col("sha_old").isNull, lit("added"))
+          .when(col("sha_new").isNull, lit("deleted"))
+          .when(col("sha_old") =!= col("sha_new"), lit("modified"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_commit"), col("new_commit"))
+      .filter(col("status") =!= "unchanged")
   }
 
   /** [[deriveEdges]] keeping NAMED endpoints — (src_repo, src_path,

@@ -50,6 +50,31 @@ object TextStats {
         .otherwise(log(n.cast("double")) - sclc / n.cast("double")).as("h_nats"))
   }
 
+  /** Per-document vocabulary richness — type-token ratio and hapax share,
+    * the classic template/boilerplate detectors (machine-generated spam has
+    * abnormally LOW TTR; OCR noise and gibberish abnormally HIGH hapax):
+    * (doc_id, n_tokens, n_types, hapax_cnt, ttr, hapax_ratio), each ratio
+    * ONE division of exact integers. Zero shuffles — per-row array algebra
+    * only (distinct + filter-count scans, O(len·types) per doc), the same
+    * shape as [[charEntropy]].
+    */
+  def ttr(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val types = array_distinct(toks)
+    val hapax = filter(types, t => size(filter(toks, x => x === t)) === 1)
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(types).cast("long").as("n_types"),
+        size(hapax).cast("long").as("hapax_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("hapax_cnt"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        when(col("n_types") === 0L, lit(0.0))
+          .otherwise(col("hapax_cnt").cast("double") / col("n_types").cast("double"))
+          .as("hapax_ratio"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
     * length, uppercase ratio — plus a composite [0,1] score with fixed
     * deterministic weights (the C4/Gopher-style cheap filters).

@@ -168,6 +168,53 @@ class Round5Spec extends SparkTestBase {
     assert((1L to 4L).forall(i => got7(i) == got(i)._2))
   }
 
+  test("ttr: hand counts — case folding, hapax, empty doc; partition-stable") {
+    val d = Seq((1L, "a b A c"), (2L, ""), (3L, "x x x"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.ttr(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // "a b A c" folds to {a:2, b:1, c:1}: 4 tokens, 3 types, 2 hapax
+    assert(got(1L) == ((4L, 3L, 2L, 3.0 / 4.0, 2.0 / 3.0)), got(1L).toString)
+    assert(got(2L) == ((0L, 0L, 0L, 0.0, 0.0)))
+    assert(got(3L) == ((3L, 1L, 0L, 1.0 / 3.0, 0.0)))
+    val got7 = graft.pipeline.TextStats.ttr(d.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert((1L to 3L).forall(i => got7(i) == got(i)._4))
+  }
+
+  test("snapshotDiff: content-hash CDC — commit-only churn is NOT a modification") {
+    import graft.corpus.Corpus
+    def snap(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("repo", "path", "commit", "content")
+        .withColumn("lang", lit("scala"))
+    val old = snap(Seq(("r", "p1", "c1", "x"), ("r", "p2", "c2", "y"),
+      ("r", "p3", "c3", "z")))
+    // p1: new commit, SAME content -> unchanged (dropped); p2: content
+    // change -> modified; p3 gone -> deleted; p4 fresh -> added
+    val next = snap(Seq(("r", "p1", "c9", "x"), ("r", "p2", "c8", "Y"),
+      ("r", "p4", "c7", "w")))
+    val got = Corpus.snapshotDiff(old, next).collect()
+      .map(r => (r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(got == Set(
+      ("p2", "modified", Some("c2"), Some("c8")),
+      ("p3", "deleted", Some("c3"), None),
+      ("p4", "added", None, Some("c7"))), got.toString)
+
+    // the arithmetic evolution: statuses follow the closed-form rules
+    val d = Corpus.snapshotDiff(Corpus.synthesizeArith(spark, 100),
+      Corpus.synthesizeArithV2(spark, 100, nNew = 10)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    // i<100: deleted iff i%11==5 (10 of them), modified iff else i%7==3
+    val del = (0L until 100L).count(_ % 11 == 5)
+    val mod = (0L until 100L).count(i => i % 11 != 5 && i % 7 == 3)
+    assert(d.values.count(_ == "deleted") == del)
+    assert(d.values.count(_ == "modified") == mod)
+    assert(d.values.count(_ == "added") == 10)
+    assert(d.size == del + mod + 10)
+  }
+
   test("doubleSweepDiameter: exact on a path graph, >= true ecc bound on a cycle+spur") {
     // path 0-1-2-3-4: seeding mid-path (2) finds an endpoint; sweep 2 = 4
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
