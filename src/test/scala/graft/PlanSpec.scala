@@ -95,6 +95,30 @@ class PlanSpec extends SparkTestBase {
     assert(exchangeCount(df) == 0, s"simhash shuffled:\n${finalPlan(df)}")
   }
 
+  test("charEntropy and ttr are pure projections: zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ent = graft.pipeline.TextStats.charEntropy(docs)
+    assert(exchangeCount(ent) == 0, s"charEntropy shuffled:\n${finalPlan(ent)}")
+    val t = graft.pipeline.TextStats.ttr(docs)
+    assert(exchangeCount(t) == 0, s"ttr shuffled:\n${finalPlan(t)}")
+  }
+
+  test("snapshotDiff: one hash-join exchange pair, contents reduced to sha before the join") {
+    import graft.corpus.Corpus
+    val d = Corpus.snapshotDiff(Corpus.synthesizeArith(spark, 200),
+      Corpus.synthesizeArithV2(spark, 200, nNew = 20))
+    // full-outer on (repo,path): at most one exchange per side, never more
+    assert(exchangeCount(d) <= 2, s"snapshotDiff over-shuffled:\n${finalPlan(d)}")
+    // the join's output carries shas, not contents: content is consumed by
+    // the projection below the exchange (sha256 computed scan-side)
+    val plan = finalPlan(d)
+    val joinLine = plan.linesIterator.find(_.contains("SortMergeJoin")).orElse(
+      plan.linesIterator.find(_.contains("HashJoin"))).getOrElse("")
+    assert(!joinLine.contains("content"),
+      s"contents cross the join:\n$joinLine")
+  }
+
   test("minhash signatures: exactly one exchange (the per-doc grouping)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
