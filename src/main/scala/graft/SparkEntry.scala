@@ -765,6 +765,11 @@ object SparkEntry {
     "gb_hopplot" -> ((s, d) =>
       GraphStats.hopPlot(s, edgesArith(s, d))),
 
+    // effective diameter d90 + true diameter off the hop plot — the pct
+    // selection is exact integer arithmetic (100·cum ≥ 90·total)
+    "gb_eff_diameter" -> ((s, d) =>
+      GraphStats.effectiveDiameter(s, edgesArith(s, d), pct = 90)),
+
     // hub-removal percolation curve (targeted-attack robustness): giant
     // component / components / singletons after deleting the top-p% hubs
     "gb_percolation" -> ((s, d) =>
@@ -1329,6 +1334,45 @@ object SparkEntry {
       Eval.ndcg(TextStats.bm25Multi(ds, retrievalQueries, topK = 20),
         TextStats.queryRelevance(ds, retrievalQueries, minTf = 2L), k = 10)
     }),
+    // recall@k (k = 5, 10, 20) of the same ranking — denominator is the
+    // CORPUS-WIDE fully-relevant count, so recall < 1 even for a perfect
+    // top-k when a query has more than k relevant docs
+    "eval_recall_at_k" -> ((s, d) => {
+      val ds = docs(s, d)
+      Eval.recallAtK(TextStats.bm25Multi(ds, retrievalQueries, topK = 20),
+        TextStats.queryRelevance(ds, retrievalQueries, minTf = 2L), retrievalNterms(s),
+        ks = Seq(5, 10, 20))
+    }),
+    // average precision @20 (the per-query term of MAP) — unrolled
+    // per-position precision sums (each term ONE division of exact
+    // integers), denominator min(tot_rel, 20)
+    "eval_map" -> ((s, d) => {
+      val ds = docs(s, d)
+      Eval.avgPrecision(TextStats.bm25Multi(ds, retrievalQueries, topK = 20),
+        TextStats.queryRelevance(ds, retrievalQueries, minTf = 2L), retrievalNterms(s),
+        k = 20)
+    }),
+    // rank-biased overlap (p = 1/2, depth 10) between two rankers of the
+    // SAME query — BM25 vs raw term-frequency (the classic ranker-A/B
+    // comparison; the two top-10s genuinely overlap AND genuinely differ:
+    // bm25 length-normalizes, tf doesn't) — every weight an exact dyadic
+    // 2^-i, every overlap an exact integer, sum unrolled
+    "eval_rbo" -> ((s, d) => {
+      val ds = docs(s, d)
+      val terms = Seq("spark", "shuffle", "partition")
+      val a = TextStats.bm25(ds, terms, topK = 20)
+        .select(col("doc_id"), col("rk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s").desc, col("doc_id"))
+      val b = ds.select(col("doc_id"), explode(
+          filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)).as("term"))
+        .filter(col("term").isin(terms.map(lit): _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(20)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("rk"))
+      Eval.rbo(a, b, k = 10)
+    }),
     // language-ID confusion matrix vs the documents table's lang truth
     "eval_langid_confusion" -> ((s, d) =>
       Eval.confusion(
@@ -1416,6 +1460,17 @@ object SparkEntry {
         .select(col("doc_id"), col("rk"))
       TextStats.rrfFuse(a, b)
     }),
+    // C4-style cross-document span REMOVAL: 10-token chunks occurring in
+    // ≥2 distinct docs are scrubbed and the doc rebuilt in original order
+    // (the duplicate-doc fixtures get gutted; unique text survives intact)
+    "text_span_scrub" -> ((s, d) => TextStats.spanScrub(docs(s, d))),
+    // temperature-scaled (α = 1/2) domain mixing weights per source —
+    // sqrt is correctly-rounded IEEE so both engines agree bit-for-bit;
+    // the sqrt-sum denominator is a source-ordered pinned fold
+    "text_domain_mix" -> ((s, d) => TextStats.domainMix(docs(s, d))),
+    // per-language KL drift vs the corpus over the top-24 vocabulary —
+    // integer counts + grid-materialized zero terms, term-sorted pinned fold
+    "text_kl_drift" -> ((s, d) => TextStats.klDrift(docs(s, d))),
     // bounded-memory heavy hitters: Misra-Gries candidates + exact recount,
     // a-posteriori certified equal to the unbounded exact top-k
     "text_top_terms" -> ((s, d) =>
@@ -1475,6 +1530,14 @@ object SparkEntry {
     // distinct-value histogram + window, never a raw-row global sort
     "events_quantiles" -> ((s, d) =>
       Events.quantiles(s.read.parquet(s"$d/events.parquet"))),
+    // per-type z>3 outliers — exact-integer decision predicate
+    // (n·v − S)² > 9·(n·Q − S²), one double division per flagged row
+    "events_zscore" -> ((s, d) =>
+      Events.zscoreOutliers(s.read.parquet(s"$d/events.parquet"))),
+    // per-type CUSUM changepoint (H-scaled integer arithmetic, window-only
+    // prefix identity — no fp anywhere in the statistic)
+    "events_cusum" -> ((s, d) =>
+      Events.cusum(s.read.parquet(s"$d/events.parquet"))),
     "events_sessions" -> ((s, d) =>
       Events.sessions(s.read.parquet(s"$d/events.parquet"), gapMinutes = 30)),
     // ordered conversion funnel signup -> click -> purchase (strictly-after)
@@ -2309,6 +2372,25 @@ object SparkEntry {
          |SELECT CAST(dist AS BIGINT) AS dist, CAST(pairs AS BIGINT) AS pairs,
          |  CAST(SUM(pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs
          |FROM hist ORDER BY dist""".stripMargin,
+
+    // effective diameter: integer pct selection over the hopplot histogram
+    "gb_eff_diameter" ->
+      s"""WITH RECURSIVE canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
+         |und AS (SELECT src AS s, dst AS d FROM canon UNION ALL SELECT dst, src FROM canon),
+         |verts AS (SELECT DISTINCT s AS v FROM und),
+         |r AS (
+         |  SELECT v AS s, v, 0 AS d FROM verts
+         |  UNION
+         |  SELECT r.s, und.d, r.d + 1 FROM r JOIN und ON und.s = r.v WHERE r.d < 300),
+         |mind AS (SELECT s, v, MIN(d) AS dist FROM r GROUP BY s, v),
+         |hist AS (SELECT dist, count(*) AS pairs FROM mind WHERE dist > 0 GROUP BY dist),
+         |cum AS (SELECT dist, pairs, SUM(pairs) OVER (ORDER BY dist) AS cum_pairs FROM hist),
+         |tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM hist)
+         |SELECT tot.total_pairs,
+         |  CAST((SELECT min(dist) FROM cum, tot
+         |        WHERE cum_pairs * 100 >= tot.total_pairs * 90) AS BIGINT) AS eff_diameter,
+         |  CAST((SELECT max(dist) FROM hist) AS BIGINT) AS diameter
+         |FROM tot""".stripMargin,
     "gb_powerlaw_alpha" ->
       s"""WITH canon AS MATERIALIZED (SELECT src, dst FROM ($edgesArithSql)),
          |und AS (SELECT src AS a, dst AS b FROM canon UNION ALL SELECT dst, src FROM canon),
@@ -2927,6 +3009,76 @@ object SparkEntry {
         |  FROM fused)
         |WHERE fused_rk <= 20""".stripMargin,
 
+    // C4-style span scrub: 10-token chunk grid (cid = pos/10, last chunk
+    // short), boilerplate = chunk text in ≥2 DISTINCT docs, doc rebuilt
+    // from kept chunks in cid order (string_agg skips the removed NULLs
+    // exactly like the engine's null-skipping collect_list)
+    "text_span_scrub" ->
+      s"""WITH tk AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) = 0 THEN [] ELSE range((len(tk) - 1) // 10 + 1) END) AS cid,
+        |    tk FROM tk),
+        |c2 AS (SELECT doc_id, cid,
+        |    array_to_string(tk[cid * 10 + 1 : cid * 10 + 10], ' ') AS chunk FROM ch),
+        |boiler AS (SELECT chunk FROM c2 GROUP BY chunk
+        |           HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT c2.doc_id, c2.cid, c2.chunk, (b.chunk IS NOT NULL) AS dup
+        |      FROM c2 LEFT JOIN boiler b USING (chunk))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN NOT dup THEN chunk END, ' ' ORDER BY cid), '')
+        |    AS text_scrub
+        |FROM f GROUP BY doc_id""".stripMargin,
+
+    // α = 1/2 domain mixing: integer token sums per source; p is one
+    // division; the sqrt-sum denominator is the same source-ordered
+    // list_reduce fold the engine pins with array_sort + aggregate
+    "text_domain_mix" ->
+      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |d AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+        |      (a, x) -> a + x) AS sq_total
+        |  FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE) AS p,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / sq_total AS w
+        |FROM s CROSS JOIN d""".stripMargin,
+
+    // per-language KL(P_lang ‖ P_corpus) over the top-24 vocabulary with
+    // add-one smoothing; the langs × vocab grid materializes zero counts,
+    // and the Σ p·ln(p/q) fold is term-ordered exactly like the engine's
+    "text_kl_drift" ->
+      s"""WITH toks AS (SELECT lang, t.term FROM documents,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS t(term)),
+        |vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS gcnt FROM toks
+        |          GROUP BY 1 ORDER BY gcnt DESC, term LIMIT 24),
+        |gtot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS gtot FROM vocab),
+        |lc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS lcnt FROM toks
+        |       WHERE term IN (SELECT term FROM vocab) GROUP BY 1, 2),
+        |grid AS (SELECT l.lang, v.term, v.gcnt, COALESCE(c.lcnt, 0) AS lcnt
+        |  FROM (SELECT DISTINCT lang FROM documents) l
+        |  CROSS JOIN vocab v
+        |  LEFT JOIN lc c ON c.lang = l.lang AND c.term = v.term),
+        |nl AS (SELECT lang, CAST(sum(lcnt) AS BIGINT) AS nl FROM grid GROUP BY 1),
+        |pq AS (SELECT grid.lang, grid.term,
+        |    CAST(lcnt + 1 AS DOUBLE) / CAST(nl + 24 AS DOUBLE) AS p,
+        |    CAST(gcnt + 1 AS DOUBLE) / CAST(gtot + 24 AS DOUBLE) AS q
+        |  FROM grid JOIN nl USING (lang) CROSS JOIN gtot),
+        |g AS (SELECT lang, term, p * ln(p / q) AS g FROM pq),
+        |k AS (SELECT lang, list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE), list(g ORDER BY term)),
+        |    (a, x) -> a + x) AS kl_nats
+        |  FROM g GROUP BY 1)
+        |SELECT k.lang, nl.nl AS n_vocab_tokens, k.kl_nats
+        |FROM k JOIN nl USING (lang)""".stripMargin,
+
     // SCC of the repo quotient graph: transitive closure (self-referential
     // CTE dedups) + mutual-reachability pairs; a repo's cycle = its mutual
     // set plus itself — identical to the engine's SCC min-label grouping
@@ -3348,6 +3500,86 @@ object SparkEntry {
         |FROM dcg d JOIN idcg i ON d.query_id = i.query_id""".stripMargin
     },
 
+    // recall@k: same binary relevance; the denominator counts fully-
+    // relevant docs over the WHOLE corpus (mrel), not the top-k window
+    "eval_recall_at_k" ->
+      s"""WITH $retrievalCtesSql,
+        |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (5), (10), (20)) AS t(k)),
+        |bin AS (SELECT r.query_id, r.rk,
+        |    CASE WHEN mrel.rel = nterms.nterms THEN 1 ELSE 0 END AS isrel
+        |  FROM ranked r LEFT JOIN mrel USING (query_id, doc_id)
+        |  JOIN nterms USING (query_id)),
+        |tot AS (SELECT mrel.query_id, count(*) AS tot_rel
+        |  FROM mrel JOIN nterms USING (query_id)
+        |  WHERE mrel.rel = nterms.nterms GROUP BY 1),
+        |cnts AS (SELECT bin.query_id, ks.k,
+        |    sum(CASE WHEN isrel = 1 AND rk <= k THEN 1 ELSE 0 END) AS rel_cnt
+        |  FROM bin CROSS JOIN ks GROUP BY 1, 2)
+        |SELECT g.query_id, g.k,
+        |  CAST(COALESCE(c.rel_cnt, 0) AS BIGINT) AS rel_cnt,
+        |  CAST(COALESCE(t.tot_rel, 0) AS BIGINT) AS tot_rel,
+        |  CASE WHEN COALESCE(t.tot_rel, 0) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(c.rel_cnt, 0) AS DOUBLE)
+        |            / CAST(t.tot_rel AS DOUBLE) END AS recall
+        |FROM (SELECT query_id, k FROM nterms CROSS JOIN ks) g
+        |LEFT JOIN cnts c ON c.query_id = g.query_id AND c.k = g.k
+        |LEFT JOIN tot t ON t.query_id = g.query_id""".stripMargin,
+
+    // average precision @20: per-position precision = exact-integer running
+    // relevant count / rank (one division), position sum UNROLLED like ndcg
+    "eval_map" -> {
+      val unrolled = (1 to 20)
+        .map(i => s"coalesce(max(CASE WHEN rk = $i THEN g END), 0.0)")
+        .mkString(" + ")
+      s"""WITH $retrievalCtesSql,
+        |bin AS (SELECT r.query_id, r.rk,
+        |    CASE WHEN mrel.rel = nterms.nterms THEN 1 ELSE 0 END AS isrel
+        |  FROM ranked r LEFT JOIN mrel USING (query_id, doc_id)
+        |  JOIN nterms USING (query_id)
+        |  WHERE r.rk <= 20),
+        |cum AS (SELECT query_id, rk, isrel,
+        |    sum(isrel) OVER (PARTITION BY query_id ORDER BY rk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM bin),
+        |g AS (SELECT query_id, rk,
+        |    CASE WHEN isrel = 1 THEN CAST(c AS DOUBLE) / CAST(rk AS DOUBLE)
+        |         ELSE 0.0 END AS g
+        |  FROM cum),
+        |sums AS (SELECT query_id, $unrolled AS sum_prec FROM g GROUP BY 1),
+        |tot AS (SELECT mrel.query_id, count(*) AS tot_rel
+        |  FROM mrel JOIN nterms USING (query_id)
+        |  WHERE mrel.rel = nterms.nterms GROUP BY 1)
+        |SELECT n.query_id, CAST(COALESCE(t.tot_rel, 0) AS BIGINT) AS tot_rel,
+        |  COALESCE(s.sum_prec, 0.0) AS sum_prec,
+        |  CASE WHEN COALESCE(t.tot_rel, 0) = 0 THEN 0.0
+        |       ELSE COALESCE(s.sum_prec, 0.0)
+        |            / CAST(least(t.tot_rel, 20) AS DOUBLE) END AS ap
+        |FROM nterms n LEFT JOIN sums s ON s.query_id = n.query_id
+        |LEFT JOIN tot t ON t.query_id = n.query_id""".stripMargin
+    },
+
+    // RBO(p = 1/2)@10 between the BM25 and raw-tf rankings of the same
+    // query: m = max of the two ranks per shared doc; overlap@i = #{m ≤ i};
+    // each term is an exact integer count / i scaled by the exact dyadic
+    // 2^-i, sum unrolled
+    "eval_rbo" -> {
+      val terms = (1 to 10).map { i =>
+        val wgt = BigDecimal(math.pow(0.5, i)).underlying.toPlainString
+        s"CAST(sum(CASE WHEN m <= $i THEN 1 ELSE 0 END) AS DOUBLE) / CAST($i AS DOUBLE) * $wgt"
+      }.mkString(" + ")
+      s"""WITH $bm25CtesSql,
+        |tfr AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY sum(tf) DESC, doc_id) AS rk
+        |  FROM qtf GROUP BY doc_id),
+        |j AS (SELECT greatest(a.rk, b.rk) AS m
+        |  FROM (SELECT doc_id, rk FROM rk WHERE rk <= 10) a
+        |  JOIN (SELECT doc_id, rk FROM tfr WHERE rk <= 10) b USING (doc_id))
+        |SELECT CAST(COALESCE(sum(CASE WHEN m <= 10 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS overlap_k,
+        |  COALESCE($terms, 0.0) AS rbo
+        |FROM j""".stripMargin
+    },
+
     // language-ID confusion matrix against the documents table's lang truth
     "eval_langid_confusion" ->
       s"""WITH pred AS ($langidSql),
@@ -3704,6 +3936,50 @@ object SparkEntry {
         |  min(c.v) AS quantile
         |FROM cum c JOIN t ON c.k = t.k AND c.cum >= t.target
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // per-type z>3 outliers: the flag predicate (n·v − S)² > 9·(n·Q − S²)
+    // is pure HUGEINT arithmetic (mirrors the engine's DECIMAL(38,0)); the
+    // reported z is the one double division over a correctly-rounded sqrt
+    "events_zscore" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS q FROM v GROUP BY 1),
+        |j AS (SELECT v.event_id, v.event_type, v.v,
+        |    CAST(s.n AS HUGEINT) * v.v - s.s AS num,
+        |    CAST(s.n AS HUGEINT) * s.q - CAST(s.s AS HUGEINT) * s.s AS den2
+        |  FROM v JOIN s USING (event_type))
+        |SELECT event_id, event_type, v AS v_cents,
+        |  CAST(num AS DOUBLE) / sqrt(CAST(den2 AS DOUBLE)) AS z
+        |FROM j WHERE den2 > 0 AND num * num > 9 * den2""".stripMargin,
+
+    // per-type CUSUM changepoint: H-scaled integer prefix sums, the
+    // max(0,·) reset via the prefix-minus-running-min identity — the same
+    // window-only arithmetic as the engine, bit-exact in HUGEINT
+    "events_cusum" ->
+      """WITH v AS (SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, hour, CAST(sum(v) AS BIGINT) AS x
+        |      FROM v GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+        |      CAST(sum(x) AS BIGINT) AS s FROM h GROUP BY 1),
+        |p AS (SELECT h.event_type, h.hour, t.nh, t.s,
+        |    sum(CAST(t.nh AS HUGEINT) * h.x - t.s) OVER (
+        |      PARTITION BY h.event_type ORDER BY h.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM h JOIN t USING (event_type)),
+        |c AS (SELECT event_type, hour, nh, s,
+        |    pre - least(CAST(0 AS HUGEINT), min(pre) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS c
+        |  FROM p),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY c DESC, hour) AS rk FROM c)
+        |SELECT event_type, nh AS n_hours, s AS s_cents,
+        |  CAST(c AS BIGINT) AS max_cusum, hour AS peak_hour
+        |FROM r WHERE rk = 1""".stripMargin,
 
     "events_kmv_distinct" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -532,14 +532,37 @@ object GraphStats {
       .filter(col("a") =!= col("b")).distinct()
     val und = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))
+    // sources stay a FRAME (runFrom derives wave membership distributively)
+    // — the driver never holds the O(n) vertex list
     val verts = und.select(col("src").as("id")).distinct()
-      .orderBy("id").collect().map(_.getLong(0)).toSeq
-    val dists = MSBFS.run(spark, und, verts).filter(col("dist") > 0)
+    val dists = MSBFS.runFrom(spark, und, verts).filter(col("dist") > 0)
     val hist = dists.groupBy(col("dist")).agg(count(lit(1)).as("pairs"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("dist")).rowsBetween(Long.MinValue, 0)
     hist.select(col("dist"), col("pairs"),
       sum(col("pairs")).over(w).as("cum_pairs")).orderBy("dist")
+  }
+
+  /** Effective diameter (the web-measurement standard: smallest h that
+    * covers ≥ pct% of all reachable ordered pairs) + the true diameter,
+    * read EXACTLY off the [[hopPlot]] histogram. The pct selection is pure
+    * integer arithmetic (100·cum ≥ pct·total — no fp percentile anywhere),
+    * so any engine reproduces the row bit-for-bit. One row
+    * (total_pairs, eff_diameter, diameter).
+    *
+    * Scale shape: everything after the MSBFS histogram runs on ≤ diameter
+    * rows; the totals are 1-row broadcasts.
+    */
+  def effectiveDiameter(spark: SparkSession, edges: DataFrame,
+                        pct: Int = 90): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"bad pct $pct")
+    val hp = hopPlot(spark, edges)
+    val tot = hp.agg(sum(col("pairs")).as("total_pairs"))
+    val eff = hp.crossJoin(broadcast(tot))
+      .filter(col("cum_pairs") * 100L >= col("total_pairs") * pct.toLong)
+      .agg(min(col("dist")).as("eff_diameter"))
+    val dm = hp.agg(max(col("dist")).as("diameter"))
+    tot.crossJoin(eff).crossJoin(dm)
   }
 
   /** k-hop ego network: the subgraph INDUCED on all vertices within `hops`

@@ -280,6 +280,117 @@ object Eval {
           .otherwise(round(col("dcg") / col("idcg"), 6)).as("ndcg"))
   }
 
+  /** Recall@k of a ranking against binary relevance (fully relevant =
+    * rel == nterms), one row per (query_id, k): (query_id, k, rel_cnt,
+    * tot_rel, recall). The denominator is the CORPUS-WIDE fully-relevant
+    * count (from the full relevance table, not the top-k window), so a
+    * perfect top-k over a query with > k relevant docs reports k/tot_rel,
+    * not 1.0. Exact integer counts, one division per row; tot_rel = 0
+    * (no fully-relevant doc exists) reports recall 0.0.
+    *
+    * Scale shape: identical to [[precisionAtK]] — the ranking is already
+    * ≤ topK rows/query, the k-grid is a broadcast literal, and the
+    * denominator is one count over the (query,doc) relevance pairs.
+    */
+  def recallAtK(ranked: DataFrame, relevance: DataFrame,
+                nterms: DataFrame, ks: Seq[Int]): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val binary = ranked.join(relevance, Seq("query_id", "doc_id"), "left")
+      .join(broadcast(nterms), Seq("query_id"))
+      .select(col("query_id"), col("rk"),
+        (coalesce(col("rel"), lit(0L)) === col("nterms")).as("isrel"))
+    val tot = relevance.join(broadcast(nterms), Seq("query_id"))
+      .filter(col("rel") === col("nterms"))
+      .groupBy("query_id").agg(count(lit(1)).as("tot_rel"))
+    val kdf = ks.map(_.toLong).toDF("k")
+    val counts = binary.crossJoin(broadcast(kdf))
+      .groupBy("query_id", "k")
+      .agg(sum(when(col("isrel") && col("rk") <= col("k"), 1L).otherwise(0L))
+        .as("rel_cnt"))
+    nterms.select("query_id").crossJoin(broadcast(kdf))
+      .join(counts, Seq("query_id", "k"), "left")
+      .join(tot, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("rel_cnt"), lit(0L)).as("rel_cnt"),
+        coalesce(col("tot_rel"), lit(0L)).as("tot_rel"),
+        when(coalesce(col("tot_rel"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("rel_cnt"), lit(0L)).cast("double")
+            / col("tot_rel").cast("double")).as("recall"))
+  }
+
+  /** Average precision at k (the per-query term of MAP):
+    * AP@k = (Σ_{i ≤ k, pos i relevant} cumRel(i)/i) / min(tot_rel, k),
+    * one row per query: (query_id, tot_rel, sum_prec, ap).
+    *
+    * Exactness: cumRel(i) is an exact integer (per-query running count
+    * over integer ranks), so each position's precision term is ONE IEEE
+    * division; the k-term position sum is UNROLLED (max(CASE rk=i) terms
+    * added left-to-right, the [[ndcg]] trick) so the fp addition order is
+    * pinned identically in a SQL oracle; AP is one final division by the
+    * exact integer min(tot_rel, k). tot_rel = 0 reports ap 0.0.
+    */
+  def avgPrecision(ranked: DataFrame, relevance: DataFrame,
+                   nterms: DataFrame, k: Int = 20): DataFrame = {
+    val binary = ranked.filter(col("rk") <= k)
+      .join(relevance, Seq("query_id", "doc_id"), "left")
+      .join(broadcast(nterms), Seq("query_id"))
+      .select(col("query_id"), col("rk"),
+        (coalesce(col("rel"), lit(0L)) === col("nterms")).as("isrel"))
+    val w = Window.partitionBy("query_id").orderBy("rk")
+    val terms = binary
+      .withColumn("cum", sum(when(col("isrel"), 1L).otherwise(0L)).over(w))
+      .select(col("query_id"), col("rk"),
+        when(col("isrel"), col("cum").cast("double") / col("rk").cast("double"))
+          .otherwise(lit(0.0)).as("g"))
+    val sums = terms.groupBy("query_id").agg(
+      (1 to k).map(i => coalesce(max(when(col("rk") === i, col("g"))), lit(0.0)))
+        .reduceLeft(_ + _).as("sum_prec"))
+    val tot = relevance.join(broadcast(nterms), Seq("query_id"))
+      .filter(col("rel") === col("nterms"))
+      .groupBy("query_id").agg(count(lit(1)).as("tot_rel"))
+    nterms.select("query_id")
+      .join(sums, Seq("query_id"), "left")
+      .join(tot, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("tot_rel"), lit(0L)).as("tot_rel"),
+        coalesce(col("sum_prec"), lit(0.0)).as("sum_prec"),
+        when(coalesce(col("tot_rel"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("sum_prec"), lit(0.0))
+            / least(col("tot_rel"), lit(k.toLong)).cast("double")).as("ap"))
+  }
+
+  /** Rank-biased overlap (RBO, Webber et al. 2010) at depth k with
+    * persistence p = 1/2 between two rankings of the same corpus —
+    * the standard top-weighted "how similar are these two orderings"
+    * statistic (e.g. BM25 vs a quality prior):
+    * RBO@k = (1−p)·Σ_{i=1..k} p^{i−1}·|top_i(A) ∩ top_i(B)|/i.
+    *
+    * p = 1/2 is chosen deliberately: every weight (1−p)·p^{i−1} = 2^{−i}
+    * is an exact dyadic double, each overlap count is an exact integer
+    * from ONE join on doc_id (m = max(rk_a, rk_b); overlap@i = #{m ≤ i}),
+    * so each term is one division scaled by an exact power of two and the
+    * k-term sum is UNROLLED left-to-right — bit-reproducible in any
+    * engine. Returns one row (overlap_k, rbo).
+    *
+    * Scale shape: both inputs are already top-k tables (≤ k rows each);
+    * everything after the k-row join is constant-size.
+    */
+  def rbo(rankA: DataFrame, rankB: DataFrame, k: Int = 10): DataFrame = {
+    val joined = rankA.filter(col("rk") <= k).select(col("doc_id"), col("rk").as("rk_a"))
+      .join(rankB.filter(col("rk") <= k).select(col("doc_id"), col("rk").as("rk_b")),
+        Seq("doc_id"))
+      .select(greatest(col("rk_a"), col("rk_b")).as("m"))
+    joined.agg(
+      sum(when(col("m") <= k, 1L).otherwise(0L)).as("overlap_k"),
+      (1 to k).map { i =>
+        sum(when(col("m") <= i, 1L).otherwise(0L)).cast("double") /
+          lit(i.toDouble) * lit(math.pow(0.5, i))
+      }.reduceLeft(_ + _).as("rbo"))
+      .select(coalesce(col("overlap_k"), lit(0L)).as("overlap_k"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between a truth and a
     * prediction column — computed as ONE division of exact integers:
     * kappa = (po − pe)/(1 − pe) = (n·A − S) / (n² − S), where A = Σ

@@ -49,6 +49,74 @@ object Events {
       .select(col("k").as("event_type"), col("q"), col("n"), col("quantile"))
   }
 
+  /** Per-type z-score OUTLIERS — the classic metric-anomaly flag, computed
+    * so the decision predicate is EXACT INTEGER ARITHMETIC (no fp in the
+    * filter, so the flagged set is bit-stable in any engine):
+    * with per-type n, S = Σv, Q = Σv² over cent-scaled integer values,
+    * z = (n·v − S) / √(n·Q − S²)  (the algebraic form of (v−μ)/σ with the
+    * population σ — cent scaling cancels), and v is flagged when
+    * (n·v − S)² > t²·(n·Q − S²), all DECIMAL(38,0). The reported z is the
+    * one double division per flagged row (√ of an exact integer is
+    * correctly-rounded IEEE). Degenerate all-equal types (σ = 0) flag
+    * nothing. Returns (event_id, event_type, v_cents, z).
+    *
+    * Scale shape: one corpus-sized groupBy(event_type) with map-side
+    * combine; the |types|-row stats table is BROADCAST back; the filter
+    * prunes to the outlier set before anything else happens — no sort, no
+    * second shuffle.
+    */
+  def zscoreOutliers(events: DataFrame, threshold: Int = 3): DataFrame = {
+    require(threshold >= 1, s"bad threshold $threshold")
+    val dec = "decimal(38,0)"
+    val v = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 100.0).cast("long").as("v"))
+    val stats = v.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("s"),
+      sum(col("v").cast(dec) * col("v")).as("q"))
+    val num = col("n").cast(dec) * col("v") - col("s").cast(dec)
+    val den2 = col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s")
+    v.join(broadcast(stats), Seq("event_type"))
+      .filter(den2 > 0 && num * num > lit(threshold.toLong * threshold).cast(dec) * den2)
+      .select(col("event_id"), col("event_type"), col("v").as("v_cents"),
+        (num.cast("double") / sqrt(den2.cast("double"))).as("z"))
+  }
+
+  /** Per-type CUSUM changepoint statistic over the hourly value series —
+    * the classic drift detector (Page 1954): with hourly cent sums x_h,
+    * H hours and S = Σx_h, the mean-centred one-sided CUSUM
+    * C_h = max(0, C_{h-1} + (x_h − S/H)) is computed SCALED BY H so every
+    * intermediate stays an exact integer: C'_h = max(0, C'_{h-1} +
+    * (H·x_h − S)) — and the max(0,·) reset is rewritten with the standard
+    * prefix identity C'_h = P_h − min(0, min_{j≤h} P_j) over the plain
+    * prefix sums P_h, so BOTH engine and oracle are window-only (no fold,
+    * no recursion). All DECIMAL(38,0); the argmax hour is deterministic
+    * (earliest on ties). Returns one row per type:
+    * (event_type, n_hours, s_cents, max_cusum, peak_hour) with max_cusum
+    * in H-scaled cents.
+    *
+    * Scale shape: one corpus-sized groupBy(type, hour); every window runs
+    * over the per-type DISTINCT-HOUR table (bounded by the time range,
+    * corpus-size-independent), with the |types|-row totals broadcast.
+    */
+  def cusum(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hourly = events.select(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), TsFmt).as("hour"),
+        round(col("value") * 100.0).cast("long").as("v"))
+      .groupBy("event_type", "hour").agg(sum(col("v")).as("x"))
+    val tot = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), sum(col("x")).as("s"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = hourly.join(broadcast(tot), Seq("event_type"))
+      .withColumn("pre", sum(col("nh").cast(dec) * col("x") - col("s")).over(w))
+      .withColumn("c", col("pre") - least(lit(0L).cast(dec), min(col("pre")).over(w)))
+    val pick = Window.partitionBy("event_type").orderBy(col("c").desc, col("hour"))
+    c.withColumn("rk", row_number().over(pick)).filter(col("rk") === 1)
+      .select(col("event_type"), col("nh").as("n_hours"), col("s").as("s_cents"),
+        col("c").cast("long").as("max_cusum"), col("hour").as("peak_hour"))
+  }
+
   /** Tumbling 1-hour window × event type: event count + value sum. Window
     * start is emitted as a formatted string so engine-vs-oracle timestamp
     * encodings can never diverge.

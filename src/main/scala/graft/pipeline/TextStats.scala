@@ -737,6 +737,133 @@ object TextStats {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** C4/RefinedWeb-style cross-document span REMOVAL — the destructive
+    * sibling of [[dupSpans]] (which only reports intervals). The doc is
+    * segmented into consecutive non-overlapping `span`-token chunks (last
+    * chunk short), a chunk is "boilerplate" when its normalized text occurs
+    * in ≥ `minDocs` DISTINCT documents, and the doc is rebuilt from the
+    * surviving chunks in original order. Returns
+    * (doc_id, n_chunks, n_removed, text_scrub).
+    *
+    * Spark shape: one generate off the token array (chunk id = pos/span —
+    * no window, no self-join), one chunk-keyed count whose shuffle rows
+    * carry (chunk, doc_id) pairs — at 100 TB the key would be a 128-bit
+    * chunk hash with the identical plan, like [[dupSpans]]. The boilerplate
+    * set (only chunks crossing the threshold) is small → AQE broadcasts the
+    * flag join; the rebuild is a per-doc collect_list of the KEPT chunks
+    * only (null-skipping), sorted by chunk id — array_sort on (cid, chunk)
+    * structs, never a global sort. All strings/integers: any engine
+    * reproduces the rebuilt text byte-for-byte.
+    */
+  def spanScrub(docs: DataFrame, span: Int = 10, minDocs: Long = 2L): DataFrame = {
+    require(span >= 1 && minDocs >= 1, s"bad spanScrub params span=$span minDocs=$minDocs")
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val chunks = docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("tk")) > 0,
+          transform(sequence(lit(0), floor((size(col("tk")) - 1) / lit(span)).cast("int")),
+            i => concat_ws(" ", slice(col("tk"), i * span + 1, lit(span)))))
+        .otherwise(array())))
+      .toDF("doc_id", "cid", "chunk")
+    val boiler = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("chunk"), lit(true).as("dup"))
+    chunks.join(boiler, Seq("chunk"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_removed"),
+        array_sort(collect_list(when(coalesce(col("dup"), lit(false)) === false,
+          struct(col("cid"), col("chunk"))))).as("kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+        array_join(transform(col("kept"), x => x.getField("chunk")), " ")
+          .as("text_scrub"))
+  }
+
+  /** Temperature-scaled domain mixing weights — the data-mixture step of a
+    * multi-source training pipeline (XLM-R-style α-sampling): per `source`,
+    * token mass p = tokens_d / Σ tokens, and resampling weight
+    * w = tokens_d^α / Σ_d tokens_d^α with α = 1/2, which UPWEIGHTS small
+    * domains relative to their raw mass. α = 1/2 is chosen deliberately:
+    * tokens^α = sqrt(tokens) is a correctly-rounded IEEE op on an exact
+    * integer, identical in every engine (a general pow() is not).
+    * Returns (source, n_docs, n_tokens, p, w).
+    *
+    * Exactness: token totals are integer sums; both denominators are
+    * pinned — Σ tokens is an exact long, and Σ sqrt(tokens) is a
+    * LEFT-TO-RIGHT fold over the per-source array sorted by source name
+    * (a groupBy double-sum's order would be partition-dependent).
+    *
+    * Scale shape: the corpus-sized pass is ONE groupBy(source) with
+    * map-side combine carrying (count, tokenSum) longs; everything after
+    * runs on the |sources|-row table (collected into a single sorted array
+    * — domains are a bounded categorical, thousands at web scale, so the
+    * one-row fold is driver-safe) and is re-broadcast for the final join.
+    */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val nTok = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+    val perSrc = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(nTok.cast("long")).as("n_tokens"))
+    val denom = perSrc.agg(
+      sum(col("n_tokens")).as("tok_total"),
+      aggregate(
+        array_sort(collect_list(struct(col("source"), col("n_tokens")))),
+        lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double")))
+        .as("sq_total"))
+    perSrc.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tok_total").cast("double")).as("p"),
+        (sqrt(col("n_tokens").cast("double")) / col("sq_total")).as("w"))
+  }
+
+  /** Per-language distribution drift vs the corpus — KL(P_lang ‖ P_corpus)
+    * in nats over the corpus' own top-`vocabK` vocabulary (count desc, term
+    * asc tie-break, the [[oovRate]] vocabulary rule) with add-one smoothing
+    * on both sides: p = (c_l+1)/(n_l+K), q = (c_g+1)/(n_g+K). The training-
+    * data use is domain/language shift monitoring — a subcorpus whose head-
+    * vocabulary distribution diverges from the pool is over/under-mixed.
+    * Returns (lang, n_vocab_tokens, kl_nats).
+    *
+    * Exactness: all counts integers (zero-count vocab terms materialized
+    * via the langs × vocab grid, so smoothing covers absent terms); each
+    * p, q is ONE division; the K-term Σ p·ln(p/q) is a LEFT-TO-RIGHT fold
+    * over the term-sorted array, pinning fp addition order for a SQL
+    * oracle (ln agrees between JVM and DuckDB — bm25/ndcg precedent).
+    *
+    * Scale shape: one corpus-sized groupBy(term) → TakeOrdered top-K
+    * (never a global sort), one corpus-sized groupBy(lang, term) AFTER a
+    * broadcast semi-join on the K-term vocab (so the shuffle carries only
+    * head-vocab hits); everything after runs on the |langs|·K grid.
+    */
+  def klDrift(docs: DataFrame, vocabK: Int = 24): DataFrame = {
+    val toks = docs.select(col("lang"), explode(
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("term")).limit(vocabK)
+    val gtot = vocab.agg(sum(col("gcnt")).as("gtot"))
+    val lcnt = toks.join(broadcast(vocab.select("term")), Seq("term"), "leftsemi")
+      .groupBy("lang", "term").agg(count(lit(1)).as("lcnt"))
+    val grid = docs.select(col("lang")).distinct.crossJoin(broadcast(vocab))
+      .join(lcnt, Seq("lang", "term"), "left")
+      .select(col("lang"), col("term"), col("gcnt"),
+        coalesce(col("lcnt"), lit(0L)).as("lcnt"))
+    val nl = grid.groupBy("lang").agg(sum(col("lcnt")).as("nl"))
+    val contrib = grid.join(broadcast(nl), Seq("lang")).crossJoin(broadcast(gtot))
+      .select(col("lang"),  col("term"),
+        ((col("lcnt") + 1L).cast("double")
+          / (col("nl") + vocabK.toLong).cast("double")).as("p"),
+        ((col("gcnt") + 1L).cast("double")
+          / (col("gtot") + vocabK.toLong).cast("double")).as("q"))
+      .select(col("lang"), col("term"), (col("p") * log(col("p") / col("q"))).as("g"))
+    contrib.groupBy("lang").agg(
+      aggregate(array_sort(collect_list(struct(col("term"), col("g")))), lit(0.0),
+        (acc, x) => acc + x.getField("g")).as("kl_nats"))
+      .join(broadcast(nl), Seq("lang"))
+      .select(col("lang"), col("nl").as("n_vocab_tokens"), col("kl_nats"))
+  }
+
   /** Sliding-window chunking with overlap — the RAG / context-window
     * splitter: whitespace tokens, chunks of `chunkSize` tokens starting
     * every `stride = chunkSize − overlap`, last chunk anchored so it covers

@@ -119,6 +119,28 @@ class PlanSpec extends SparkTestBase {
       s"contents cross the join:\n$joinLine")
   }
 
+  test("zscoreOutliers: one stats exchange, the per-event join broadcasts") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val df = graft.pipeline.Events.zscoreOutliers(ev)
+    val plan = finalPlan(df)
+    // one groupBy(event_type) shuffle for the stats; the |types|-row stats
+    // table must come BACK as a broadcast, never a second shuffle
+    assert(exchangeCount(df) <= 2, s"zscore over-shuffled:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"stats join sort-merged:\n$plan")
+  }
+
+  test("domainMix: grouping exchanges only, no global sort anywhere") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val df = graft.pipeline.TextStats.domainMix(docs)
+    val plan = finalPlan(df)
+    // perSrc grouping feeds both the fold and the final join; the denom is
+    // a 1-row broadcast — a Sort would mean a global ordering crept in
+    assert(exchangeCount(df) <= 4, s"domainMix over-shuffled:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"denominator join sort-merged:\n$plan")
+  }
+
   test("minhash signatures: exactly one exchange (the per-doc grouping)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -233,4 +233,169 @@ class Round5Spec extends SparkTestBase {
       .collect()(0)
     assert(r2.getInt(3) == 5, r2.toString)
   }
+
+  test("spanScrub: cross-doc chunks removed, within-doc repeats need 2 DOCS, case-folded") {
+    import graft.pipeline.TextStats
+    val d = Seq((1L, "a b c d e"), (2L, "a b x y"), (3L, "c d c d"), (4L, "A B"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextStats.spanScrub(df, span = 2, minDocs = 2L).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run(d)
+    // "a b" in docs {1,2,4} (4 via case folding), "c d" in {1,3} — both
+    // boilerplate; "e", "x y" unique survive; doc 3's repeat counts ONE doc
+    assert(got(1L) == ((3L, 2L, "e")), got(1L).toString)
+    assert(got(2L) == ((2L, 1L, "x y")))
+    assert(got(3L) == ((2L, 2L, "")))
+    assert(got(4L) == ((1L, 1L, "")))
+    assert(run(d.repartition(7)) == got)
+  }
+
+  test("domainMix: sqrt-temperature weights on a hand corpus; partition-stable") {
+    import graft.pipeline.TextStats
+    val d = Seq((1L, "t", "s1"), (2L, "t t t", "s1"), (3L, "a b c d e f g h i", "s2"))
+      .toDF("doc_id", "text", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextStats.domainMix(df).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val got = run(d)
+    // s1: 4 tokens, s2: 9 -> sq_total = 2 + 3 = 5 exactly; w exact /5
+    assert(got("s1") == ((2L, 4L, 4.0 / 13.0, 2.0 / 5.0)), got("s1").toString)
+    assert(got("s2") == ((1L, 9L, 9.0 / 13.0, 3.0 / 5.0)))
+    assert(run(d.repartition(5)) == got)
+  }
+
+  test("recallAtK: corpus-wide denominator counts unranked relevant docs") {
+    import graft.pipeline.Eval
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("query_id", "doc_id", "rk")
+    // q1 has TWO fully-relevant docs (11 ranked, 12 never ranked)
+    val rel = Seq((1L, 11L, 2L), (1L, 12L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val nt = Seq((1L, 2L), (2L, 2L), (3L, 1L)).toDF("query_id", "nterms")
+    val got = Eval.recallAtK(ranked, rel, nt, ks = Seq(1, 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((0L, 2L, 0.0)), (1L, 2L) -> ((1L, 2L, 0.5)),
+      (2L, 1L) -> ((0L, 0L, 0.0)), (2L, 2L) -> ((0L, 0L, 0.0)),
+      (3L, 1L) -> ((0L, 0L, 0.0)), (3L, 2L) -> ((0L, 0L, 0.0))), got.toString)
+    val got7 = Eval.recallAtK(ranked.repartition(7), rel.repartition(3), nt, Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got7 == got)
+  }
+
+  test("avgPrecision: hand AP, min(tot_rel,k) denominator, zero-rel query") {
+    import graft.pipeline.Eval
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rk")
+    val rel = Seq((1L, 11L, 2L), (1L, 12L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val nt = Seq((1L, 2L), (2L, 2L), (3L, 1L)).toDF("query_id", "nterms")
+    val got = Eval.avgPrecision(ranked, rel, nt, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // q1: miss at 1, hit at 2 -> sum_prec 1/2; ap = (1/2)/min(2,2) = 0.25
+    assert(got(1L) == ((2L, 0.5, 0.25)), got(1L).toString)
+    assert(got(2L) == ((0L, 0.0, 0.0)))   // rel 1 != nterms 2 -> nothing relevant
+    assert(got(3L) == ((0L, 0.0, 0.0)))
+    val got7 = Eval.avgPrecision(ranked.repartition(5), rel.repartition(3), nt, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got7 == got)
+  }
+
+  test("zscoreOutliers: exact integer flag predicate, degenerate σ=0 type") {
+    import graft.pipeline.Events
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // type a: [0,0,0,0,100] -> cents S=10000, Q=1e8, den2=4e8;
+    // v=10000 has num=40000 -> z = 40000/20000 = 2.0 exactly
+    val rows = Seq(
+      (1L, t0, 1L, "a", 0.0), (2L, t0, 1L, "a", 0.0), (3L, t0, 1L, "a", 0.0),
+      (4L, t0, 1L, "a", 0.0), (5L, t0, 1L, "a", 100.0),
+      (6L, t0, 1L, "b", 7.0), (7L, t0, 1L, "b", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(df: org.apache.spark.sql.DataFrame, t: Int) =
+      Events.zscoreOutliers(df, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // t=1: only the spike flags (others z=-0.5); type b is σ=0 -> nothing
+    assert(run(rows, 1) == Set((5L, "a", 10000L, 2.0)), run(rows, 1).toString)
+    // t=3: 2.0 < 3 -> nothing anywhere (9·den2 boundary is strict)
+    assert(run(rows, 3) == Set())
+    assert(run(rows.repartition(5), 1) == run(rows, 1))
+  }
+
+  test("klDrift: hand two-lang corpus vs a scala replica; zero-count smoothing") {
+    import graft.pipeline.TextStats
+    val d = Seq((1L, "a a b", "l1"), (2L, "a b b", "l2"), (3L, "c", "l3"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextStats.klDrift(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // vocab (all 3 terms, K=24): a:3, b:3, c:1; gtot=7
+    val K = 24.0
+    def q(c: Double) = (c + 1) / (7 + K)
+    def kl(ca: Double, cb: Double, cc: Double) = {
+      val n = ca + cb + cc
+      def p(c: Double) = (c + 1) / (n + K)
+      // term-sorted fold a, b, c — the engine's pinned order
+      p(ca) * math.log(p(ca) / q(3)) + p(cb) * math.log(p(cb) / q(3)) +
+        p(cc) * math.log(p(cc) / q(1))
+    }
+    assert(got("l1") == ((3L, kl(2, 1, 0))), s"${got("l1")} vs ${kl(2, 1, 0)}")
+    assert(got("l2") == ((3L, kl(1, 2, 0))))
+    assert(got("l3") == ((1L, kl(0, 0, 1))))
+    val got7 = TextStats.klDrift(d.repartition(7)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.forall { case (l, (_, v)) => got7(l) == v })
+  }
+
+  test("cusum: hand series via the prefix identity; constant series peaks earliest") {
+    import graft.pipeline.Events
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // type a hourly cents [100, 400, 100]: H=3 S=600, terms [-300,600,-300],
+    // prefix [-300,300,0], runmin -300 -> C = [0,600,300]; peak 600 @ h1
+    val rows = Seq(
+      (1L, t(0), 1L, "a", 1.0), (2L, t(1), 1L, "a", 4.0), (3L, t(2), 1L, "a", 1.0),
+      (4L, t(0), 1L, "b", 2.0), (5L, t(1), 1L, "b", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Events.cusum(df).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val got = run(rows)
+    assert(got("a") == ((3L, 600L, 600L, "2024-01-01 01:00:00")), got("a").toString)
+    // constant series: every C'=0 -> earliest hour wins the tie
+    assert(got("b") == ((2L, 400L, 0L, "2024-01-01 00:00:00")))
+    assert(run(rows.repartition(5)) == got)
+  }
+
+  test("effectiveDiameter: path graph exact d90/d50 and true diameter") {
+    import graft.algos.GraphStats
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    // ordered pair histogram: d1:6 d2:4 d3:2, total 12; cum*100 = 600,
+    // 1000, 1200 vs 90%*12*100=1080 -> d90=3; vs 50% (600) -> d50=1
+    val r90 = GraphStats.effectiveDiameter(spark, e, pct = 90).collect()(0)
+    assert((r90.getLong(0), r90.getLong(1), r90.getLong(2)) == ((12L, 3L, 3L)), r90.toString)
+    val r50 = GraphStats.effectiveDiameter(spark, e, pct = 50).collect()(0)
+    assert((r50.getLong(1), r50.getLong(2)) == ((1L, 3L)), r50.toString)
+  }
+
+  test("rbo: reversed pair, identical pair (1 − 2^-k), disjoint pair") {
+    import graft.pipeline.Eval
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rk")
+    val bRev = Seq((2L, 1L), (1L, 2L)).toDF("doc_id", "rk")
+    // both docs shared but only at depth 2: 2^-1·0 + 2^-2·(2/2) = 0.25
+    val r1 = Eval.rbo(a, bRev, k = 2).collect()(0)
+    assert((r1.getLong(0), r1.getDouble(1)) == ((2L, 0.25)), r1.toString)
+    // identical rankings: truncated RBO = Σ 2^-i = 1 − 2^-k
+    val r2 = Eval.rbo(a, a, k = 2).collect()(0)
+    assert((r2.getLong(0), r2.getDouble(1)) == ((2L, 0.75)), r2.toString)
+    // disjoint rankings: empty join -> (0, 0.0)
+    val c = Seq((9L, 1L)).toDF("doc_id", "rk")
+    val r3 = Eval.rbo(a, c, k = 2).collect()(0)
+    assert((r3.getLong(0), r3.getDouble(1)) == ((0L, 0.0)), r3.toString)
+  }
 }
