@@ -1066,6 +1066,13 @@ object SparkEntry {
     "corpus_repo_cycles" -> ((s, _) =>
       Corpus.repoCycles(s, Corpus.synthesizeArith(s, 500))),
 
+    // build schedule over STRONG dependencies (repo pairs with ≥16 import
+    // lines — the raw quotient is one giant SCC; thresholding exposes the
+    // skeleton): SCC-condensed DAG layered (max,+), cycles build together.
+    // At n=500 this yields 9 components over 4 layers with real cycles.
+    "corpus_build_layers" -> ((s, _) =>
+      Corpus.buildLayers(s, Corpus.synthesizeArith(s, 500), minW = 16L)),
+
     // ctags-style symbol index: every `def` declaration + definer fan-in
     "corpus_symbol_xref" -> ((s, _) =>
       Corpus.symbolXref(Corpus.synthesizeArith(s, 500))),
@@ -1372,6 +1379,13 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("rk"))
       Eval.rbo(a, b, k = 10)
+    }),
+    // population stability index of the int8-fold score between even and
+    // odd vec_ids — integer bin assignment, full bin grid, unrolled total
+    "eval_psi" -> ((s, d) => {
+      val scored = int8FoldScored(s, d)
+      Eval.psi(scored.filter(col("vec_id") % 2 === 0),
+        scored.filter(col("vec_id") % 2 =!= 0), bins = 10)
     }),
     // language-ID confusion matrix vs the documents table's lang truth
     "eval_langid_confusion" -> ((s, d) =>
@@ -3101,6 +3115,43 @@ object SparkEntry {
          |  CAST(count(DISTINCT m) AS BIGINT) AS cycle_size
          |FROM members GROUP BY repo""".stripMargin,
 
+    // mirrors Corpus.buildLayers: STRONG repo edges (≥16 import lines),
+    // the repo_cycles SCC chain on the thresholded graph, condensation
+    // edges between representatives, then recursive longest-path layers
+    // (the algo_toposort (max,+) oracle pattern on the condensation DAG)
+    "corpus_build_layers" ->
+      s"""WITH RECURSIVE $corpusNamedCte,
+         |redges AS (SELECT src_repo, dst_repo FROM named
+         |           WHERE src_repo <> dst_repo
+         |           GROUP BY 1, 2 HAVING count(*) >= 16),
+         |repos AS (SELECT DISTINCT
+         |  'org' || CAST((i % 13) % 7 AS VARCHAR) || '/repo' || CAST(i % 13 AS VARCHAR) AS repo
+         |  FROM base),
+         |reach AS (
+         |  SELECT src_repo AS a, dst_repo AS b FROM redges
+         |  UNION
+         |  SELECT r.a, e.dst_repo FROM reach r JOIN redges e ON e.src_repo = r.b),
+         |mutual AS (SELECT x.a, x.b FROM reach x
+         |           JOIN reach y ON y.a = x.b AND y.b = x.a),
+         |members AS (SELECT repo, repo AS m FROM repos
+         |            UNION ALL SELECT a, b FROM mutual),
+         |cyc AS (SELECT repo, min(m) AS cycle_rep,
+         |  CAST(count(DISTINCT m) AS BIGINT) AS cycle_size
+         |  FROM members GROUP BY repo),
+         |cedges AS (SELECT DISTINCT a.cycle_rep AS src, b.cycle_rep AS dst
+         |  FROM redges e JOIN cyc a ON a.repo = e.src_repo
+         |  JOIN cyc b ON b.repo = e.dst_repo
+         |  WHERE a.cycle_rep <> b.cycle_rep),
+         |creps AS (SELECT DISTINCT cycle_rep AS rep FROM cyc),
+         |p AS (
+         |  SELECT rep, CAST(0 AS BIGINT) AS len FROM creps
+         |  UNION
+         |  SELECT e.dst, p.len + 1 FROM p JOIN cedges e ON e.src = p.rep),
+         |lay AS (SELECT rep, max(len) AS layer FROM p GROUP BY rep)
+         |SELECT c.repo, c.cycle_rep, c.cycle_size,
+         |  CAST(l.layer AS BIGINT) AS build_layer
+         |FROM cyc c JOIN lay l ON l.rep = c.cycle_rep""".stripMargin,
+
     // symbol index: the arith corpus declares exactly `def body_<i>` per
     // file, so the regexp extraction replays as 'body_' || i; fan-in counts
     // DISTINCT importing files (deriveEdgesNamed's grouped rows)
@@ -3384,6 +3435,39 @@ object SparkEntry {
         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
         |  CAST(tp AS DOUBLE) / CAST((SELECT sum(p_cnt) FROM g) AS DOUBLE) AS recall
         |FROM cumt""".stripMargin,
+
+    // PSI between even/odd vec_id score samples: integer `div` bucketing,
+    // materialized 0..9 bin grid, add-one smoothing, unrolled total
+    "eval_psi" -> {
+      val unrolled = (0 until 10)
+        .map(i => s"coalesce(max(CASE WHEN bin = $i THEN term END), 0.0)")
+        .mkString(" + ")
+      s"""WITH $int8FoldScoredSql,
+        |u AS (SELECT score AS s, CAST(vec_id % 2 <> 0 AS INT) AS g FROM sc),
+        |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM u),
+        |binned AS (SELECT
+        |    CASE WHEN mm.mx = mm.mn THEN 0
+        |         ELSE least(9, (u.s - mm.mn) * 10 // (mm.mx - mm.mn)) END AS bin,
+        |    u.g FROM u CROSS JOIN mm),
+        |counts AS (SELECT bin,
+        |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS a_cnt,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS b_cnt
+        |  FROM binned GROUP BY 1),
+        |tots AS (SELECT CAST(coalesce(sum(a_cnt), 0) AS BIGINT) AS ta,
+        |    CAST(coalesce(sum(b_cnt), 0) AS BIGINT) AS tb FROM counts),
+        |grid AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+        |terms AS (SELECT g.bin,
+        |    CAST(coalesce(c.a_cnt, 0) AS BIGINT) AS a_cnt,
+        |    CAST(coalesce(c.b_cnt, 0) AS BIGINT) AS b_cnt,
+        |    (CAST(coalesce(c.a_cnt, 0) + 1 AS DOUBLE) / CAST(t.ta + 10 AS DOUBLE)
+        |     - CAST(coalesce(c.b_cnt, 0) + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE))
+        |    * ln((CAST(coalesce(c.a_cnt, 0) + 1 AS DOUBLE) / CAST(t.ta + 10 AS DOUBLE))
+        |         / (CAST(coalesce(c.b_cnt, 0) + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE))) AS term
+        |  FROM grid g LEFT JOIN counts c ON c.bin = g.bin CROSS JOIN tots t),
+        |p AS (SELECT $unrolled AS psi FROM terms)
+        |SELECT terms.bin, terms.a_cnt, terms.b_cnt, terms.term, p.psi
+        |FROM terms CROSS JOIN p""".stripMargin
+    },
 
     // calibration bins: min-max normalize the integer score, 10 equal bins
     // (top edge closed), per-bin integer sums -> acc/conf

@@ -308,6 +308,58 @@ object Corpus {
       .select(col("repo"), col("cycle_rep"), col("cycle_size"))
   }
 
+  /** Build layers — the "what can compile in parallel" schedule of the repo
+    * dependency graph: collapse dependency cycles to their [[repoCycles]]
+    * SCC representative (mutually-importing repos must build together), then
+    * (max,+) longest-path layer each representative over the condensation
+    * DAG ([[graft.algos.Toposort]] semantics — layer 0 builds first, layer k
+    * needs only layers < k). Returns
+    * (repo, cycle_rep, cycle_size, build_layer).
+    *
+    * Scale shape: everything past the file-graph grouping runs on the repo
+    * QUOTIENT (|repos| rows — the single-partition rank window is fine
+    * exactly because the quotient is small; the raw file table never joins
+    * the fixpoint); the cycle collapse guarantees the layering terminates.
+    */
+  def buildLayers(spark: SparkSession, corpus: DataFrame,
+                  minW: Long = 1L): DataFrame = {
+    // STRONG dependencies only: repo-pair edges whose total import-line
+    // count reaches minW (the raw quotient of a big corpus is one giant
+    // SCC — thresholding is what exposes the actual build skeleton)
+    val rw = deriveEdgesNamed(corpus)
+      .filter(col("src_repo") =!= col("dst_repo"))
+      .groupBy("src_repo", "dst_repo").agg(sum(col("w")).as("rw"))
+      .filter(col("rw") >= minW)
+      .select(col("src_repo"), col("dst_repo"))
+    val repos = corpus.select(col("repo")).distinct()
+    val ranked = repos.withColumn("rid", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("repo"))).cast("long"))
+    val eid = rw
+      .join(ranked.select(col("repo").as("src_repo"), col("rid").as("src")),
+        Seq("src_repo"))
+      .join(ranked.select(col("repo").as("dst_repo"), col("rid").as("dst")),
+        Seq("dst_repo"))
+      .select(col("src"), col("dst"))
+    val scc = graft.algos.SCC.run(spark, eid)
+    val assigned = ranked
+      .join(scc.select(col("id").as("rid"), col("scc").as("comp")), Seq("rid"), "left")
+      .select(col("repo"), col("rid"), coalesce(col("comp"), col("rid")).as("comp"))
+    val groups = assigned.groupBy("comp")
+      .agg(min(col("repo")).as("cycle_rep"), count(lit(1)).as("cycle_size"))
+    val compOf = assigned.select(col("rid"), col("comp"))
+    val ce = eid
+      .join(compOf.select(col("rid").as("src"), col("comp").as("sc")), Seq("src"))
+      .join(compOf.select(col("rid").as("dst"), col("comp").as("dc")), Seq("dst"))
+      .filter(col("sc") =!= col("dc"))
+      .select(col("sc").as("src"), col("dc").as("dst")).distinct()
+    val layers = graft.algos.Toposort.run(spark, ce)
+    val compLayer = groups.select(col("comp"))
+      .join(layers.select(col("id").as("comp"), col("layer")), Seq("comp"), "left")
+      .select(col("comp"), coalesce(col("layer"), lit(0L)).as("build_layer"))
+    assigned.join(groups, Seq("comp")).join(compLayer, Seq("comp"))
+      .select(col("repo"), col("cycle_rep"), col("cycle_size"), col("build_layer"))
+  }
+
   /** Symbol cross-reference index (the ctags/LSIF primitive): every `def`
     * declaration in the corpus with its defining file and the file's import
     * fan-in (how many files import the definer — a proxy for how widely the

@@ -391,6 +391,55 @@ object Eval {
         coalesce(col("rbo"), lit(0.0)).as("rbo"))
   }
 
+  /** Population stability index between two samples of an INTEGER score —
+    * the model-monitoring standard for "has the input distribution
+    * shifted": PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b) over `bins` equal-width
+    * bins of the pooled min-max range (top edge closed), add-one smoothed
+    * so empty bins stay finite. Returns one row per bin
+    * (bin, a_cnt, b_cnt, term, psi) with `psi` the all-bin total repeated.
+    *
+    * Exactness: bin assignment is PURE INTEGER arithmetic
+    * ((s−mn)·bins div (mx−mn) — no fp in the bucketing, unlike a float
+    * histogram); the full bin grid is materialized so absent bins
+    * contribute their smoothing term; each p is ONE division; the total is
+    * an UNROLLED bins-term sum (max(CASE bin=i), left-to-right).
+    *
+    * Scale shape: one union-sized groupBy(bin) with map-side combine; the
+    * grid, totals and psi row are constant-size broadcasts.
+    */
+  def psi(a: DataFrame, b: DataFrame, bins: Int = 10,
+          scoreCol: String = "score"): DataFrame = {
+    require(bins >= 1, s"bad bins $bins")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val u = a.select(col(scoreCol).as("s"), lit(0).as("g"))
+      .unionByName(b.select(col(scoreCol).as("s"), lit(1).as("g")))
+    val mm = u.groupBy().agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    val binned = u.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(bins - 1L), expr(s"(s - mn) * $bins div (mx - mn)"))))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("a_cnt"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("b_cnt"))
+    val tots = counts.groupBy().agg(
+      coalesce(sum(col("a_cnt")), lit(0L)).as("ta"),
+      coalesce(sum(col("b_cnt")), lit(0L)).as("tb"))
+    val pa = (col("a_cnt") + 1L).cast("double") / (col("ta") + bins.toLong).cast("double")
+    val pb = (col("b_cnt") + 1L).cast("double") / (col("tb") + bins.toLong).cast("double")
+    val terms = (0L until bins.toLong).toDF("bin")
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+        coalesce(col("b_cnt"), lit(0L)).as("b_cnt"))
+      .crossJoin(broadcast(tots))
+      .select(col("bin"), col("a_cnt"), col("b_cnt"),
+        ((pa - pb) * log(pa / pb)).as("term"))
+    val psiRow = terms.groupBy().agg(
+      (0 until bins).map(i => coalesce(max(when(col("bin") === i, col("term"))), lit(0.0)))
+        .reduceLeft(_ + _).as("psi"))
+    terms.crossJoin(broadcast(psiRow))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between a truth and a
     * prediction column — computed as ONE division of exact integers:
     * kappa = (po − pe)/(1 − pe) = (n·A − S) / (n² − S), where A = Σ

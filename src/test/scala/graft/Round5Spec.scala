@@ -383,6 +383,40 @@ class Round5Spec extends SparkTestBase {
     assert((r50.getLong(1), r50.getLong(2)) == ((1L, 3L)), r50.toString)
   }
 
+  test("buildLayers: cycle builds together at its dependency layer, isolates at 0") {
+    import graft.corpus.Corpus
+    // a -> b, b <-> c (cycle), d isolated: condensation a -> {b,c}
+    val corpus = Seq(
+      ("o/a", "m.s", "c1", "scala", "import o/b/m.s"),
+      ("o/b", "m.s", "c1", "scala", "import o/c/m.s"),
+      ("o/c", "m.s", "c1", "scala", "import o/b/m.s"),
+      ("o/d", "m.s", "c1", "scala", "no imports here"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val got = Corpus.buildLayers(spark, corpus).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "o/a" -> (("o/a", 1L, 0L)), "o/b" -> (("o/b", 2L, 1L)),
+      "o/c" -> (("o/b", 2L, 1L)), "o/d" -> (("o/d", 1L, 0L))), got.toString)
+  }
+
+  test("psi: hand bins (integer div bucketing), identical samples score 0") {
+    import graft.pipeline.Eval
+    val a = Seq(0L, 10L).toDF("score")
+    val b = Seq(10L, 10L).toDF("score")
+    val got = Eval.psi(a, b, bins = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // bin0: a=1 b=0; bin1: a=1 b=2 (top edge closed); add-one over ta=tb=2
+    val t0 = (0.5 - 0.25) * math.log(0.5 / 0.25)
+    val t1 = (0.5 - 0.75) * math.log(0.5 / 0.75)
+    assert(got(0L) == ((1L, 0L, t0, t0 + t1)), got(0L).toString)
+    assert(got(1L) == ((1L, 2L, t1, t0 + t1)))
+    // identical samples: every term 0 -> psi 0 (incl. the degenerate range)
+    val c = Seq(5L).toDF("score")
+    val gotC = Eval.psi(c, c, bins = 2).collect().map(_.getDouble(4)).toSet
+    assert(gotC == Set(0.0), gotC.toString)
+  }
+
   test("rbo: reversed pair, identical pair (1 − 2^-k), disjoint pair") {
     import graft.pipeline.Eval
     val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rk")
