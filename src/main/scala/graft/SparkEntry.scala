@@ -695,6 +695,17 @@ object SparkEntry {
       PageRank.runFixed(s, edgesBi(s, d), k = 5, seeds = Seq(1L, 3L, 7L))
         .select(col("id"), round(col("r"), 8).as("r"))),
 
+    // BATCHED multi-persona PPR (N-RHS SpMM): three personas advance in one
+    // loop — the adjacency is scanned once per round, state is the sparse
+    // (pid, id, r) table. Nonzero support only; rounded like algo_ppr5
+    "algo_ppr_multi" -> ((s, d) =>
+      PageRank.pprMulti(s, edgesBi(s, d),
+        personas = Seq(1L -> Seq(1L, 3L), 2L -> Seq(7L), 3L -> Seq(2L, 5L)), k = 5)
+        .select(col("pid"), col("id"), round(col("r"), 8).as("r"))
+        // drop support that rounds to zero — the oracle's WHERE r <> 0
+        // filters the same ROUNDED value, so the cut is identical
+        .filter(col("r") =!= 0.0)),
+
     // training-pipeline sampling: deterministic Lehmer-slot random walks
     // (DeepWalk-style corpus generation, bit-reproducible in any engine)
     "algo_randomwalk" -> ((s, d) => {
@@ -1552,6 +1563,10 @@ object SparkEntry {
     // prefix identity — no fp anywhere in the statistic)
     "events_cusum" -> ((s, d) =>
       Events.cusum(s.read.parquet(s"$d/events.parquet"))),
+    // user-journey Markov transition matrix — per-user lag pairs, exact
+    // counts, one division per cell
+    "events_markov" -> ((s, d) =>
+      Events.transitions(s.read.parquet(s"$d/events.parquet"))),
     "events_sessions" -> ((s, d) =>
       Events.sessions(s.read.parquet(s"$d/events.parquet"), gapMinutes = 30)),
     // ordered conversion funnel signup -> click -> purchase (strictly-after)
@@ -2246,6 +2261,17 @@ object SparkEntry {
          |FROM h1 JOIN h2 ON h2.src = h1.dst""".stripMargin,
     "algo_hits5" -> hitsUnrolledSql(5),
     "algo_ppr5" -> pagerankUnrolledSql(5, seeds = Seq(1L, 3L, 7L)),
+    // three independent unrolled PPR chains (identical math to algo_ppr5),
+    // tagged with pid and restricted to the nonzero support the engine's
+    // sparse state materializes (zeros are EXACT on both sides: base 0 +
+    // 0.85·COALESCE(NULL,0))
+    "algo_ppr_multi" -> Seq(
+        1L -> Seq(1L, 3L), 2L -> Seq(7L), 3L -> Seq(2L, 5L))
+      .map { case (pid, ss) =>
+        s"""SELECT $pid AS pid, id, r FROM (
+           |${pagerankUnrolledSql(5, seeds = ss)}
+           |) t$pid WHERE r <> 0""".stripMargin }
+      .mkString("\nUNION ALL\n"),
     "algo_randomwalk" -> randomWalkSql(4),
     "algo_node2vec" -> node2vecSql(4),
     "algo_widest" -> widestSql,
@@ -4064,6 +4090,21 @@ object SparkEntry {
         |SELECT event_type, nh AS n_hours, s AS s_cents,
         |  CAST(c AS BIGINT) AS max_cusum, hour AS peak_hour
         |FROM r WHERE rk = 1""".stripMargin,
+
+    // user-journey transition matrix: per-user (ts, event_id)-ordered lag
+    // pairs, exact counts, one division per cell
+    "events_markov" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS prev_type, event_type AS next_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n, t.row_total,
+        |  CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
+        |FROM c JOIN t USING (prev_type)""".stripMargin,
 
     "events_kmv_distinct" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),

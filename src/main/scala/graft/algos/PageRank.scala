@@ -273,4 +273,70 @@ object PageRank {
                weighted: Boolean = false, seeds: Seq[Long] = Nil): DataFrame =
     run(spark, edges, damp = damp, tol = 0.0, maxIter = k, weighted = weighted,
       seeds = seeds).ranks
+
+  /** BATCHED multi-persona personalized PageRank, k fixed iterations — the
+    * GraphBLAS "multiple right-hand sides" pattern (SpMM over N dense
+    * vectors, GrB_mxm where [[run]] is mxv): every persona advances in the
+    * SAME loop, so the adjacency is scanned ONCE per round — not once per
+    * persona — and the state is the SPARSE (pid, id, r) table:
+    * off-support vertices hold exact 0.0 and are never materialized (the
+    * sparse-accumulator story; a persona's support only grows along real
+    * paths). Per-iteration math is IDENTICAL to [[run]] with `seeds`:
+    * teleport and sink mass land on the persona's seed set only.
+    * Returns (pid, id, r) for every nonzero entry after k rounds.
+    *
+    * Scale shape: one co-partitioned gather join + one (pid, dst) combine
+    * per round; the per-persona sink masses and seed bases are |personas|-
+    * and |seeds|-row broadcasts. Lineage is cut per iteration.
+    */
+  def pprMulti(spark: SparkSession, edges: DataFrame,
+               personas: Seq[(Long, Seq[Long])], k: Int = 5,
+               damp: Double = 0.85): DataFrame = {
+    require(k >= 1 && personas.nonEmpty, "pprMulti needs k >= 1 and personas")
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val adj = edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = adj.select(col("src").as("id"))
+      .unionByName(adj.select(col("dst").as("id"))).distinct()
+    val deg = verts.join(
+        adj.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("d")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(1.0)).as("d"),
+        col("d").isNull.as("sink"))
+      .repartition(parts, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = personas
+      .flatMap { case (p, ss) => ss.distinct.map(s => (p, s, ss.distinct.size)) }
+      .toDF("pid", "id", "ns")
+      .join(verts, Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = Iterate.cut(seeds.select(col("pid"), col("id"),
+      (lit(1.0) / col("ns").cast("double")).as("r")))
+    for (_ <- 1 to k) {
+      val sinkMass = state.join(deg.filter(col("sink")), Seq("id"), "left_semi")
+        .groupBy("pid").agg(sum(col("r")).as("m"))
+      val contrib = adj
+        .join(state.select(col("id").as("src"), col("pid"), col("r"))
+          .join(deg.select(col("id").as("src"), col("d")), Seq("src")), Seq("src"))
+        .groupBy(col("pid"), col("dst"))
+        .agg(sum(col("r") / col("d")).as("c"))
+        .withColumnRenamed("dst", "id")
+      val base = seeds.join(broadcast(sinkMass), Seq("pid"), "left")
+        .select(col("pid"), col("id"),
+          (lit(1.0 - damp) / col("ns").cast("double")
+            + lit(damp) * coalesce(col("m"), lit(0.0)) / col("ns").cast("double"))
+            .as("base"))
+      val next = base.join(contrib, Seq("pid", "id"), "full_outer")
+        .select(col("pid"), col("id"),
+          (coalesce(col("base"), lit(0.0))
+            + lit(damp) * coalesce(col("c"), lit(0.0))).as("r"))
+      val cut = Iterate.cut(next)
+      Iterate.free(state)
+      state = cut
+    }
+    adj.unpersist(false); deg.unpersist(false); seeds.unpersist(false)
+    state
+  }
 }

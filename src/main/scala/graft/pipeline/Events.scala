@@ -81,6 +81,32 @@ object Events {
         (num.cast("double") / sqrt(den2.cast("double"))).as("z"))
   }
 
+  /** User-journey transition matrix — the Markov view of event flow: for
+    * each ordered per-user pair of consecutive events, count (prev_type →
+    * next_type) and report the row-conditional probability. Deterministic
+    * order (ts, event_id) exactly like [[sessions]]; exact integer counts,
+    * ONE division per cell — bit-identical in any engine. Returns
+    * (prev_type, next_type, n, row_total, p), ≤ |types|² rows.
+    *
+    * Scale shape: one per-user window (keyed — never a global sort) over
+    * the events, one groupBy on the pair table, and the |types|-row totals
+    * broadcast back.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val cnt = pairs
+      .groupBy(col("prev").as("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("prev_type").agg(sum(col("n")).as("row_total"))
+    cnt.join(broadcast(tot), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),
+        (col("n").cast("double") / col("row_total").cast("double")).as("p"))
+  }
+
   /** Per-type CUSUM changepoint statistic over the hourly value series —
     * the classic drift detector (Page 1954): with hourly cent sums x_h,
     * H hours and S = Σx_h, the mean-centred one-sided CUSUM

@@ -417,6 +417,45 @@ class Round5Spec extends SparkTestBase {
     assert(gotC == Set(0.0), gotC.toString)
   }
 
+  test("transitions: hand journeys, event_id tie-break, row-conditional p") {
+    import graft.pipeline.Events
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, t(0), 1L, "a", 0.0), (2L, t(1), 1L, "b", 0.0), (3L, t(2), 1L, "a", 0.0),
+      (4L, t(0), 2L, "a", 0.0), (5L, t(1), 2L, "b", 0.0),
+      (6L, t(0), 3L, "a", 0.0), (7L, t(1), 3L, "c", 0.0),
+      // same ts: event_id orders the pair as (x, y)
+      (8L, t(5), 4L, "x", 0.0), (9L, t(5), 4L, "y", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Events.transitions(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val got = run(rows)
+    assert(got == Map(
+      ("a", "b") -> ((2L, 3L, 2.0 / 3.0)), ("a", "c") -> ((1L, 3L, 1.0 / 3.0)),
+      ("b", "a") -> ((1L, 1L, 1.0)), ("x", "y") -> ((1L, 1L, 1.0))), got.toString)
+    assert(run(rows.repartition(5)) == got)
+  }
+
+  test("pprMulti: every persona slice equals its single-persona runFixed") {
+    import graft.algos.PageRank
+    val e = SparkEntry.edgesBi(spark, "/root/testdata/sf0.001")
+    val personas = Seq(1L -> Seq(1L, 3L), 2L -> Seq(7L))
+    val multi = PageRank.pprMulti(spark, e, personas, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((pid, ss) <- personas) {
+      val single = PageRank.runFixed(spark, e, k = 3, seeds = ss).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).filter(_._2 != 0.0).toMap
+      val slice = multi.collect { case ((p, id), r) if p == pid => id -> r }
+      assert(slice.keySet == single.keySet,
+        s"pid $pid support differs: ${slice.keySet.size} vs ${single.keySet.size}")
+      slice.foreach { case (id, r) =>
+        assert(math.abs(r - single(id)) < 1e-12, s"pid $pid id $id: $r vs ${single(id)}") }
+    }
+  }
+
   test("rbo: reversed pair, identical pair (1 − 2^-k), disjoint pair") {
     import graft.pipeline.Eval
     val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rk")
