@@ -1200,6 +1200,15 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 10)
       Similarity.lshTopK(e, q, k = 5, dim = 64).select(col("qid"), col("id"), col("rank"))
     }),
+    // the oracle-green twin: LCG hyperplane signs over int8 codes (exact
+    // integer bucket bits), quantized-cosine scoring — DuckDB replays the
+    // whole index, buckets included
+    "ann_lsh_lcg_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.lshTopKLcg(e, q, k = 5, dim = 64)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
     // IVF coarse-quantizer variant (clustered scale path; centroid sampling
     // is engine-internal xxhash64 → rows-only check, recall differential in
     // PipelineSpec)
@@ -3959,6 +3968,44 @@ object SparkEntry {
         |  CAST(list_sum(qv) AS BIGINT) AS qsum,
         |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm2
         |FROM q""".stripMargin,
+
+    // mirrors Similarity.lshTopKLcg end-to-end: int8 codes (exact), ±1 LCG
+    // hyperplane signs of the flattened (table,bit,dim) index — DuckDB's
+    // list-lambda i is 1-based so (i-1) matches the engine's 0-based i —
+    // integer bucket bits, capped bucket equi-join, candidate dedup,
+    // quantized-cosine scoring, (score desc, id asc) ranks
+    "ann_lsh_lcg_topk" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c0),
+        |qt AS (SELECT vec_id, scale,
+        |  CASE WHEN scale > 0
+        |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+        |       ELSE list_transform(e, x -> 0.0) END AS qv
+        |  FROM m),
+        |dots AS (
+        |  SELECT vec_id, tb.t, tb.b,
+        |    list_sum(list_transform(qv, (x, i) ->
+        |      x * (CASE WHEN (((i - 1 + (tb.t*6 + tb.b)*64) * 48271 + 16807)
+        |                      % 2147483647) % 2 = 1 THEN 1 ELSE -1 END))) AS d
+        |  FROM qt CROSS JOIN (SELECT t.range AS t, b.range AS b
+        |                      FROM range(0, 4) t, range(0, 6) b) tb),
+        |bk AS (SELECT vec_id, t AS tbl,
+        |  CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bkt
+        |  FROM dots GROUP BY vec_id, t),
+        |pop AS (SELECT tbl, bkt FROM bk GROUP BY tbl, bkt HAVING count(*) <= 100000),
+        |cap AS (SELECT b.vec_id, b.tbl, b.bkt FROM bk b JOIN pop USING (tbl, bkt)),
+        |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+        |  FROM cap c JOIN bk q USING (tbl, bkt)
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ce AS (SELECT vec_id AS id, list_transform(qv, q -> q * scale) AS e FROM qt),
+        |qe AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |       FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT cand.qid, cand.id, list_cosine_similarity(qe.qe, ce.e) AS score
+        |      FROM cand JOIN qe USING (qid) JOIN ce USING (id))
+        |SELECT qid, id, CAST(rn AS INT) AS rank FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+        |  FROM s) WHERE rn <= 5""".stripMargin,
 
     // the exact-k-means schedule, both rounds unrolled
     "ann_kmeans" -> kmeansSql(4, 2),

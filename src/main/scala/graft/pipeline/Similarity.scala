@@ -102,6 +102,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }
 
+  /** SQL-re-derivable SRP-LSH twin of [[lshTopK]] (the recipe of
+    * Dedup.minhashNearDupsLcg): each hyperplane sign is a ±1 LCG of the
+    * flattened (table, bit, dim) index and the hyperplane test runs on the
+    * int8 codes of [[quantizeInt8]], so every bucket bit is an exact
+    * INTEGER comparison — identical at any parallelism and replayable in
+    * DuckDB. Candidate scoring dequantizes the corpus side (code·scale,
+    * [[quantizedTopK]]'s exact contract) against the raw query vector. The
+    * xxhash64 [[lshTopK]] stays the production path; this twin turns the
+    * rows-only index check into a full oracle of the bucket CONTENTS.
+    * Same scale shape: bucket equi-joins, corpus-side cap, candidate dedup
+    * before any embedding crosses the wire.
+    */
+  def lshTopKLcg(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                 bits: Int = 6, tables: Int = 4,
+                 maxBucket: Int = 100000): DataFrame = {
+    val P = 2147483647L // 2^31-1: idx*48271 ≪ 2^62, no overflow either side
+    def buckets(df: DataFrame): DataFrame = {
+      val qz = quantizeInt8(df)
+      def bkt(t: Int): Column = (0 until bits).map { b =>
+        val s = transform(col("qvec"), (x, i) =>
+          x * when((((i + lit((t.toLong * bits + b) * dim)) * 48271L + 16807L)
+            % P) % 2 === 1, 1L).otherwise(-1L))
+        when(aggregate(s, lit(0L), _ + _) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      qz.select(col("vec_id"),
+        posexplode(array((0 until tables).map(bkt): _*)).as(Seq("tbl", "bkt")))
+    }
+    val c = graft.pipeline.Dedup.capBuckets(
+        buckets(corpus), Seq("tbl", "bkt"), maxBucket)
+      .select(col("vec_id").as("id"), col("tbl"), col("bkt"))
+    val q = buckets(queries)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+    val cands = c.join(q, Seq("tbl", "bkt"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"))
+      .distinct()
+    val ce = quantizeInt8(corpus).select(col("vec_id").as("id"),
+      transform(col("qvec"), qc => qc * col("scale")).as("e"))
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = cands.join(qe, Seq("qid")).join(ce, Seq("id"))
+      .select(col("qid"), col("id"), cosine(col("qe"), col("e")).as("score"))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) coarse index: `nlist` deterministic centroids —
     * hash-sampled corpus vectors refined by `lloydSteps` Lloyd iterations —
     * and every corpus vector assigned to its nearest centroid's list.

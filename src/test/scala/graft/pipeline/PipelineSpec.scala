@@ -147,6 +147,20 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.8, s"LSH recall $recall")
   }
 
+  test("LCG-LSH twin: recall vs brute force on clustered data; partition-invariant") {
+    val q = embs.filter(col("vec_id") < 6)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.bruteForceTopK(embs, q, k = 5).select("qid", "id"))
+    val approx = keyset(Similarity.lshTopKLcg(embs, q, k = 5, dim = 16).select("qid", "id"))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LCG-LSH recall $recall")
+    // integer bucket bits ⇒ bit-identical results at any parallelism
+    val rep = keyset(Similarity.lshTopKLcg(embs.repartition(7), q.repartition(3),
+      k = 5, dim = 16).select("qid", "id"))
+    assert(rep == approx)
+  }
+
   test("cosine near-dups: same-cluster pairs above threshold, none across clusters") {
     val nd = Similarity.cosineNearDups(embs, threshold = 0.95, dim = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
