@@ -1218,6 +1218,15 @@ object SparkEntry {
       Similarity.ivfTopK(e, q, k = 5, nlist = 32, nprobe = 8)
         .select(col("qid"), col("id"), col("rank"))
     }),
+    // the oracle-green twin: coarse quantizer = bit-exact integer k-means
+    // (shared kmeans CTE chain), exact rational probe distances, quantized-
+    // cosine scoring — DuckDB replays probes, lists, and ranks end to end
+    "ann_ivf_lcg_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.ivfTopKLcg(e, q, k = 5)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
     // product quantization + ADC: m=4 subspaces × 8 centroids (decimal-exact
     // Lloyd, deterministic at any parallelism); corpus embeddings are never
     // read at query time — only the 4-byte codes
@@ -1770,7 +1779,13 @@ object SparkEntry {
   /** Unrolled DuckDB replay of [[Similarity.kmeansInt8]]: integer (sum,
     * count) centroids, exact rational distances compared as the same one
     * IEEE division, smallest-cid tie-break, k smallest vec_ids as init. */
-  private def kmeansSql(k: Int, steps: Int): String = {
+  private def kmeansSql(k: Int, steps: Int): String =
+    s"WITH ${kmeansCtes(k, steps)}\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a$steps"
+
+  /** The k-means CTE chain (no WITH / final SELECT) ending at
+    * `a<steps>(vec_id, x, cid)` — shared by the ann_kmeans oracle and the
+    * IVF-LCG twin, which continues the chain with centroid/probe CTEs. */
+  private def kmeansCtes(k: Int, steps: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""$int8QuantSql,
       |qi AS (SELECT vec_id, list_transform(qv, v -> CAST(v AS BIGINT)) AS x FROM q),
@@ -1795,8 +1810,7 @@ object SparkEntry {
         |c$r AS (SELECT u.cid, list(u.sv ORDER BY u.pos) AS s, n$r.cnt AS cnt
         |        FROM u$r u JOIN n$r USING (cid) GROUP BY u.cid, n$r.cnt)""".stripMargin)
     }
-    sb.append(s"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a$steps")
-    s"WITH ${sb.toString}"
+    sb.toString
   }
 
   /** Exact-integer PQ replay (mirrors Similarity.pqCodesInt8 op-for-op):
@@ -4009,6 +4023,41 @@ object SparkEntry {
 
     // the exact-k-means schedule, both rounds unrolled
     "ann_kmeans" -> kmeansSql(4, 2),
+
+    // mirrors Similarity.ivfTopKLcg: the kmeans chain at (nlist=8, steps=2),
+    // final (sum,count) centroids, exact rational probe distance with one
+    // IEEE division (ties to the smallest list), nprobe=2, candidates from
+    // probed lists, quantized-cosine (score desc, id asc) ranks
+    "ann_ivf_lcg_topk" ->
+      s"""WITH ${kmeansCtes(8, 2)},
+        |fn AS (SELECT cid, count(*) AS cnt FROM a2 GROUP BY 1),
+        |fu AS (SELECT cid, t.i AS pos, CAST(sum(x[t.i]) AS BIGINT) AS sv
+        |       FROM a2, UNNEST(range(1, len(x)+1)) AS t(i) GROUP BY 1, 2),
+        |fc AS (SELECT u.cid, list(u.sv ORDER BY u.pos) AS s, fn.cnt AS cnt
+        |       FROM fu u JOIN fn USING (cid) GROUP BY u.cid, fn.cnt),
+        |qq AS (SELECT vec_id AS qid, x FROM qi WHERE vec_id < 10),
+        |pd AS (SELECT qid, cid,
+        |  CAST(CAST(A AS HUGEINT)*cnt*cnt - 2*CAST(B AS HUGEINT)*cnt + D AS DOUBLE)
+        |    / CAST(CAST(cnt AS HUGEINT)*cnt AS DOUBLE) AS dist FROM (
+        |  SELECT qid, cid, cnt,
+        |    list_sum(list_transform(range(1, len(x)+1), i -> x[i]*x[i])) AS A,
+        |    list_sum(list_transform(range(1, len(x)+1), i -> x[i]*s[i])) AS B,
+        |    list_sum(list_transform(range(1, len(s)+1), i -> s[i]*s[i])) AS D
+        |  FROM qq, fc)),
+        |pr AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM pd) WHERE rn <= 2),
+        |cand AS (SELECT pr.qid, a.vec_id AS id FROM pr JOIN a2 a ON a.cid = pr.cid
+        |         WHERE a.vec_id <> pr.qid),
+        |ce AS (SELECT q.vec_id AS id, list_transform(q.qv, v -> v * m.scale) AS e
+        |       FROM q JOIN m USING (vec_id)),
+        |qe AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |       FROM embeddings WHERE vec_id < 10),
+        |s2 AS (SELECT cand.qid, cand.id, list_cosine_similarity(qe.qe, ce.e) AS score
+        |       FROM cand JOIN qe USING (qid) JOIN ce USING (id))
+        |SELECT qid, id, CAST(rn AS INT) AS rank FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+        |  FROM s2) WHERE rn <= 5""".stripMargin,
     "ann_pq_codes" -> pqCodesSql(4, 8, 7L),
 
     // mirrors Similarity.quantizedTopK: dequantize (code · scale), exact

@@ -220,6 +220,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }
 
+  /** SQL-re-derivable IVF twin of [[ivfTopK]]: the coarse quantizer is the
+    * bit-exact integer k-means of [[kmeansInt8]] (the oracle replays the
+    * index verbatim via the shared kmeans CTE chain), probe selection ranks
+    * the query's int8 codes against the final (sum-vector, count) centroids
+    * with the same exact rational distance (A·c² − 2Bc + D)/c² — one IEEE
+    * division, ties to the smallest list — and candidate scoring
+    * dequantizes the corpus side against the raw query vector
+    * ([[quantizedTopK]]'s contract). The xxhash64 [[ivfTopK]] stays the
+    * production path; this twin oracles the IVF QUERY path — probes,
+    * lists, ranks — end to end. Driver state is nlist·dim integers (the
+    * same K-row bound as [[ivfIndex]]'s localized centroids); probing is a
+    * zero-shuffle explode of a literal centroid array.
+    */
+  def ivfTopKLcg(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nlist: Int = 8, nprobe: Int = 2, steps: Int = 2): DataFrame = {
+    val dec = "decimal(38,0)"
+    val assigned = kmeansInt8(corpus, nlist, steps) // (vec_id, cluster), cached
+    val codes = quantizeInt8(corpus)
+      .select(col("vec_id"), transform(col("qvec"), _.cast("long")).as("x"))
+    val joined = codes.join(assigned, Seq("vec_id"))
+    val cnts = joined.groupBy("cluster").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sums = joined
+      .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(sum("v").as("sv"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+      }
+    val qCodes = quantizeInt8(queries)
+      .select(col("vec_id").as("qid"), transform(col("qvec"), _.cast("long")).as("x"))
+    val a = aggregate(transform(col("x"), v => v * v), lit(0L), _ + _).cast(dec)
+    val dists = cnts.keys.toSeq.sorted.map { cid =>
+      val s = sums(cid); val c = cnts(cid)
+      val b = aggregate(zip_with(col("x"), array(s.map(lit(_)): _*),
+        (u, v) => u * v), lit(0L), _ + _).cast(dec)
+      val dSq = s.map(v => BigInt(v) * BigInt(v)).sum
+      val c2 = BigInt(c) * BigInt(c)
+      val num = a * lit(BigDecimal(c2)).cast(dec) -
+        lit(2L).cast(dec) * b * lit(c).cast(dec) + lit(BigDecimal(dSq)).cast(dec)
+      struct(lit(cid).as("list"),
+        (num.cast("double") / lit(BigDecimal(c2)).cast(dec).cast("double")).as("dist"))
+    }
+    val probeWin = Window.partitionBy("qid").orderBy(col("dist").asc, col("list").asc)
+    val probes = qCodes.select(col("qid"), explode(array(dists: _*)).as("pc"))
+      .select(col("qid"), col("pc.list").as("list"), col("pc.dist").as("dist"))
+      .withColumn("pr", row_number().over(probeWin)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("list"))
+    val cands = probes.join(
+        assigned.select(col("vec_id").as("id"), col("cluster").as("list")), Seq("list"))
+      .filter(col("qid") =!= col("id")).select(col("qid"), col("id"))
+    val ce = quantizeInt8(corpus).select(col("vec_id").as("id"),
+      transform(col("qvec"), qc => qc * col("scale")).as("e"))
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = cands.join(qe, Seq("qid")).join(ce, Seq("id"))
+      .select(col("qid"), col("id"), cosine(col("qe"), col("e")).as("score"))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+
   /** Scalar int8 quantization of the embedding column — the standard 4×
     * storage/bandwidth compressor in front of ANN at 100 TB (a 100 TB float32
     * embedding store becomes 25 TB of int8 + one float scale per vector).

@@ -161,6 +161,22 @@ class PipelineSpec extends SparkTestBase {
     assert(rep == approx)
   }
 
+  test("LCG-IVF twin: recall vs brute force on clustered data; partition-invariant") {
+    val q = embs.filter(col("vec_id") < 6)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.bruteForceTopK(embs, q, k = 5).select("qid", "id"))
+    val approx = keyset(Similarity.ivfTopKLcg(embs, q, k = 5, nlist = 4, nprobe = 2)
+      .select("qid", "id"))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LCG-IVF recall $recall")
+    // integer kmeans index + exact rational probe distances ⇒ bit-identical
+    // at any parallelism
+    val rep = keyset(Similarity.ivfTopKLcg(embs.repartition(7), q.repartition(3),
+      k = 5, nlist = 4, nprobe = 2).select("qid", "id"))
+    assert(rep == approx)
+  }
+
   test("cosine near-dups: same-cluster pairs above threshold, none across clusters") {
     val nd = Similarity.cosineNearDups(embs, threshold = 0.95, dim = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
