@@ -1245,6 +1245,12 @@ object SparkEntry {
       Similarity.cosineNearDups(embs(s, d), threshold = 0.35, dim = 64,
           bits = 6, tables = 8, probes = 1)
         .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
+    // the oracle-green twin: LCG bucket index + integer-exact threshold
+    // decision (400·dot² vs 49·‖a‖²·‖b‖² over int8 codes) — the pair SET is
+    // bit-identical at any parallelism and in DuckDB
+    "ann_cosine_lcg_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupsLcg(embs(s, d), tNum = 7, tDen = 20, dim = 64)
+        .select(col("a"), col("b"))),
 
     // embedding int8 quantization (4x storage compressor; scale + per-code
     // checksums are exact integer/double arithmetic, so DuckDB mirrors them)
@@ -1715,6 +1721,30 @@ object SparkEntry {
     */
   /** int8 quantization alone (ends defining `q(vec_id, qv)`) — shared by
     * the eval fold chain and the exact-k-means oracle. */
+  /** CTE chain (no WITH) for the LCG-sign SRP bucket index over int8 codes
+    * (mirrors Similarity.lcgBuckets): quant CTEs c0/m/qt (qt keeps scale+qv)
+    * then bk(vec_id, tbl, bkt) at the given geometry — shared by the
+    * LSH-top-k and cosine-near-dup LCG twins. */
+  private def lcgBucketCtes(dim: Int, bits: Int, tables: Int): String =
+    s"""c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |m AS (SELECT vec_id, e,
+      |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c0),
+      |qt AS (SELECT vec_id, scale,
+      |  CASE WHEN scale > 0
+      |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+      |       ELSE list_transform(e, x -> 0.0) END AS qv
+      |  FROM m),
+      |dots AS (
+      |  SELECT vec_id, tb.t, tb.b,
+      |    list_sum(list_transform(qv, (x, i) ->
+      |      x * (CASE WHEN (((i - 1 + (tb.t*$bits + tb.b)*$dim) * 48271 + 16807)
+      |                      % 2147483647) % 2 = 1 THEN 1 ELSE -1 END))) AS d
+      |  FROM qt CROSS JOIN (SELECT t.range AS t, b.range AS b
+      |                      FROM range(0, $tables) t, range(0, $bits) b) tb),
+      |bk AS (SELECT vec_id, t AS tbl,
+      |  CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bkt
+      |  FROM dots GROUP BY vec_id, t)""".stripMargin
+
   private val int8QuantSql: String =
     """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |m AS (SELECT vec_id, e,
@@ -3989,24 +4019,7 @@ object SparkEntry {
     // integer bucket bits, capped bucket equi-join, candidate dedup,
     // quantized-cosine scoring, (score desc, id asc) ranks
     "ann_lsh_lcg_topk" ->
-      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |m AS (SELECT vec_id, e,
-        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c0),
-        |qt AS (SELECT vec_id, scale,
-        |  CASE WHEN scale > 0
-        |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
-        |       ELSE list_transform(e, x -> 0.0) END AS qv
-        |  FROM m),
-        |dots AS (
-        |  SELECT vec_id, tb.t, tb.b,
-        |    list_sum(list_transform(qv, (x, i) ->
-        |      x * (CASE WHEN (((i - 1 + (tb.t*6 + tb.b)*64) * 48271 + 16807)
-        |                      % 2147483647) % 2 = 1 THEN 1 ELSE -1 END))) AS d
-        |  FROM qt CROSS JOIN (SELECT t.range AS t, b.range AS b
-        |                      FROM range(0, 4) t, range(0, 6) b) tb),
-        |bk AS (SELECT vec_id, t AS tbl,
-        |  CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bkt
-        |  FROM dots GROUP BY vec_id, t),
+      s"""WITH ${lcgBucketCtes(64, 6, 4)},
         |pop AS (SELECT tbl, bkt FROM bk GROUP BY tbl, bkt HAVING count(*) <= 100000),
         |cap AS (SELECT b.vec_id, b.tbl, b.bkt FROM bk b JOIN pop USING (tbl, bkt)),
         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
@@ -4023,6 +4036,25 @@ object SparkEntry {
 
     // the exact-k-means schedule, both rounds unrolled
     "ann_kmeans" -> kmeansSql(4, 2),
+
+    // mirrors Similarity.cosineNearDupsLcg: the 8-table LCG bucket index,
+    // capped pair join, and the integer-exact threshold decision
+    // dot>0 ∧ 400·dot² ≥ 49·‖a‖²·‖b‖² over the int8 codes
+    "ann_cosine_lcg_neardup" ->
+      s"""WITH ${lcgBucketCtes(64, 6, 8)},
+        |pop AS (SELECT tbl, bkt FROM bk GROUP BY tbl, bkt HAVING count(*) <= 10000),
+        |cap AS (SELECT b.vec_id, b.tbl, b.bkt FROM bk b JOIN pop USING (tbl, bkt)),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM cap x JOIN cap y
+        |  ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+        |xi AS (SELECT vec_id, list_transform(qv, v -> CAST(v AS BIGINT)) AS x FROM qt),
+        |sc AS (SELECT cand.a, cand.b,
+        |  list_sum(list_transform(range(1, len(xa.x)+1), i -> xa.x[i]*xb.x[i])) AS dot,
+        |  list_sum(list_transform(xa.x, v -> v*v)) AS na,
+        |  list_sum(list_transform(xb.x, v -> v*v)) AS nb
+        |  FROM cand JOIN xi xa ON xa.vec_id = cand.a
+        |            JOIN xi xb ON xb.vec_id = cand.b)
+        |SELECT a, b FROM sc WHERE dot > 0 AND dot*dot*400 >= na*nb*49""".stripMargin,
 
     // mirrors Similarity.ivfTopKLcg: the kmeans chain at (nlist=8, steps=2),
     // final (sum,count) centroids, exact rational probe distance with one

@@ -114,21 +114,27 @@ object Similarity {
     * Same scale shape: bucket equi-joins, corpus-side cap, candidate dedup
     * before any embedding crosses the wire.
     */
+  /** The LCG-sign SRP bucket table (vec_id, tbl, bkt) over int8 codes —
+    * every bucket bit an exact integer comparison (see [[lshTopKLcg]]).
+    */
+  private[pipeline] def lcgBuckets(df: DataFrame, dim: Int, bits: Int,
+                                   tables: Int): DataFrame = {
+    val P = 2147483647L // 2^31-1: idx*48271 ≪ 2^62, no overflow either side
+    val qz = quantizeInt8(df)
+    def bkt(t: Int): Column = (0 until bits).map { b =>
+      val s = transform(col("qvec"), (x, i) =>
+        x * when((((i + lit((t.toLong * bits + b) * dim)) * 48271L + 16807L)
+          % P) % 2 === 1, 1L).otherwise(-1L))
+      when(aggregate(s, lit(0L), _ + _) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    qz.select(col("vec_id"),
+      posexplode(array((0 until tables).map(bkt): _*)).as(Seq("tbl", "bkt")))
+  }
+
   def lshTopKLcg(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
                  bits: Int = 6, tables: Int = 4,
                  maxBucket: Int = 100000): DataFrame = {
-    val P = 2147483647L // 2^31-1: idx*48271 ≪ 2^62, no overflow either side
-    def buckets(df: DataFrame): DataFrame = {
-      val qz = quantizeInt8(df)
-      def bkt(t: Int): Column = (0 until bits).map { b =>
-        val s = transform(col("qvec"), (x, i) =>
-          x * when((((i + lit((t.toLong * bits + b) * dim)) * 48271L + 16807L)
-            % P) % 2 === 1, 1L).otherwise(-1L))
-        when(aggregate(s, lit(0L), _ + _) > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      qz.select(col("vec_id"),
-        posexplode(array((0 until tables).map(bkt): _*)).as(Seq("tbl", "bkt")))
-    }
+    def buckets(df: DataFrame): DataFrame = lcgBuckets(df, dim, bits, tables)
     val c = graft.pipeline.Dedup.capBuckets(
         buckets(corpus), Seq("tbl", "bkt"), maxBucket)
       .select(col("vec_id").as("id"), col("tbl"), col("bkt"))
@@ -218,6 +224,41 @@ object Similarity {
         cosine(col("qe"), col("embedding")).as("score"))
     val win = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+
+  /** SQL-re-derivable near-dup twin of [[cosineNearDups]]: candidate pairs
+    * from the [[lcgBuckets]] LCG-sign index (more tables instead of
+    * multiprobe) and an INTEGER-EXACT threshold decision — with the
+    * threshold the rational tNum/tDen, `cos(a,b) ≥ t` over the int8 codes
+    * is decided as `dot > 0 ∧ tDen²·dot² ≥ tNum²·‖a‖²·‖b‖²`, all in 64-bit
+    * integers (|dot| ≤ 127²·dim ≈ 10⁶ ⇒ tDen²·dot² ≤ ~10¹⁵). The emitted
+    * pair set is therefore bit-identical at any parallelism and replayable
+    * in DuckDB. Contract: the QUANTIZED cosine (the float path's threshold
+    * moves by O(1/127)); the xxhash64 [[cosineNearDups]] stays production.
+    */
+  def cosineNearDupsLcg(corpus: DataFrame, tNum: Int, tDen: Int, dim: Int,
+                        bits: Int = 6, tables: Int = 8,
+                        maxBucket: Int = 10000): DataFrame = {
+    val bk = graft.pipeline.Dedup.capBuckets(
+      lcgBuckets(corpus, dim, bits, tables), Seq("tbl", "bkt"), maxBucket)
+    val cands = bk.as("x").join(bk.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
+    val codes = quantizeInt8(corpus)
+      .select(col("vec_id"), transform(col("qvec"), _.cast("long")).as("x"))
+    def isum(c: Column): Column = aggregate(c, lit(0L), _ + _)
+    val scored = cands
+      .join(codes.select(col("vec_id").as("a"), col("x").as("xa")), Seq("a"))
+      .join(codes.select(col("vec_id").as("b"), col("x").as("xb")), Seq("b"))
+      .select(col("a"), col("b"),
+        isum(zip_with(col("xa"), col("xb"), _ * _)).as("dot"),
+        isum(transform(col("xa"), v => v * v)).as("na"),
+        isum(transform(col("xb"), v => v * v)).as("nb"))
+    scored.filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (tDen.toLong * tDen) >=
+          col("na") * col("nb") * (tNum.toLong * tNum))
+      .select(col("a"), col("b"))
   }
 
   /** SQL-re-derivable IVF twin of [[ivfTopK]]: the coarse quantizer is the

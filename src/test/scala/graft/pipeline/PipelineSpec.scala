@@ -184,6 +184,18 @@ class PipelineSpec extends SparkTestBase {
     for ((a, b) <- nd) assert(a % 3 == b % 3, s"cross-cluster near-dup $a,$b")
   }
 
+  test("LCG near-dup twin: same-cluster pairs only; partition-invariant pair set") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nd = pairs(Similarity.cosineNearDupsLcg(embs, tNum = 19, tDen = 20, dim = 16))
+    assert(nd.nonEmpty)
+    for ((a, b) <- nd) assert(a % 3 == b % 3, s"cross-cluster near-dup $a,$b")
+    // integer bucket bits + integer threshold decision ⇒ identical pair set
+    // at any parallelism
+    assert(pairs(Similarity.cosineNearDupsLcg(embs.repartition(7),
+      tNum = 19, tDen = 20, dim = 16)) == nd)
+  }
+
   // --- text analysis ---------------------------------------------------------
 
   test("token counts on a known string") {
