@@ -1236,6 +1236,15 @@ object SparkEntry {
       Similarity.pqTopK(e, q, k = 5, m = 4, ksub = 8)
         .select(col("qid"), col("id"), col("rank"))
     }),
+    // the oracle-green ADC twin: exact-integer PQ index (ann_pq_codes'
+    // chain), exact rational per-subspace distances, left-to-right pinned
+    // m-term ADC sums — DuckDB replays the whole query path
+    "ann_pq_lcg_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.pqTopKLcg(e, q, k = 5, m = 4, ksub = 8)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
     // driver embeddings are uniform-random (max pairwise cosine ~0.5), so the
     // near-dup threshold is 0.35 with 6-bit buckets × 8 tables; multiprobe
     // (1-bit-flip neighbor buckets) lifts recall to ≈0.91 at the threshold
@@ -1849,7 +1858,14 @@ object SparkEntry {
     * exact rational (A·c² − 2Bc + D)/c² distance (HUGEINT integers, ONE
     * double division, ties to the smallest code), one integer sum/count
     * Lloyd update, final assignment out. */
-  private def pqCodesSql(m: Int, ksub: Int, seed: Long): String = {
+  private def pqCodesSql(m: Int, ksub: Int, seed: Long): String =
+    s"WITH ${pqCodesCtes(m, ksub, seed)}\n" +
+      "SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code FROM a1"
+
+  /** The PQ CTE chain (no WITH / final SELECT) ending at the final
+    * assignment `a1(vec_id, sub, code)` and codebook `bk1(sub, code, s,
+    * cnt)` — shared by the ann_pq_codes oracle and the ADC twin. */
+  private def pqCodesCtes(m: Int, ksub: Int, seed: Long): String = {
     def assignFrom(book: String, out: String) =
       s"""$out AS (SELECT vec_id, sub, code FROM (
         |  SELECT v.vec_id, v.sub, b.code,
@@ -1859,7 +1875,7 @@ object SparkEntry {
         |         + list_sum(list_transform(range(1, len(b.s)+1), i -> b.s[i]*b.s[i])) AS DOUBLE)
         |       / CAST(CAST(b.cnt AS HUGEINT)*b.cnt AS DOUBLE) ASC, b.code ASC) AS rn
         |  FROM sv v JOIN $book b ON v.sub = b.sub) WHERE rn = 1)""".stripMargin
-    s"""WITH $int8QuantSql,
+    s"""$int8QuantSql,
       |qi AS (SELECT vec_id, list_transform(qv, v -> CAST(v AS BIGINT)) AS x FROM q),
       |sv AS (SELECT vec_id, t.sub AS sub,
       |         x[t.sub*(len(x)//$m)+1 : (t.sub+1)*(len(x)//$m)] AS sv
@@ -1878,8 +1894,7 @@ object SparkEntry {
       |       FROM ex GROUP BY 1, 2, 3),
       |bk1 AS (SELECT sub, code, list(spv ORDER BY p) AS s,
       |          CAST(max(c) AS BIGINT) AS cnt FROM ag GROUP BY 1, 2),
-      |${assignFrom("bk1", "a1")}
-      |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code FROM a1""".stripMargin
+      |${assignFrom("bk1", "a1")}""".stripMargin
   }
 
   /** BM25 CTE chain (fixed 3-term query, k1=1.25 b=0.75, Lucene idf) ending
@@ -4091,6 +4106,32 @@ object SparkEntry {
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
         |  FROM s2) WHERE rn <= 5""".stripMargin,
     "ann_pq_codes" -> pqCodesSql(4, 8, 7L),
+
+    // mirrors Similarity.pqTopKLcg: the PQ chain's a1/bk1, exact rational
+    // query-to-centroid distances (one IEEE division each), ADC score =
+    // d0+d1+d2+d3 added left to right (max-CASE pivot pins the order),
+    // (dist asc, id asc) ranks
+    "ann_pq_lcg_topk" ->
+      s"""WITH ${pqCodesCtes(4, 8, 7L)},
+        |qsv AS (SELECT vec_id AS qid, sub, sv FROM sv WHERE vec_id < 10),
+        |qd AS (SELECT qid, sub, code,
+        |  CAST(CAST(A AS HUGEINT)*cnt*cnt - 2*CAST(B AS HUGEINT)*cnt + D AS DOUBLE)
+        |    / CAST(CAST(cnt AS HUGEINT)*cnt AS DOUBLE) AS d FROM (
+        |  SELECT q.qid, b.sub, b.code, b.cnt,
+        |    list_sum(list_transform(range(1, len(q.sv)+1), i -> q.sv[i]*q.sv[i])) AS A,
+        |    list_sum(list_transform(range(1, len(q.sv)+1), i -> q.sv[i]*b.s[i])) AS B,
+        |    list_sum(list_transform(range(1, len(b.s)+1), i -> b.s[i]*b.s[i])) AS D
+        |  FROM qsv q JOIN bk1 b USING (sub))),
+        |jd AS (SELECT qd.qid, a.vec_id AS id, qd.sub, qd.d
+        |       FROM qd JOIN a1 a ON a.sub = qd.sub AND a.code = qd.code
+        |       WHERE a.vec_id <> qd.qid),
+        |pv AS (SELECT qid, id,
+        |  max(CASE WHEN sub = 0 THEN d END) + max(CASE WHEN sub = 1 THEN d END)
+        |  + max(CASE WHEN sub = 2 THEN d END) + max(CASE WHEN sub = 3 THEN d END) AS dist
+        |  FROM jd GROUP BY qid, id)
+        |SELECT qid, id, CAST(rn AS INT) AS rank FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rn
+        |  FROM pv) WHERE rn <= 5""".stripMargin,
 
     // mirrors Similarity.quantizedTopK: dequantize (code · scale), exact
     // cosine, rank by (score desc, id asc) — integer ranks only, like

@@ -681,7 +681,15 @@ object Similarity {
     * @return (vec_id, sub, code) — the PQ code matrix after one Lloyd step
     */
   def pqCodesInt8(corpus: DataFrame, m: Int = 4, ksub: Int = 8,
-                  seed: Long = 7L): DataFrame = {
+                  seed: Long = 7L): DataFrame =
+    pqIndexInt8(corpus, m, ksub, seed)._1
+
+  /** The full exact-integer PQ index: (codes, codebook) where the codebook
+    * rows are (sub, code, s = integer sum-vector, cnt) — the rational
+    * centroid representation [[pqTopKLcg]] queries against.
+    */
+  private[pipeline] def pqIndexInt8(corpus: DataFrame, m: Int = 4, ksub: Int = 8,
+                                    seed: Long = 7L): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val dec = "decimal(38,0)"
     val q = quantizeInt8(corpus)
@@ -732,6 +740,49 @@ object Similarity {
 
     val out = assign(book1)
     out.cache(); out.count(); sub.unpersist(false)
-    out
+    (out, book1)
+  }
+
+  /** SQL-re-derivable ADC twin of [[pqTopK]]: the index is the exact-integer
+    * PQ of [[pqIndexInt8]] (codes already oracled by ann_pq_codes), the
+    * query's int8 subvectors are scored against every (sub, code) centroid
+    * with the same exact rational distance (one IEEE division each), and
+    * the per-vector ADC score is the m per-subspace distances added LEFT TO
+    * RIGHT (d0+d1+…+d(m−1): a pinned fold, not an order-free groupBy sum),
+    * ranked ascending with id tie-break. Query time reads the 1-byte codes
+    * only — the corpus embeddings never re-enter the plan. The float
+    * [[pqTopK]] stays the production path; this twin oracles ADC end to end.
+    */
+  def pqTopKLcg(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+                ksub: Int = 8, seed: Long = 7L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (codes, book) = pqIndexInt8(corpus, m, ksub, seed)
+    val qz = quantizeInt8(queries)
+      .select(col("vec_id"), transform(col("qvec"), _.cast("long")).as("x"))
+    val dsub = size(col("x")) / m
+    val qsub = qz.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("x"))
+      .select(col("vec_id").as("qid"), col("sub").cast("long").as("sub"),
+        slice(col("x"), (col("sub") * dsub + 1).cast("int"), dsub.cast("int")).as("sv"))
+    val a = aggregate(transform(col("sv"), v => v * v), lit(0L), _ + _).cast(dec)
+    val b = aggregate(zip_with(col("sv"), col("s"), (u, v) => u * v),
+      lit(0L), _ + _).cast(dec)
+    val dvec = aggregate(transform(col("s"),
+      v => v.cast(dec) * v.cast(dec)), lit(0L).cast(dec), _ + _)
+    val c2 = col("cnt").cast(dec) * col("cnt").cast(dec)
+    val num = a * c2 - lit(2L).cast(dec) * b * col("cnt").cast(dec) + dvec
+    val qd = qsub.join(broadcast(book), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        (num.cast("double") / c2.cast("double")).as("d"))
+    val jd = qd.join(codes.select(col("vec_id").as("id"), col("sub"), col("code")),
+        Seq("sub", "code"))
+      .filter(col("qid") =!= col("id"))
+    val aggs = (0 until m).map(s => max(when(col("sub") === s, col("d"))).as(s"d$s"))
+    val pv = jd.groupBy("qid", "id").agg(aggs.head, aggs.tail: _*)
+      .select(col("qid"), col("id"),
+        (0 until m).map(s => col(s"d$s")).reduce(_ + _).as("dist"))
+    val win = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    pv.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"))
   }
 }

@@ -137,6 +137,21 @@ class PipelineSpec extends SparkTestBase {
     assert(perVec == Set(4L))
   }
 
+  test("LCG-PQ/ADC twin: same-cluster recall on clustered data; partition-invariant") {
+    val q = embs.filter(col("vec_id") < 6)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.bruteForceTopK(embs, q, k = 5).select("qid", "id"))
+    val approx = keyset(Similarity.pqTopKLcg(embs, q, k = 5, m = 4, ksub = 6)
+      .select("qid", "id"))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LCG-PQ recall $recall")
+    // exact-integer index + pinned ADC fold ⇒ bit-identical at any parallelism
+    val rep = keyset(Similarity.pqTopKLcg(embs.repartition(7), q.repartition(3),
+      k = 5, m = 4, ksub = 6).select("qid", "id"))
+    assert(rep == approx)
+  }
+
   test("LSH top-k recall >= 0.8 vs brute force on clustered data") {
     val q = embs.filter(col("vec_id") < 6)
     def keyset(df: org.apache.spark.sql.DataFrame) =
