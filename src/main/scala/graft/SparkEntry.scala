@@ -1735,14 +1735,8 @@ object SparkEntry {
     * then bk(vec_id, tbl, bkt) at the given geometry — shared by the
     * LSH-top-k and cosine-near-dup LCG twins. */
   private def lcgBucketCtes(dim: Int, bits: Int, tables: Int): String =
-    s"""c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |m AS (SELECT vec_id, e,
-      |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c0),
-      |qt AS (SELECT vec_id, scale,
-      |  CASE WHEN scale > 0
-      |       THEN list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
-      |       ELSE list_transform(e, x -> 0.0) END AS qv
-      |  FROM m),
+    s"""$int8QuantSql,
+      |qt AS (SELECT q.vec_id, m.scale, q.qv FROM q JOIN m USING (vec_id)),
       |dots AS (
       |  SELECT vec_id, tb.t, tb.b,
       |    list_sum(list_transform(qv, (x, i) ->

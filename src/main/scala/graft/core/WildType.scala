@@ -75,12 +75,22 @@ object WildType {
     a.select(col("j").as("i"), col("i").as("j"), col("stuff"), col("tag"))
 
   /** GrB_Matrix_reduce_UDT with the WildAdder monoid: 16 independent sums
-    * over every entry (order-free), tagged like any combined entry.
+    * over every entry (order-free). A monoid fold of ONE entry is that
+    * entry verbatim — tag included; an empty matrix reduces to the monoid
+    * identity (the demo's `scalar_identity`, wildtype_demo.c:341-350);
+    * otherwise the combined result reads [[AddTag]].
     */
   def reduceScalar(a: DataFrame): (Seq[Double], String) = {
     val sums = (1 to 16).map(p => sum(element_at(col("stuff"), p)).as(s"s$p"))
-    val r = a.agg(count(lit(1)).as("n"), sums: _*).collect()(0)
-    ((1 to 16).map(p => r.getDouble(p)),
-      if (r.getLong(0) > 1) AddTag else MultTag)
+    val r = a.select(col("stuff"), col("tag"))
+      .agg(count(lit(1)).as("n"), sums :+ min_by(struct(col("stuff"), col("tag")),
+        col("tag")).as("one"): _*).collect()(0)
+    r.getLong(0) match {
+      case 0 => (Seq.fill(16)(0.0), "identity")
+      case 1 =>
+        val one = r.getStruct(17)
+        (one.getSeq[Double](0), one.getString(1))
+      case _ => ((1 to 16).map(p => r.getDouble(p)), AddTag)
+    }
   }
 }

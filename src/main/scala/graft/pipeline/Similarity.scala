@@ -226,6 +226,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }
 
+  /** Exact rational squared distance ‖x − s/c‖² = (A·c² − 2Bc + D)/c² over
+    * integer codes with the centroid held as an integer (sum-vector, count)
+    * pair — exact integer/decimal arithmetic and ONE IEEE division, so any
+    * SQL engine reproduces the double bit-for-bit. This is the ONE shared
+    * assignment kernel of [[kmeansInt8]], [[ivfTopKLcg]], [[pqIndexInt8]]
+    * and [[pqTopKLcg]] (and their DuckDB mirrors). Column-centroid shape.
+    */
+  private def ratDistCols(x: Column, s: Column, cnt: Column): Column = {
+    val dec = "decimal(38,0)"
+    val a = aggregate(transform(x, v => v * v), lit(0L), _ + _).cast(dec)
+    val b = aggregate(zip_with(x, s, (u, v) => u * v), lit(0L), _ + _).cast(dec)
+    val d = aggregate(transform(s, v => v.cast(dec) * v.cast(dec)),
+      lit(0L).cast(dec), _ + _)
+    val c2 = cnt.cast(dec) * cnt.cast(dec)
+    (a * c2 - lit(2L).cast(dec) * b * cnt.cast(dec) + d).cast("double") /
+      c2.cast("double")
+  }
+
+  /** [[ratDistCols]] with a driver-side constant centroid: ‖S‖² and c² are
+    * exact BigInt constants (a long c·c would wrap past c ≈ 3·10⁹).
+    */
+  private def ratDistConst(x: Column, s: Array[Long], c: Long): Column = {
+    val dec = "decimal(38,0)"
+    val a = aggregate(transform(x, v => v * v), lit(0L), _ + _).cast(dec)
+    val b = aggregate(zip_with(x, array(s.map(lit(_)): _*), (u, v) => u * v),
+      lit(0L), _ + _).cast(dec)
+    val dSq = s.map(v => BigInt(v) * BigInt(v)).sum
+    val c2 = BigInt(c) * BigInt(c)
+    val num = a * lit(BigDecimal(c2)).cast(dec) -
+      lit(2L).cast(dec) * b * lit(c).cast(dec) + lit(BigDecimal(dSq)).cast(dec)
+    num.cast("double") / lit(BigDecimal(c2)).cast(dec).cast("double")
+  }
+
   /** SQL-re-derivable near-dup twin of [[cosineNearDups]]: candidate pairs
     * from the [[lcgBuckets]] LCG-sign index (more tables instead of
     * multiprobe) and an INTEGER-EXACT threshold decision — with the
@@ -239,6 +272,13 @@ object Similarity {
   def cosineNearDupsLcg(corpus: DataFrame, tNum: Int, tDen: Int, dim: Int,
                         bits: Int = 6, tables: Int = 8,
                         maxBucket: Int = 10000): DataFrame = {
+    // |dot| and each norm² are ≤ 127²·dim, so the comparison operands are
+    // bounded by (16129·dim·max(tNum,tDen))² — keep that base under √2⁶³ or
+    // the 64-bit products would wrap SILENTLY (non-ANSI Spark) and flip the
+    // decision away from the oracle
+    require(BigInt(16129L) * dim * math.max(tNum, tDen) <= 3037000499L,
+      s"integer threshold decision overflows 64-bit: 16129*dim*max(tNum,tDen)" +
+        s" = ${BigInt(16129L) * dim * math.max(tNum, tDen)} > 3037000499")
     val bk = graft.pipeline.Dedup.capBuckets(
       lcgBuckets(corpus, dim, bits, tables), Seq("tbl", "bkt"), maxBucket)
     val cands = bk.as("x").join(bk.as("y"),
@@ -276,33 +316,25 @@ object Similarity {
     */
   def ivfTopKLcg(corpus: DataFrame, queries: DataFrame, k: Int,
                  nlist: Int = 8, nprobe: Int = 2, steps: Int = 2): DataFrame = {
-    val dec = "decimal(38,0)"
     val assigned = kmeansInt8(corpus, nlist, steps) // (vec_id, cluster), cached
     val codes = quantizeInt8(corpus)
       .select(col("vec_id"), transform(col("qvec"), _.cast("long")).as("x"))
-    val joined = codes.join(assigned, Seq("vec_id"))
-    val cnts = joined.groupBy("cluster").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val sums = joined
+    // ONE pass, one collect: per-(cluster, pos) integer sums carry the
+    // member count alongside (count is pos-invariant, read off pos 0)
+    val cellRows = codes.join(assigned, Seq("vec_id"))
       .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos").agg(sum("v").as("sv"))
-      .collect().groupBy(_.getLong(0))
-      .map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
-      }
+      .groupBy("cluster", "pos").agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      .collect()
+    val sums = cellRows.groupBy(_.getLong(0)).map { case (cid, rows) =>
+      cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+    }
+    val cnts = cellRows.filter(_.getInt(1) == 0)
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
     val qCodes = quantizeInt8(queries)
       .select(col("vec_id").as("qid"), transform(col("qvec"), _.cast("long")).as("x"))
-    val a = aggregate(transform(col("x"), v => v * v), lit(0L), _ + _).cast(dec)
     val dists = cnts.keys.toSeq.sorted.map { cid =>
-      val s = sums(cid); val c = cnts(cid)
-      val b = aggregate(zip_with(col("x"), array(s.map(lit(_)): _*),
-        (u, v) => u * v), lit(0L), _ + _).cast(dec)
-      val dSq = s.map(v => BigInt(v) * BigInt(v)).sum
-      val c2 = BigInt(c) * BigInt(c)
-      val num = a * lit(BigDecimal(c2)).cast(dec) -
-        lit(2L).cast(dec) * b * lit(c).cast(dec) + lit(BigDecimal(dSq)).cast(dec)
       struct(lit(cid).as("list"),
-        (num.cast("double") / lit(BigDecimal(c2)).cast(dec).cast("double")).as("dist"))
+        ratDistConst(col("x"), sums(cid), cnts(cid)).as("dist"))
     }
     val probeWin = Window.partitionBy("qid").orderBy(col("dist").asc, col("list").asc)
     val probes = qCodes.select(col("qid"), explode(array(dists: _*)).as("pc"))
@@ -516,11 +548,12 @@ object Similarity {
     val spark = corpus.sparkSession
     val e0 = corpus.select(col("vec_id"), col("embedding"))
     // (vec_id, sub, sv): the m subvectors, sliced by contiguous position
-    val dsub = size(col("embedding")) / m
+    // (integer width len//m — fractional widths would overlap when m ∤ dim)
+    val dsub = floor(size(col("embedding")) / m).cast("int")
     val sub = e0.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
       .select(col("vec_id"), col("sub").cast("int").as("sub"),
-        slice(col("embedding"), (col("sub") * dsub + 1).cast("int"), dsub.cast("int")).as("sv"))
+        slice(col("embedding"), (col("sub") * dsub + 1).cast("int"), dsub).as("sv"))
 
     def localize(df: DataFrame): DataFrame =
       spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
@@ -566,11 +599,11 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
              ksub: Int = 8, seed: Long = 7L): DataFrame = {
     val (codes, book) = pqIndex(corpus, m, ksub, seed)
-    val dsub = size(col("embedding")) / m
+    val dsub = floor(size(col("embedding")) / m).cast("int")
     val qsub = queries.select(col("vec_id").as("qid"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
       .select(col("qid"), col("sub").cast("int").as("sub"),
-        slice(col("embedding"), (col("sub") * dsub + 1).cast("int"), dsub.cast("int")).as("qv"))
+        slice(col("embedding"), (col("sub") * dsub + 1).cast("int"), dsub).as("qv"))
     // ADC lookup table of squared L2 distances: |queries|·m·ksub rows —
     // broadcast side
     val lut = qsub.join(broadcast(book), Seq("sub"))
@@ -619,20 +652,11 @@ object Similarity {
       }.toSeq
 
     def assignExpr: Column = {
-      val a = aggregate(transform(col("x"), v => v * v), lit(0L), _ + _).cast(dec)
+      // shared exact rational-distance kernel (the oracle mirrors it with
+      // HUGEINT); Catalyst's common-subexpression elimination dedupes the
+      // per-centroid ‖x‖² folds inside the one projection
       val scored = cents.map { case (cid, s, c) =>
-        val b = aggregate(zip_with(col("x"), array(s.map(lit(_)): _*),
-          (u, v) => u * v), lit(0L), _ + _).cast(dec)
-        // driver-side centroid constants in BigInt — ‖S‖² overflows long
-        // once a cluster passes ~10⁶ members of ±127·10⁶-scale sums
-        val dSq = s.map(v => BigInt(v) * BigInt(v)).sum
-        val c2 = BigInt(c) * BigInt(c)
-        val num = a * lit(BigDecimal(c2)).cast(dec) -
-          lit(2L).cast(dec) * b * lit(c).cast(dec) +
-          lit(BigDecimal(dSq)).cast(dec)
-        // divisor is the exact BigInt c² cast once to double (the oracle
-        // mirrors with HUGEINT) — a long c*c would wrap past c ≈ 3·10⁹
-        (cid, num.cast("double") / lit(BigDecimal(c2)).cast(dec).cast("double"))
+        (cid, ratDistConst(col("x"), s, c))
       }
       scored.tail.foldLeft(
         struct(scored.head._2.as("d"), lit(scored.head._1).as("cid"))) {
@@ -694,11 +718,13 @@ object Similarity {
     val dec = "decimal(38,0)"
     val q = quantizeInt8(corpus)
       .select(col("vec_id"), transform(col("qvec"), _.cast("long")).as("x"))
-    val dsub = size(col("x")) / m
+    // integer subvector width, exactly the oracle's len//m (a fractional
+    // dsub would overlap/skip positions whenever m ∤ dim)
+    val dsub = floor(size(col("x")) / m).cast("int")
     val sub = q.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("x"))
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
-        slice(col("x"), (col("sub") * dsub + 1).cast("int"), dsub.cast("int")).as("sv"))
+        slice(col("x"), (col("sub") * dsub + 1).cast("int"), dsub).as("sv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def localize(df: DataFrame): DataFrame =
@@ -713,20 +739,12 @@ object Similarity {
         col("sv").as("s"), lit(1L).as("cnt")))
 
     // nearest centroid, exact rational distance, tie -> smallest code
-    def assign(book: DataFrame): DataFrame = {
-      val a = aggregate(transform(col("sv"), v => v * v), lit(0L), _ + _).cast(dec)
-      val b = aggregate(zip_with(col("sv"), col("s"), (u, v) => u * v),
-        lit(0L), _ + _).cast(dec)
-      val dvec = aggregate(transform(col("s"),
-        v => v.cast(dec) * v.cast(dec)), lit(0L).cast(dec), _ + _)
-      val c2 = col("cnt").cast(dec) * col("cnt").cast(dec)
-      val num = a * c2 - lit(2L).cast(dec) * b * col("cnt").cast(dec) + dvec
+    def assign(book: DataFrame): DataFrame =
       sub.join(broadcast(book), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("code"),
-          (num.cast("double") / c2.cast("double")).as("d"))
+          ratDistCols(col("sv"), col("s"), col("cnt")).as("d"))
         .groupBy("vec_id", "sub")
         .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
-    }
 
     // one Lloyd step: integer (sum-vector, count) centroids from the codes
     val book1 = localize(assign(book0)
@@ -755,25 +773,19 @@ object Similarity {
     */
   def pqTopKLcg(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
                 ksub: Int = 8, seed: Long = 7L): DataFrame = {
-    val dec = "decimal(38,0)"
     val (codes, book) = pqIndexInt8(corpus, m, ksub, seed)
     val qz = quantizeInt8(queries)
       .select(col("vec_id"), transform(col("qvec"), _.cast("long")).as("x"))
-    val dsub = size(col("x")) / m
+    // integer subvector width, exactly the oracle's len//m partitions (a
+    // fractional dsub would overlap/skip positions whenever m ∤ dim)
+    val dsub = floor(size(col("x")) / m).cast("int")
     val qsub = qz.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("x"))
       .select(col("vec_id").as("qid"), col("sub").cast("long").as("sub"),
-        slice(col("x"), (col("sub") * dsub + 1).cast("int"), dsub.cast("int")).as("sv"))
-    val a = aggregate(transform(col("sv"), v => v * v), lit(0L), _ + _).cast(dec)
-    val b = aggregate(zip_with(col("sv"), col("s"), (u, v) => u * v),
-      lit(0L), _ + _).cast(dec)
-    val dvec = aggregate(transform(col("s"),
-      v => v.cast(dec) * v.cast(dec)), lit(0L).cast(dec), _ + _)
-    val c2 = col("cnt").cast(dec) * col("cnt").cast(dec)
-    val num = a * c2 - lit(2L).cast(dec) * b * col("cnt").cast(dec) + dvec
+        slice(col("x"), (col("sub") * dsub + 1).cast("int"), dsub).as("sv"))
     val qd = qsub.join(broadcast(book), Seq("sub"))
       .select(col("qid"), col("sub"), col("code"),
-        (num.cast("double") / c2.cast("double")).as("d"))
+        ratDistCols(col("sv"), col("s"), col("cnt")).as("d"))
     val jd = qd.join(codes.select(col("vec_id").as("id"), col("sub"), col("code")),
         Seq("sub", "code"))
       .filter(col("qid") =!= col("id"))

@@ -132,4 +132,15 @@ class WildTypeDemoSpec extends SparkTestBase {
         assert(math.abs(gv - wv) <= 0.0500001, s"$name: $gv vs $wv")
     }
   }
+
+  test("wildtype reduce edge cases: one-entry fold is the entry; empty is identity") {
+    import org.apache.spark.sql.functions.col
+    // monoid fold of one element returns it VERBATIM — values and tag
+    val (one, oneTag) = WildType.reduceScalar(
+      aMat.filter(col("i") === 2 && col("j") === 7))
+    assert(one == s1 && oneTag == "this is A(2,7)")
+    // empty matrix reduces to the WildAdder identity (c:341-350)
+    val (zero, zeroTag) = WildType.reduceScalar(aMat.filter(col("i") === 99))
+    assert(zero == Seq.fill(16)(0.0) && zeroTag == "identity")
+  }
 }
