@@ -268,4 +268,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"),
       s"rk <= topK must plan as WindowGroupLimit:\n$plan")
   }
+
+  test("pqTopKLcg: codebook broadcast, codes from cache, no cartesian") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val plan = finalPlan(
+      graft.pipeline.Similarity.pqTopKLcg(e, q, k = 3, m = 4, ksub = 4))
+    // the m·ksub-row codebook is a LocalRelation → broadcast; corpus codes
+    // come from the cached index, never a re-scan of the embeddings; the
+    // (sub, code) candidate join is an equi-join, never a cartesian
+    assert(plan.contains("Broadcast"), s"codebook not broadcast:\n$plan")
+    assert(plan.contains("InMemoryTableScan"), s"codes not read from cache:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in ADC plan:\n$plan")
+  }
+
+  test("ivfTopKLcg: literal-centroid probes, lists from cache, no cartesian") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val plan = finalPlan(
+      graft.pipeline.Similarity.ivfTopKLcg(e, q, k = 3, nlist = 4, nprobe = 2))
+    // probe distances come from an explode over a literal centroid array
+    // (driver state = nlist·dim ints), the inverted lists are the cached
+    // kmeans assignment, and every join is an equi-join
+    assert(plan.contains("InMemoryTableScan"), s"lists not read from cache:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
+  }
 }
