@@ -573,6 +573,17 @@ object SparkEntry {
       Betweenness.run(s, path).select(col("id"), round(col("bc"), 6).as("bc"))
     }),
 
+    // Girvan–Newman EDGE betweenness on the same closed-form path fixture:
+    // edge (i, i+1) carries the (i+1)·(24−i) crossing pairs
+    "algo_edge_betweenness" -> ((s, d) => {
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("k"))
+      val path = n.filter(col("k") < 24)
+        .select(col("k").as("src"), (col("k") + 1L).as("dst"))
+      Betweenness.runEdges(s, path)
+        .select(col("u"), col("v"), round(col("ebc"), 6).as("ebc"))
+    }),
+
     // Brandes-Pich pivot-sampled BC estimate (the scale path: |S| sources
     // instead of n, extrapolated by n/|S|) on the same closed-form fixture
     "algo_betweenness_est" -> ((s, d) => {
@@ -2561,6 +2572,14 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |round(CAST(n_nationkey * (24 - n_nationkey) AS DOUBLE), 6) AS bc
         |FROM nation""".stripMargin,
+
+    // path-graph EDGE BC closed form: (i+1)·(24−i) unordered pairs cross
+    // edge (i, i+1)
+    "algo_edge_betweenness" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS u,
+        |CAST(n_nationkey + 1 AS BIGINT) AS v,
+        |round(CAST((n_nationkey + 1) * (24 - n_nationkey) AS DOUBLE), 6) AS ebc
+        |FROM nation WHERE n_nationkey < 24""".stripMargin,
 
     // Brandes-Pich pivot estimate on the path: δ_s(v) has the closed form
     // (v>s: 24−v; v<s: v; else 0); halve (both-endpoint convention) and

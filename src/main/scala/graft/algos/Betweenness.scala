@@ -33,12 +33,13 @@ import graft.core.Iterate
   */
 object Betweenness {
 
-  /** Betweenness over an undirected view of `edges` from a batch of source
-    * vertices (all vertices when `sources` is empty — exact BC). Returns
-    * (id, bc) for every vertex of the symmetrized graph.
+  /** The batched level-synchronous forward pass shared by [[run]] and
+    * [[runEdges]]: (symmetrized cached adjacency, vertex table, per-level
+    * (s, v, sigma) slices).
     */
-  def run(spark: SparkSession, edges: DataFrame, sources: Seq[Long] = Nil,
-          maxIter: Int = 10000): DataFrame = {
+  private def forwardPass(spark: SparkSession, edges: DataFrame,
+                          sources: Seq[Long], maxIter: Int)
+      : (DataFrame, DataFrame, ArrayBuffer[DataFrame]) = {
     import spark.implicits._
     val adj = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -51,7 +52,6 @@ object Betweenness {
       if (sources.nonEmpty) sources.toDF("s")
       else verts.select(col("id").as("s"))
 
-    // ---- forward: levels(l) = (s, v, sigma) ------------------------------
     val levels = ArrayBuffer[DataFrame]()
     levels += Iterate.cut(
       srcDf.select(col("s"), col("s").as("v"), lit(1.0).as("sigma")))
@@ -76,6 +76,17 @@ object Betweenness {
         visited = nv
       }
     }
+    (adj, verts, levels)
+  }
+
+  /** Betweenness over an undirected view of `edges` from a batch of source
+    * vertices (all vertices when `sources` is empty — exact BC). Returns
+    * (id, bc) for every vertex of the symmetrized graph.
+    */
+  def run(spark: SparkSession, edges: DataFrame, sources: Seq[Long] = Nil,
+          maxIter: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val (adj, verts, levels) = forwardPass(spark, edges, sources, maxIter)
 
     // ---- backward: delta(l) from delta(l+1), accumulate bc ---------------
     // deepest level has delta = 0 and contributes sigma-weighted terms only
@@ -105,5 +116,55 @@ object Betweenness {
       .select(col("id"), (coalesce(col("bcsum"), lit(0.0)) / 2.0).as("bc"))
     adj.unpersist(false)
     bc
+  }
+
+  /** EDGE betweenness (Girvan–Newman centrality — the community-detection
+    * / graph-sparsification companion of [[run]]): the dependency flowing
+    * over each shortest-path-DAG edge, summed over the source batch. Same
+    * forward pass; in the backward sweep each (u at level l) → (v at level
+    * l+1) tree edge carries σ(s,u)·(1+δ(s,v))/σ(s,v), accumulated per
+    * CANONICAL undirected edge (least, greatest) and halved under the
+    * all-sources batch (each unordered (s,t) pair is seen from both ends),
+    * so on a path graph edge (i,i+1) scores exactly (i+1)·(n−1−i). The
+    * sweep runs one level DEEPER than the vertex variant — source-adjacent
+    * edges carry dependency even though source vertices score zero.
+    *
+    * Returns (u, v, ebc) with u < v for every edge of the symmetrized
+    * graph reached by the batch. Scale shape identical to [[run]]: one
+    * co-partitioned join per level, per-edge accumulation is the same
+    * partial hash aggregate, nothing driver-sized.
+    */
+  def runEdges(spark: SparkSession, edges: DataFrame, sources: Seq[Long] = Nil,
+               maxIter: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val (adj, _, levels) = forwardPass(spark, edges, sources, maxIter)
+
+    var delta = levels.last.select(col("s"), col("v"), col("sigma"),
+      lit(0.0).as("delta"))
+    var eacc = spark.emptyDataset[(Long, Long, Double)].toDF("u", "v", "c")
+    for (li <- (levels.size - 2) to 0 by -1) {
+      val t = delta.select(col("s"), col("v").as("dv"),
+        ((lit(1.0) + col("delta")) / col("sigma")).as("t"))
+      // tree edges: u ∈ pred(dv) ⟺ (u, dv) adjacent ∧ u one level shallower
+      val pairs = t.join(adj, col("dv") === adj("src"))
+        .select(col("s"), col("dv"), col("dst").as("u"), col("t"))
+        .join(levels(li).select(col("s"), col("v").as("u"),
+          col("sigma").as("su")), Seq("s", "u"))
+      val contrib = pairs.select(
+        least(col("u"), col("dv")).as("u"), greatest(col("u"), col("dv")).as("v"),
+        (col("su") * col("t")).as("c"))
+      eacc = Iterate.cut(eacc.unionByName(contrib))
+      if (li > 0) {
+        val terms = pairs.groupBy(col("s"), col("u")).agg(sum(col("t")).as("tsum"))
+        delta = Iterate.cut(levels(li)
+          .join(terms, levels(li)("s") === terms("s") &&
+            levels(li)("v") === terms("u"), "left")
+          .select(levels(li)("s"), levels(li)("v"), levels(li)("sigma"),
+            (coalesce(col("tsum"), lit(0.0)) * col("sigma")).as("delta")))
+      }
+    }
+    val out = eacc.groupBy("u", "v").agg((sum(col("c")) / 2.0).as("ebc"))
+    adj.unpersist(false)
+    out
   }
 }

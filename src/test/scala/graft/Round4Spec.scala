@@ -321,6 +321,65 @@ class Round4Spec extends SparkTestBase {
     bc
   }
 
+  /** Brute edge betweenness by the pair-counting formula: edge u→v carries
+    * σ_s(u)·σ_t(v)/σ_s(t) of pair (s,t) when dist_s(u)+1+dist_t(v) =
+    * dist_s(t); accumulated per canonical undirected edge.
+    */
+  private def bruteEbc(edges: Seq[(Long, Long)], n: Int): Map[(Long, Long), Double] = {
+    val ad = {
+      val b = Array.fill(n)(Set.empty[Int])
+      for ((a, c) <- edges if a != c) {
+        b(a.toInt) += c.toInt; b(c.toInt) += a.toInt
+      }
+      b.map(_.toArray)
+    }
+    val dist = Array.ofDim[Int](n, n); val sig = Array.ofDim[Double](n, n)
+    for (s <- 0 until n) {
+      val d = Array.fill(n)(-1); val sg = Array.fill(n)(0.0)
+      d(s) = 0; sg(s) = 1.0
+      var frontier = List(s)
+      while (frontier.nonEmpty) {
+        val nxt = scala.collection.mutable.LinkedHashSet[Int]()
+        for (u <- frontier; v <- ad(u)) {
+          if (d(v) == -1) { d(v) = d(u) + 1; nxt += v }
+          if (d(v) == d(u) + 1) sg(v) += sg(u)
+        }
+        frontier = nxt.toList
+      }
+      dist(s) = d; sig(s) = sg
+    }
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2).toInt, math.max(e._1, e._2).toInt)).distinct
+    val acc = scala.collection.mutable.Map[(Long, Long), Double]()
+      .withDefaultValue(0.0)
+    for (s <- 0 until n; t <- (s + 1) until n if dist(s)(t) > 0;
+         (a, b) <- und; (u, v) <- Seq((a, b), (b, a)))
+      if (dist(s)(u) >= 0 && dist(t)(v) >= 0 &&
+          dist(s)(u) + 1 + dist(t)(v) == dist(s)(t))
+        acc((a.toLong, b.toLong)) += sig(s)(u) * sig(t)(v) / sig(s)(t)
+    acc.toMap
+  }
+
+  test("Edge betweenness: brute differential on a random graph; path closed form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 12
+    val edges0 = (for (i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.3) yield (i.toLong, j.toLong)).toList
+    val got = graft.algos.Betweenness.runEdges(spark, edges0.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = bruteEbc(edges0, n)
+    assert(got.keySet == want.keySet, s"edge sets differ: ${got.keySet} vs ${want.keySet}")
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 1e-9, s"edge $k got=${got(k)} want=$w")
+    // 6-path closed form: edge (i, i+1) carries (i+1)·(5−i) pairs
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val g = graft.algos.Betweenness.runEdges(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (i <- 0L until 5L)
+      assert(math.abs(g((i, i + 1)) - (i + 1) * (5 - i)) < 1e-9, s"edge $i: ${g((i, i + 1))}")
+  }
+
   test("Betweenness: brute-force differential on a random graph; star + path forms") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
