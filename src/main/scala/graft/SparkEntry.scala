@@ -1191,6 +1191,8 @@ object SparkEntry {
     // cluster-representative outputs (linear in cluster size — the scale
     // path for duplicate mega-clusters the pair queries cap away)
     "dedup_exact_clusters" -> ((s, d) => Dedup.exactClusters(docs(s, d))),
+    // the one-row integer-exact dedup report (counts + reclaimable bytes)
+    "dedup_stats" -> ((s, d) => Dedup.dedupStats(docs(s, d))),
     // minhash flavor: band buckets are engine-internal xxhash64 → rows-only
     // (cluster-merge correctness is unit-tested on planted duplicates)
     "dedup_minhash_clusters" -> ((s, d) => Dedup.minhashClusters(docs(s, d))),
@@ -2688,6 +2690,25 @@ object SparkEntry {
     "dedup_exact_clusters" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id
         |FROM documents""".stripMargin,
+
+    // mirrors Dedup.dedupStats: every column a count or byte sum — the near
+    // side replays the full dedup_minhash_clusters_lcg chain in a subquery
+    "dedup_stats" ->
+      s"""WITH ex AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS b
+        |  FROM documents),
+        |s1 AS (SELECT count(*) AS n_docs, CAST(sum(b) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT rep_id) AS exact_unique,
+        |  CAST(sum(CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_docs,
+        |  CAST(sum(CASE WHEN doc_id <> rep_id THEN b ELSE 0 END) AS BIGINT) AS exact_dup_bytes
+        |  FROM ex),
+        |s2 AS (SELECT count(DISTINCT rep_id) AS near_clusters,
+        |  CAST(sum(CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END) AS BIGINT) AS near_dup_docs
+        |  FROM (${minhashClustersLcgSql(14)}) mcq)
+        |SELECT s1.n_docs, s1.total_bytes, s1.exact_unique, s1.exact_dup_docs,
+        |  s1.exact_dup_bytes, s2.near_clusters, s2.near_dup_docs
+        |FROM s1, s2""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

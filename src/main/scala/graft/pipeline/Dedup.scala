@@ -135,6 +135,30 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep_id"))
   }
 
+  /** The report every production dedup run emits — ONE integer-exact row:
+    * corpus size and bytes, exact-duplicate share and reclaimable bytes
+    * (non-representative copies), and the LCG near-dup cluster count and
+    * membership. Every number is a count or byte sum, so the oracle replays
+    * the row exactly (the near side reuses the dedup_minhash_clusters_lcg
+    * chain). Scale shape: two aggregations over tables the dedup pipeline
+    * already builds; the only wide value crossing a shuffle is the 32-byte
+    * content hash inside [[exactClusters]].
+    */
+  def dedupStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("b"))
+    val s1 = base.join(exactClusters(docs), Seq("doc_id")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("b")).as("total_bytes"),
+      countDistinct(col("rep_id")).as("exact_unique"),
+      sum(when(col("doc_id") =!= col("rep_id"), 1L).otherwise(0L)).as("exact_dup_docs"),
+      sum(when(col("doc_id") =!= col("rep_id"), col("b")).otherwise(0L)).as("exact_dup_bytes"))
+    val s2 = minhashClustersLcg(docs).agg(
+      countDistinct(col("rep_id")).as("near_clusters"),
+      sum(when(col("doc_id") =!= col("rep_id"), 1L).otherwise(0L)).as("near_dup_docs"))
+    s1.crossJoin(s2)
+  }
+
   /** Exact-duplicate clusters: (doc_id, rep_id = min doc_id with identical
     * text). One hash-groupBy + one hash-join; the shuffle carries 32-byte
     * content hashes. The SQL-expressible base case of clustersFromBuckets
