@@ -1193,6 +1193,16 @@ object SparkEntry {
     "dedup_exact_clusters" -> ((s, d) => Dedup.exactClusters(docs(s, d))),
     // the one-row integer-exact dedup report (counts + reclaimable bytes)
     "dedup_stats" -> ((s, d) => Dedup.dedupStats(docs(s, d))),
+    // pair-counting agreement (Rand + ARI) between the two LCG near-dup
+    // views: identical-SimHash clusters vs MinHash-LSH clusters — exact
+    // integer pair sums, fixed IEEE chains, fully SQL-replayable
+    "eval_cluster_ari" -> ((s, d) => {
+      val dd = docs(s, d)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
+      val sc = Dedup.simhashLcg(dd)
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("rep_id"))
+      Eval.clusterAgreement(sc, Dedup.minhashClustersLcg(dd))
+    }),
     // minhash flavor: band buckets are engine-internal xxhash64 → rows-only
     // (cluster-merge correctness is unit-tested on planted duplicates)
     "dedup_minhash_clusters" -> ((s, d) => Dedup.minhashClusters(docs(s, d))),
@@ -2691,6 +2701,29 @@ object SparkEntry {
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id
         |FROM documents""".stripMargin,
 
+    // mirrors Eval.clusterAgreement over the SimHash-vs-MinHash LCG
+    // clusterings: exact integer pair sums (a, sa, sb, C(n,2)), Rand as one
+    // division, ARI as the Hubert–Arabie chain with the expected index
+    // computed identically on both sides
+    "eval_cluster_ari" ->
+      s"""WITH sc AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS ra
+        |  FROM ($simhashLcgSql) s0),
+        |mc AS (SELECT doc_id, rep_id AS rb FROM (${minhashClustersLcgSql(14)}) q),
+        |j AS (SELECT sc.doc_id, ra, rb FROM sc JOIN mc USING (doc_id)),
+        |pa AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS a FROM
+        |       (SELECT count(*) AS c FROM j GROUP BY ra, rb)),
+        |ma AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS sa FROM
+        |       (SELECT count(*) AS c FROM j GROUP BY ra)),
+        |mb AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS sb FROM
+        |       (SELECT count(*) AS c FROM j GROUP BY rb)),
+        |nn AS (SELECT count(*) AS n, CAST(count(*)*(count(*)-1)//2 AS BIGINT) AS c2n FROM j)
+        |SELECT n,
+        |  CAST(c2n + 2*a - sa - sb AS DOUBLE) / CAST(c2n AS DOUBLE) AS rand_index,
+        |  (CAST(a AS DOUBLE) - CAST(sa*sb AS DOUBLE) / CAST(c2n AS DOUBLE))
+        |    / (CAST(sa + sb AS DOUBLE) / 2.0
+        |       - CAST(sa*sb AS DOUBLE) / CAST(c2n AS DOUBLE)) AS ari
+        |FROM nn, pa, ma, mb""".stripMargin,
+
     // mirrors Dedup.dedupStats: every column a count or byte sum — the near
     // side replays the full dedup_minhash_clusters_lcg chain in a subquery
     "dedup_stats" ->
@@ -3971,24 +4004,7 @@ object SparkEntry {
 
     // mirrors Dedup.simhashLcg bit for bit: dense-rank token ids, 32 LCG
     // hyperplane signs mod 2^31-1, per-occurrence ±1 votes, sign -> bit
-    "dedup_simhash_lcg" ->
-      s"""WITH tok AS (SELECT doc_id,
-         |  unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |                     x -> len(x) > 0)) AS tok
-         |  FROM documents),
-         |vocab AS (SELECT tok,
-         |  CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tid
-         |  FROM (SELECT DISTINCT tok FROM tok)),
-         |tids AS (SELECT t.doc_id, v.tid FROM tok t JOIN vocab v USING (tok)),
-         |votes AS (
-         |  SELECT doc_id, bb.range AS b,
-         |    sum(CASE WHEN ((48271*bb.range + 16807) % 2147483647 * tid
-         |                   + (69621*bb.range + 12345) % 2147483647)
-         |             % 2147483647 % 2 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM tids CROSS JOIN range(0, 32) bb GROUP BY 1, 2)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc_id""".stripMargin,
+    "dedup_simhash_lcg" -> simhashLcgSql,
 
     // mirrors Dedup.minhashClustersLcg: the LCG bucket chain, star links to
     // each bucket's min doc, then min-label propagation unrolled past the
@@ -4531,6 +4547,27 @@ object SparkEntry {
     * once rounds >= the link graph's diameter (measured 3 at sf0.01; the
     * unroll carries a >4x margin).
     */
+  /** The dedup_simhash_lcg query (also nested as a subquery by the
+    * eval_cluster_ari oracle). */
+  private val simhashLcgSql: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                     x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok,
+       |  CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT tok FROM tok)),
+       |tids AS (SELECT t.doc_id, v.tid FROM tok t JOIN vocab v USING (tok)),
+       |votes AS (
+       |  SELECT doc_id, bb.range AS b,
+       |    sum(CASE WHEN ((48271*bb.range + 16807) % 2147483647 * tid
+       |                   + (69621*bb.range + 12345) % 2147483647)
+       |             % 2147483647 % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tids CROSS JOIN range(0, 32) bb GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id""".stripMargin
+
   private def minhashClustersLcgSql(rounds: Int): String = {
     val prop = (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (SELECT l.v,

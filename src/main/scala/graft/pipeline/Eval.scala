@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -618,5 +618,40 @@ object Eval {
         (lit(2.0) * col("cd").cast("double")
           / sqrt((col("m0") - col("m1")).cast("double")
             * (col("m0") - col("m2")).cast("double"))).as("tau"))
+  }
+
+  /** Pair-counting agreement between two clusterings of the same ids —
+    * Rand index and Adjusted Rand Index (Hubert–Arabie), the standard way
+    * to score a near-dup clustering against an exact/reference partition.
+    * Every aggregate is an exact integer (Σ C(n_ij,2) over the contingency
+    * cells and Σ C(a_i,2)/Σ C(b_j,2) over the marginals; all ≤ C(n,2)² in
+    * magnitude, within long for n up to ~3·10⁹ pairs), and each output is
+    * a fixed chain of IEEE ops on those integers — one division for Rand,
+    * the Hubert–Arabie expected-index form for ARI — so any SQL engine
+    * reproduces both doubles bit-for-bit.
+    *
+    * Inputs are (doc_id, rep_id) tables; returns one row
+    * (n, rand_index, ari).
+    */
+  def clusterAgreement(x: DataFrame, y: DataFrame): DataFrame = {
+    val j = x.select(col("doc_id"), col("rep_id").as("ra"))
+      .join(y.select(col("doc_id"), col("rep_id").as("rb")), Seq("doc_id"))
+      .cache()
+    def pairs(c: Column): Column = (c * (c - 1) / 2).cast("long")
+    val a = j.groupBy("ra", "rb").agg(count(lit(1)).as("c"))
+      .agg(sum(pairs(col("c"))).as("a"))
+    val sa = j.groupBy("ra").agg(count(lit(1)).as("c"))
+      .agg(sum(pairs(col("c"))).as("sa"))
+    val sb = j.groupBy("rb").agg(count(lit(1)).as("c"))
+      .agg(sum(pairs(col("c"))).as("sb"))
+    val nn = j.agg(count(lit(1)).as("n"))
+    val c2n = pairs(col("n"))
+    val exp = (col("sa") * col("sb")).cast("double") / c2n.cast("double")
+    nn.crossJoin(a).crossJoin(sa).crossJoin(sb)
+      .select(col("n"),
+        ((c2n + lit(2L) * col("a") - col("sa") - col("sb")).cast("double")
+          / c2n.cast("double")).as("rand_index"),
+        ((col("a").cast("double") - exp)
+          / ((col("sa") + col("sb")).cast("double") / 2.0 - exp)).as("ari"))
   }
 }

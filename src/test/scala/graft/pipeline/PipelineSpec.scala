@@ -199,6 +199,21 @@ class PipelineSpec extends SparkTestBase {
     for ((a, b) <- nd) assert(a % 3 == b % 3, s"cross-cluster near-dup $a,$b")
   }
 
+  test("clusterAgreement: hand-computed Rand/ARI; identical partitions score 1") {
+    // X = {0,1,2 | 3,4,5}, Y = {0,1 | 2,3 | 4,5}: a=2, sa=6, sb=3, C(6,2)=15
+    // → Rand = (15+4−6−3)/15 = 2/3; ARI = (2−1.2)/(4.5−1.2) = 0.8/3.3
+    val x = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 3L))
+      .toDF("doc_id", "rep_id")
+    val y = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "rep_id")
+    val r = Eval.clusterAgreement(x, y).collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(1) - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.8 / 3.3) < 1e-12)
+    val same = Eval.clusterAgreement(x, x).collect()(0)
+    assert(same.getDouble(1) == 1.0 && same.getDouble(2) == 1.0)
+  }
+
   test("LCG near-dup twin: same-cluster pairs only; partition-invariant pair set") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
