@@ -1193,6 +1193,14 @@ object SparkEntry {
     "dedup_exact_clusters" -> ((s, d) => Dedup.exactClusters(docs(s, d))),
     // the one-row integer-exact dedup report (counts + reclaimable bytes)
     "dedup_stats" -> ((s, d) => Dedup.dedupStats(docs(s, d))),
+    // per-cluster purity of the exact-integer k-means against the
+    // embeddings' ground-truth labels — all-integer majority table
+    "eval_purity" -> ((s, d) => {
+      val e = embs(s, d)
+      val cl = Similarity.kmeansInt8(e, k = 4, steps = 2)
+      Eval.purityByCluster(cl,
+        e.select(col("vec_id"), col("label").cast("long").as("label")))
+    }),
     // pair-counting agreement (Rand + ARI) between the two LCG near-dup
     // views: identical-SimHash clusters vs MinHash-LSH clusters — exact
     // integer pair sums, fixed IEEE chains, fully SQL-replayable
@@ -2700,6 +2708,21 @@ object SparkEntry {
     "dedup_exact_clusters" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id
         |FROM documents""".stripMargin,
+
+    // mirrors Eval.purityByCluster over the ann_kmeans chain: per-cluster
+    // label counts, majority ties to the smallest label, all integers
+    "eval_purity" ->
+      s"""WITH ${kmeansCtes(4, 2)},
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |cnt AS (SELECT a.cid AS cluster, lab.label, count(*) AS c
+        |        FROM a2 a JOIN lab USING (vec_id) GROUP BY 1, 2),
+        |rk AS (SELECT cluster, label, c,
+        |  row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label ASC) AS rn
+        |  FROM cnt)
+        |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(sum(c) AS BIGINT) AS size,
+        |  max(CASE WHEN rn = 1 THEN label END) AS majority_label,
+        |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS majority_cnt
+        |FROM rk GROUP BY cluster""".stripMargin,
 
     // mirrors Eval.clusterAgreement over the SimHash-vs-MinHash LCG
     // clusterings: exact integer pair sums (a, sa, sb, C(n,2)), Rand as one

@@ -620,6 +620,24 @@ object Eval {
             * (col("m0") - col("m2")).cast("double"))).as("tau"))
   }
 
+  /** Per-cluster purity table for a clustering scored against ground-truth
+    * labels: (cluster, size, majority_label, majority_cnt) — every column
+    * an exact integer, majority ties broken to the smallest label, so the
+    * table is hash-exact in any engine. Corpus purity = Σ majority_cnt / Σ
+    * size, derivable from the rows (kept integer here so the oracle needs
+    * no float discipline at all).
+    */
+  def purityByCluster(assign: DataFrame, labels: DataFrame): DataFrame = {
+    val cnt = assign.join(labels, Seq("vec_id"))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("cluster").orderBy(col("c").desc, col("label").asc)
+    cnt.withColumn("rn", row_number().over(w))
+      .groupBy("cluster")
+      .agg(sum(col("c")).as("size"),
+        max(when(col("rn") === 1, col("label"))).as("majority_label"),
+        max(when(col("rn") === 1, col("c"))).as("majority_cnt"))
+  }
+
   /** Pair-counting agreement between two clusterings of the same ids —
     * Rand index and Adjusted Rand Index (Hubert–Arabie), the standard way
     * to score a near-dup clustering against an exact/reference partition.

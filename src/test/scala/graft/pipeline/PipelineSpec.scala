@@ -199,6 +199,18 @@ class PipelineSpec extends SparkTestBase {
     for ((a, b) <- nd) assert(a % 3 == b % 3, s"cross-cluster near-dup $a,$b")
   }
 
+  test("purityByCluster: hand example with a majority tie broken to the low label") {
+    val asg = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L))
+      .toDF("vec_id", "cluster")
+    val lab = Seq((0L, 7L), (1L, 7L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 9L))
+      .toDF("vec_id", "label")
+    val r = Eval.purityByCluster(asg, lab).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // cluster 0: labels {7:2, 3:2} tie → majority 3 (smallest); cluster 1: {3:1, 9:1} → 3
+    assert(r(0L) == ((4L, 3L, 2L)))
+    assert(r(1L) == ((2L, 3L, 1L)))
+  }
+
   test("clusterAgreement: hand-computed Rand/ARI; identical partitions score 1") {
     // X = {0,1,2 | 3,4,5}, Y = {0,1 | 2,3 | 4,5}: a=2, sa=6, sb=3, C(6,2)=15
     // → Rand = (15+4−6−3)/15 = 2/3; ARI = (2−1.2)/(4.5−1.2) = 0.8/3.3
