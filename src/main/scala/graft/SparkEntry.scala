@@ -1201,6 +1201,14 @@ object SparkEntry {
       Eval.purityByCluster(cl,
         e.select(col("vec_id"), col("label").cast("long").as("label")))
     }),
+    // per-point simplified silhouette of the exact-integer k-means (exact
+    // integer d², fixed per-point IEEE chains — the O(n²) eval baseline)
+    "eval_silhouette" -> ((s, d) => {
+      val e = embs(s, d)
+      val codes = Similarity.quantizeInt8(e)
+        .select(col("vec_id"), transform(col("qvec"), _.cast("long")).as("x"))
+      Eval.silhouetteInt8(codes, Similarity.kmeansInt8(e, k = 4, steps = 2))
+    }),
     // pair-counting agreement (Rand + ARI) between the two LCG near-dup
     // views: identical-SimHash clusters vs MinHash-LSH clusters — exact
     // integer pair sums, fixed IEEE chains, fully SQL-replayable
@@ -2723,6 +2731,26 @@ object SparkEntry {
         |  max(CASE WHEN rn = 1 THEN label END) AS majority_label,
         |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS majority_cnt
         |FROM rk GROUP BY cluster""".stripMargin,
+
+    // mirrors Eval.silhouetteInt8 over the ann_kmeans chain: exact integer
+    // pairwise d², one division per mean, order-free min, fixed s chain
+    "eval_silhouette" ->
+      s"""WITH ${kmeansCtes(4, 2)},
+        |per AS (SELECT a.vec_id AS i, a.cid AS ci, bq.cid AS cj,
+        |  CAST(sum(list_sum(list_transform(range(1, len(a.x)+1),
+        |    t -> (a.x[t]-bq.x[t])*(a.x[t]-bq.x[t])))) AS BIGINT) AS sd,
+        |  count(*) AS c
+        |  FROM a2 a JOIN a2 bq ON a.vec_id <> bq.vec_id
+        |  GROUP BY 1, 2, 3),
+        |aa AS (SELECT i, CAST(sd AS DOUBLE) / c AS a FROM per WHERE cj = ci),
+        |bb AS (SELECT i, min(CAST(sd AS DOUBLE) / c) AS b FROM per
+        |       WHERE cj <> ci GROUP BY i)
+        |SELECT v.vec_id, CAST(v.cid AS BIGINT) AS cluster,
+        |  CASE WHEN aa.a IS NULL OR bb.b IS NULL THEN 0.0
+        |       WHEN greatest(aa.a, bb.b) = 0.0 THEN 0.0
+        |       ELSE (bb.b - aa.a) / greatest(aa.a, bb.b) END AS s
+        |FROM a2 v LEFT JOIN aa ON aa.i = v.vec_id
+        |          LEFT JOIN bb ON bb.i = v.vec_id""".stripMargin,
 
     // mirrors Eval.clusterAgreement over the SimHash-vs-MinHash LCG
     // clusterings: exact integer pair sums (a, sa, sb, C(n,2)), Rand as one

@@ -638,6 +638,42 @@ object Eval {
         max(when(col("rn") === 1, col("c"))).as("majority_cnt"))
   }
 
+  /** Per-point SIMPLIFIED silhouette over integer codes: squared-L2
+    * distances (exact 64-bit integers), a(i) = mean d² to own cluster
+    * (excluding self), b(i) = min over other clusters of mean d², s =
+    * (b−a)/max(a,b); singleton clusters (a undefined) score 0 by the
+    * standard convention, as does the degenerate all-identical case
+    * (max = 0). Every s is a FIXED chain on exact integers — integer sums,
+    * one division per mean, an order-free min — so the whole column is
+    * engine-reproducible bit-for-bit with no tolerance.
+    *
+    * This is the exact all-pairs eval baseline (O(n²) distances — fine at
+    * evaluation scale; sample the corpus first at 100 TB, the standard
+    * practice). Inputs: codes (vec_id, x: array<long>), assign (vec_id,
+    * cluster); returns (vec_id, cluster, s).
+    */
+  def silhouetteInt8(codes: DataFrame, assign: DataFrame): DataFrame = {
+    val x = codes.join(assign, Seq("vec_id"))
+    val l = x.select(col("vec_id").as("i"), col("x").as("xi"), col("cluster").as("ci"))
+    val r = x.select(col("vec_id").as("j"), col("x").as("xj"), col("cluster").as("cj"))
+    val per = l.join(r, col("i") =!= col("j"))
+      .select(col("i"), col("ci"), col("cj"),
+        aggregate(zip_with(col("xi"), col("xj"), (u, v) => (u - v) * (u - v)),
+          lit(0L), _ + _).as("d2"))
+      .groupBy("i", "ci", "cj").agg(sum(col("d2")).as("sd"), count(lit(1)).as("c"))
+    val a = per.filter(col("cj") === col("ci"))
+      .select(col("i"), (col("sd").cast("double") / col("c")).as("a"))
+    val b = per.filter(col("cj") =!= col("ci"))
+      .groupBy("i").agg(min(col("sd").cast("double") / col("c")).as("b"))
+    assign.select(col("vec_id"), col("cluster"))
+      .join(a, col("vec_id") === a("i"), "left").drop("i")
+      .join(b, col("vec_id") === b("i"), "left").drop("i")
+      .select(col("vec_id"), col("cluster"),
+        when(col("a").isNull || col("b").isNull, 0.0)
+          .when(greatest(col("a"), col("b")) === 0.0, 0.0)
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+  }
+
   /** Pair-counting agreement between two clusterings of the same ids —
     * Rand index and Adjusted Rand Index (Hubert–Arabie), the standard way
     * to score a near-dup clustering against an exact/reference partition.

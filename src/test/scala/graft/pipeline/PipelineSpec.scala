@@ -211,6 +211,22 @@ class PipelineSpec extends SparkTestBase {
     assert(r(1L) == ((2L, 3L, 1L)))
   }
 
+  test("silhouetteInt8: hand-computed two-cluster fixture; singleton scores 0") {
+    val codes = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(0L, 2L)),          // cluster 0
+      (2L, Seq(10L, 0L)), (3L, Seq(10L, 2L)),        // cluster 1
+      (4L, Seq(100L, 100L)))                         // singleton cluster 2
+      .toDF("vec_id", "x")
+    val asg = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L))
+      .toDF("vec_id", "cluster")
+    val s = Eval.silhouetteInt8(codes, asg).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // point 0: a = 4, b = min(mean d² to cluster1 = (100+104)/2, to {4} = 20000)
+    assert(math.abs(s(0L) - (102.0 - 4.0) / 102.0) < 1e-15)
+    assert(s(4L) == 0.0) // singleton: a undefined → 0 by convention
+    assert(s.values.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
   test("clusterAgreement: hand-computed Rand/ARI; identical partitions score 1") {
     // X = {0,1,2 | 3,4,5}, Y = {0,1 | 2,3 | 4,5}: a=2, sa=6, sb=3, C(6,2)=15
     // → Rand = (15+4−6−3)/15 = 2/3; ARI = (2−1.2)/(4.5−1.2) = 0.8/3.3
