@@ -1572,6 +1572,8 @@ object SparkEntry {
     // a-posteriori certified equal to the unbounded exact top-k
     "text_top_terms" -> ((s, d) =>
       TextStats.topTermsExact(docs(s, d), topK = 20, cap = 4096)),
+    // top-K vocabulary coverage curve (all-integer; distributed rank)
+    "text_vocab_coverage" -> ((s, d) => TextStats.vocabCoverage(docs(s, d))),
     // vocabulary-coverage filter: per-doc OOV rate vs the corpus' own top-16
     // vocabulary (count desc, term asc — deterministic boundary); K=16 so
     // the synthetic corpus' ~40-term vocabulary leaves a real OOV tail
@@ -3575,6 +3577,23 @@ object SparkEntry {
         |  FROM base)
         |SELECT a.repo, a.path FROM allf a
         |ANTI JOIN dsts d ON a.repo = d.repo AND a.path = d.path""".stripMargin,
+
+    // mirrors TextStats.vocabCoverage: (count desc, token asc) rank prefix
+    // sums — every column an exact integer
+    "text_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |rk AS (SELECT tok, c,
+        |  row_number() OVER (ORDER BY c DESC, tok ASC) - 1 AS rk FROM cnt),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_occurrences,
+        |        count(*) AS vocab_size FROM cnt),
+        |kk AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k)
+        |SELECT kk.k, count(*) AS types, CAST(sum(rk.c) AS BIGINT) AS covered,
+        |  tot.total_occurrences, tot.vocab_size
+        |FROM kk JOIN rk ON rk.rk < kk.k CROSS JOIN tot
+        |GROUP BY kk.k, tot.total_occurrences, tot.vocab_size""".stripMargin,
 
     // mirrors TextStats.topTermsExact's CERTIFIED output: the plain exact
     // top-k (what certification proves the bounded-memory path equals)

@@ -1043,4 +1043,28 @@ object TextStats {
     graft.algos.PageRank.runFixed(spark, edges, k = k, weighted = true)
       .select(col("id").as("term"), col("r"))
   }
+
+  /** Top-K vocabulary coverage — the tokenizer-design curve: for each K,
+    * how many of the corpus' token OCCURRENCES the K most frequent types
+    * cover (plus the type count actually used, capped by the vocabulary).
+    * Every column is an exact integer. Ordering is (count desc, token asc)
+    * ranked DISTRIBUTEDLY via [[graft.core.Ranking]] — never a single-task
+    * global window; the K prefix filter is a broadcast theta-join of the
+    * few K rows against the ranked vocabulary.
+    */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Long] = Seq(10L, 100L, 1000L)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val cnt = docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ranked = graft.core.Ranking.denseRank(
+      cnt.withColumn("nc", -col("c")), "rk", "nc", "tok")
+    val total = cnt.agg(sum(col("c")).as("total_occurrences"),
+      count(lit(1)).as("vocab_size"))
+    ks.toDF("k").join(ranked, col("rk") < col("k"))
+      .groupBy("k").agg(count(lit(1)).as("types"), sum(col("c")).as("covered"))
+      .crossJoin(total)
+  }
 }
