@@ -39,9 +39,18 @@ object SparkEntry {
     s"""SELECT l_suppkey AS src, l_partkey + $PartOffset AS dst,
        |CAST(count(*) AS DOUBLE) AS w FROM lineitem GROUP BY 1, 2""".stripMargin
 
-  /** Unipartite supplier co-occurrence graph, canonical lo<hi, w=1. */
+  /** Unipartite supplier co-occurrence graph, canonical lo<hi, w=1.
+    *
+    * The (pk, sk) projection is DISTINCT'd before the quadratic self-join
+    * (guide §2.3 "shuffle fewer bytes"): duplicate line items of the same
+    * (part, supplier) multiply the join output d× per side without changing
+    * the DISTINCT pair set — at sf0.1 the pre-join dedup shrinks the join
+    * input ~2× and its output ~4×, and the final distinct over the pair
+    * stream shrinks with it. Output rows are identical by construction.
+    */
   def edgesSup(spark: SparkSession, dir: String): DataFrame = {
     val l = li(spark, dir).select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
     val a = l.as("a"); val b = l.as("b")
     a.join(b, col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
       .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()

@@ -30,8 +30,12 @@ object BFS {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val adj = edges.select(col("src"), col("dst")).distinct()
+    // repartition(src) BEFORE the distinct: hash(src) satisfies the dedup
+    // agg's ClusteredDistribution(src,dst) (subset rule), one exchange in
+    // setup instead of two — same fusion as PageRank's adjacency
+    val adj = edges.select(col("src"), col("dst"))
       .repartition(parts, col("src"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // visited is referenced twice per level (anti-join + union): cut() per

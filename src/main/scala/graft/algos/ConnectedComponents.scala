@@ -108,11 +108,14 @@ object ConnectedComponents {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    // symmetrize; structure only
+    // symmetrize; structure only. repartition(src) BEFORE the distinct:
+    // hash(src) satisfies the dedup agg's ClusteredDistribution(src,dst)
+    // (subset rule, same fusion as PageRank's adjacency setup), so
+    // symmetrize+dedup+layout is ONE data-sized exchange instead of two
     val undPlain = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .repartition(parts, col("src"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // hub skew in the gather join (graft.core.Skew hot-key isolation): cold

@@ -37,10 +37,19 @@ object LabelPropagation {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    // repartition(src) FIRST: hash(src) satisfies the distinct agg's
+    // ClusteredDistribution(src,dst) (subset rule), so symmetrize+dedup is
+    // ONE exchange, not two — and the layout is keyed on the PER-ITERATION
+    // JOIN KEY (src), so every round's gather join against the hash(id)
+    // label state is co-partitioned: r5's plan re-shuffled the whole edge
+    // table by src EVERY round because und was laid out by dst (the dst
+    // grouping never reused that layout anyway — the gather join's output
+    // partitioning replaced it). One data-sized exchange per round removed
+    // (guide §2.4), plus the vertex-universe distinct below reuses hash(src)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
       .distinct()
-      .repartition(parts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val vertices = und.select(col("src").as("id")).distinct()
@@ -95,10 +104,11 @@ object LabelPropagation {
                numPartitions: Int = 0): DataFrame = Iterate.withoutAQE(spark) {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // same src-keyed one-exchange layout as runLoop (see the comment there)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
       .distinct()
-      .repartition(parts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = und.select(col("src").as("id")).distinct()
     var labels = Iterate.cutKeyed(

@@ -100,12 +100,21 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // vertex universe with out-degree; sinks get d=1 (pagerank.m:97-104).
-    // Same fusion: repartition(id) FIRST, the distinct agg keeps the layout
-    val degrees = adjPlain.select(col("src").as("id"))
-      .union(adjPlain.select(col("dst").as("id")))
+    // The out-degree agg is co-partitioned with the cached hash(src)
+    // adjacency (zero exchange) and already CONTAINS every src id, so the
+    // universe union is outDeg-ids ∪ dst-endpoints: the repartition+distinct
+    // exchange carries |V_src| + |E| rows instead of r5's 2|E| src∪dst union
+    // (guide §2.3 "shuffle fewer bytes"). A LEFT join (not full-outer) keeps
+    // the reported output partitioning hash(id, parts) — full-outer SMJ
+    // reports UnknownPartitioning, which would kick the initial state's
+    // cutKeyed onto its re-layout slow path. Rows identical to r5: same id
+    // set, same d / isSink rule.
+    val outDeg = adjPlain.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("od"))
+    val degrees = outDeg.select(col("id"))
+      .unionByName(adjPlain.select(col("dst").as("id")))
       .repartition(parts, col("id")).distinct()
-      .join(adjPlain.groupBy(col("src").as("id"))
-        .agg(count(lit(1)).cast("double").as("od")), Seq("id"), "left")
+      .join(outDeg, Seq("id"), "left")
       .select(col("id"), coalesce(col("od"), lit(1.0)).as("d"),
         col("od").isNull.as("isSink"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -178,16 +187,28 @@ object PageRank {
     // teleport the analogous start is the teleport distribution)
     val initR = if (seeds.isEmpty) lit(1.0 / n)
                 else when(isSeed, lit(1.0 / nSeeds)).otherwise(lit(0.0))
-    val (startIter, r0) = checkpointDir
+    val resumed = checkpointDir
       .flatMap(graft.core.Checkpoint.newest(spark, _, Seq("id", "r"), tag))
-      .getOrElse((0, degrees.select(col("id"), initR.as("r"))))
+    val startIter = resumed.map(_._1).getOrElse(0)
 
     // state = (id, r, d, isSink), dense over the vertex universe; cut() so
     // each iteration's plan is leaf-sized (state is referenced twice per
-    // iteration — see graft.core.Iterate)
-    var state = Iterate.cutKeyed(degrees.join(r0, Seq("id"))
-      .select(col("id"), col("r"), col("d"), col("isSink")), parts, "id")
-    var sinkMass = getD(state.agg(sum(when(col("isSink"), col("r")))).collect()(0), 0)
+    // iteration — see graft.core.Iterate). Fresh starts derive r in the SAME
+    // projection over the cached degrees (r5 joined degrees with a second
+    // scan of itself — a setup join for nothing); only a checkpoint resume,
+    // whose r actually comes from parquet, pays the join.
+    val state0 = (resumed match {
+      case Some((_, r0)) => degrees.join(r0, Seq("id"))
+        .select(col("id"), col("r"), col("d"), col("isSink"))
+      case None => degrees
+        .select(col("id"), initR.as("r"), col("d"), col("isSink"))
+    }).observe("pr_init", sum(when(col("isSink"), col("r"))).as("sinkMass"))
+    var state = Iterate.cutKeyed(state0, parts, "id")
+    // the initial sink mass is OBSERVED during the state materialization
+    // pass itself (same CollectMetrics pattern as the loop) — r5 ran one
+    // extra full-state aggregation job here
+    var sinkMass = getD(Iterate.observedRow(state0, "pr_init")(
+      state.agg(sum(when(col("isSink"), col("r")))).head), 0)
 
     var iter = startIter
     var delta = Double.PositiveInfinity

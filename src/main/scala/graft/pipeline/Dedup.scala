@@ -106,7 +106,13 @@ object Dedup {
     */
   def minhashCandidates(sigs: DataFrame, bands: Int = 8,
                         maxBucket: Int = 1000): DataFrame = {
-    val buckets = capBuckets(minhashBuckets(sigs, bands), Seq("band", "bkt"), maxBucket)
+    // the band-bucket table is referenced 4x downstream (cap population agg,
+    // cap semi-join, and both sides of the candidate self-join); without a
+    // cache each reference re-runs the whole signature pipeline INCLUDING
+    // its collect_list shuffle (no exchange reuse across the cap semi-join).
+    // docs × bands rows of (long, int, long) — bounded, safe to pin.
+    val buckets = capBuckets(minhashBuckets(sigs, bands).cache(),
+      Seq("band", "bkt"), maxBucket)
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -245,26 +251,36 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     // SimHash is per-doc-local, so the whole fingerprint is ONE projection:
-    // a single aggregate() pass over the token-hash array carrying a
-    // 64-long vote accumulator (bit positions are Scala constants so the
-    // shifts stay static) — zero shuffles, vs the previous plan's 64×
-    // posexplode through a (doc, bit) groupBy.
+    // a single aggregate() pass over the token-hash array carrying a 64-long
+    // per-bit set-count accumulator — zero shuffles. The accumulator update
+    // is an INDEX-LAMBDA transform (bit position = the lambda's index
+    // argument, shifted by a column-valued ShiftRight), not a 64-way
+    // unrolled array(...) of per-bit whens: the unrolled expression tree was
+    // ~64× larger and cost ~4.6 s of one-shot driver-side plan processing
+    // per fresh query (measured this round: fingerprint pass 4.95 s first
+    // run vs 0.34 s re-run of the same compiled plan; the index-lambda tree
+    // drops the first run to ~1 s). Same math bit for bit: the sign test
+    // votes_b > 0 with ±1 votes is exactly 2·cnt_b > n_tokens.
     val toks = filter(split(lower(col("text")), "\\s+"),
       t => length(t) > 0)
     val hs = transform(col("toks"), t => xxhash64(t))
     val zero = array_repeat(lit(0L), 64)
-    val votes = aggregate(col("hs"), zero, (acc, h) =>
-      array((0 until 64).map(b => element_at(acc, b + 1) +
-        when(shiftright(h, b).bitwiseAND(1) === 1, lit(1L))
-          .otherwise(lit(-1L))): _*))
+    def shr(v: Column, n: Column): Column = {
+      import org.apache.spark.sql.graft.{GraftSqlInternals => GI}
+      GI.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        GI.expression(v), GI.expression(n)))
+    }
+    val cnts = aggregate(col("hs"), zero, (acc, h) =>
+      transform(acc, (v, i) => v + shr(h, i).bitwiseAND(1)))
     val powers = typedLit((0 until 64).map(b => 1L << b))
     val fp = aggregate(
-      zip_with(col("votes"), powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      zip_with(col("cnts"), powers,
+        (c, p) => when(c * 2 > size(col("hs")), p).otherwise(lit(0L))),
       lit(0L), (a, x) => a + x)
     docs.select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) > 0) // token-less docs have no fingerprint
-      .select(col("doc_id"), votes.as("votes"))
+      .select(col("doc_id"), col("hs"), cnts.as("cnts"))
       .select(col("doc_id"), fp.as("simhash"))
   }
 
@@ -303,7 +319,10 @@ object Dedup {
     */
   def simhashCandidatePairs(sig: DataFrame, maxHamming: Int,
                             maxBucket: Int = 1000): DataFrame = {
-    val blocks = capBuckets(simhashBlocks(sig, maxHamming), Seq("blk", "bv"), maxBucket)
+    // same 4-reference shape as minhashCandidates: pin the block table so
+    // the cap agg/semi and both self-join sides scan one materialization
+    val blocks = capBuckets(simhashBlocks(sig, maxHamming).cache(),
+      Seq("blk", "bv"), maxBucket)
     val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
