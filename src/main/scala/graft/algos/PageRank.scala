@@ -92,7 +92,13 @@ object PageRank {
     // (reference keeps A by-row; we keep the partitioning); unweighted runs
     // carry only the structure. distinct() AFTER repartition(src): hash(src)
     // satisfies ClusteredDistribution(src,dst) (subset rule), so the dedup
-    // agg reuses the layout — ONE edge shuffle in setup, not two
+    // agg reuses the layout — ONE edge shuffle in setup, not two.
+    // (A one-pipeline repartition→distinct→collect_list grouping was
+    // prototyped this round — it saves this cache's write — but it groups
+    // BEFORE hub detection, so an undetected 10⁹-degree hub would
+    // materialize as one multi-GB collect_list buffer: the exact
+    // executor-memory hazard the hot-split-then-group order exists to
+    // avoid. Rejected; the flat cache stays.)
     val adjPlain = (if (weighted) edges.select(col("src"), col("dst"), col("w"))
                       .repartition(parts, col("src"))
                     else edges.select(col("src"), col("dst"))
@@ -142,8 +148,11 @@ object PageRank {
         total = adjPlain.count(), // cache hit: materialized by degrees above
         parts = parts)
     val (adjFlat, adjHot) = if (hot.isEmpty) (adjPlain, None) else {
+      // the cold slice keeps the cached layout: FilterExec preserves its
+      // child's hash(src, parts) partitioning, so r5's explicit cold-side
+      // repartition was a redundant |E|-row exchange — dropped
       val cold = adjPlain.filter(!col("src").isin(hot: _*))
-        .repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val hotE = adjPlain.filter(col("src").isin(hot: _*))
         .repartition(parts, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
       cold.count(); hotE.count() // materialize before dropping the unsplit copy

@@ -55,10 +55,15 @@ object Dedup {
     */
   def minhashSignatures(sh: DataFrame, numPerm: Int = 32, seed: Long = 7L): DataFrame = {
     val p = lit(2147483647L) // 2^31 - 1: keeps a*x+b < 2^62, no long overflow
+    // per permutation, a LONG-accumulator min-fold over the shingle hashes:
+    // the previous spelling materialized a fresh |shingles|-element array per
+    // permutation (transform + array_min = numPerm array allocations per doc
+    // inside the interpreted HOF) — the fold computes the identical minimum
+    // with zero per-permutation allocation (guide §1.2 per-task work)
     val sig = transform(sequence(lit(0), lit(numPerm - 1)), i => {
       val a = abs(xxhash64(lit("a"), i, lit(seed))) % (p - 1) + 1
       val b = abs(xxhash64(lit("b"), i, lit(seed))) % p
-      array_min(transform(col("shs"), x => pmod(a * pmod(x, p) + b, p)))
+      aggregate(col("shs"), p, (acc, x) => least(acc, pmod(a * pmod(x, p) + b, p)))
     })
     sh.groupBy("doc_id").agg(collect_list(col("sh")).as("shs"))
       .select(col("doc_id"), sig.as("sig"))
